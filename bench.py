@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the engine's headline queries end-to-end.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
+parallelism from $SPARK_GRAFT_CPUS (default all cores). Each query is
+forced with the `noop` sink so the full plan executes without driver
+collection skewing the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from merchant_classification_spark.session import build_session
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = build_session(app_name="mcs-bench")
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once so timings measure the queries, not startup
+    force(entry_mod.q_class_histogram(spark, sf_dir))
+
+    total = 0.0
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

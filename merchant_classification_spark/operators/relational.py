@@ -1,0 +1,112 @@
+"""Relational operator library (SURVEY.md §2.2-2.7).
+
+Each function is a thin, named composition of DataFrame primitives — the
+value is the *shape* (the reference buries these in notebook cells) and the
+scale notes. Everything here stays inside Catalyst: hash aggregates get
+partial (map-side) combine for free, equi-joins against aggregate outputs
+get auto-broadcast, and projections/filters ride whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def class_histogram(df: DataFrame, key: str, ascending: bool = True) -> DataFrame:
+    """Per-class row counts, sorted by count
+    (reference 01_merchcat_etl.py:121-122 — SURVEY.md §2.4 A1, §2.7 O1).
+
+    Scale: one shuffle on `key` with map-side partial counts; output is
+    #classes rows (tiny), so the global sort is trivial.
+    """
+    out = df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
+    order = F.col("count").asc() if ascending else F.col("count").desc()
+    # secondary key makes the output order total => deterministic
+    return out.orderBy(order, F.col(key))
+
+
+def accuracy_report(
+    df: DataFrame,
+    label_col: str,
+    prediction_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group prediction accuracy
+    (reference 02_merchcat_ml.py:522-530 — SURVEY.md §2.4 A2, §2.5 J2,
+    §2.3 E12/E13).
+
+    The reference computes this as two groupBys joined back together
+    (correct-counts ⋈ total-counts); a single aggregation over a 0/1 match
+    flag produces the identical result with ONE shuffle instead of two
+    shuffles plus a join — the shape that survives 100 TB.
+    """
+    flag = F.when(F.col(prediction_col) == F.col(label_col), 1).otherwise(0)
+    group = group_col or label_col
+    return (
+        df.withColumn("predicted", flag)
+        .groupBy(group)
+        .agg(
+            F.sum("predicted").alias("predicted"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .withColumn("accuracy", F.col("predicted") / F.col("total"))
+        .orderBy(F.col("accuracy").desc(), F.col(group))
+    )
+
+
+def group_topk(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via row_number
+    (reference utils/fasttext_utils.py:33-35 — SURVEY.md §2.6 W2, §2.7 O3).
+
+    `order_cols` should define a total order (add a unique tiebreaker) or
+    results are nondeterministic. Scale: the window sorts each partition;
+    for heavily skewed keys prefer a two-phase approach — pre-filter with a
+    per-partition partial top-k (mapPartitions-free: groupBy(key, salt) →
+    topk → re-topk) — only needed when one key dominates a task.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def histogram_bins(df: DataFrame, col: str, bin_width: float) -> DataFrame:
+    """Engine-side histogram: bin index → count
+    (replaces the reference's driver-side pandas `hist`,
+    reference 01_merchcat_etl.py:123 — SURVEY.md §2.4 A5).
+    """
+    bin_col = F.floor(F.col(col) / F.lit(bin_width)).cast("long").alias("bin")
+    return (
+        df.select(bin_col)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bin")
+    )
+
+
+def percentiles(
+    df: DataFrame, col: str, quantiles: list[float], exact: bool = True
+) -> DataFrame:
+    """Global quantiles of one column
+    (reference utils/merchcat_utils.py:64-71 — SURVEY.md §2.4 A4).
+
+    exact=True uses `percentile` (full sort of distinct values — fine for
+    up-to-millions of rows or pre-aggregated inputs); exact=False uses
+    `percentile_approx` (mergeable sketch, the 100 TB default).
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    qs = ", ".join(str(q) for q in quantiles)
+    agg = F.expr(f"{fn}({col}, array({qs}))").alias("qs")
+    row = df.agg(agg)
+    cols = [
+        F.col("qs").getItem(i).alias(f"q_{str(q).replace('.', '')}")
+        for i, q in enumerate(quantiles)
+    ]
+    return row.select(*cols)

@@ -1,0 +1,131 @@
+"""Stratified sampling and deterministic class-percentile splitting.
+
+Unifies the reference's three sampler variants (SURVEY.md §2.8 SA1-SA3)
+behind one parameterized operator, and fixes two latent correctness hazards
+the survey calls out (§3.1, §4.3):
+
+  * every random source is SEEDED (`F.rand(seed)`) — the reference's
+    unseeded `F.rand()` makes its 90/10 split nondeterministic;
+  * the split PERSISTS the ranked frame before evaluating the two
+    complementary predicates — the reference re-evaluates one
+    nondeterministic lineage twice, so its train/test halves can in
+    principle overlap or drop rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from merchant_classification_spark.operators.relational import group_topk
+
+
+def class_counts_fractions(
+    df: DataFrame,
+    key: str,
+    sample_size: int,
+    min_count: int | None = None,
+    oversample_floor: int | None = None,
+    floor_bump: float = 0.05,
+) -> dict[str, float]:
+    """Per-class sampling fractions, computed engine-side then collected.
+
+    Mirrors the reference's deliberate driver-side dict
+    (reference 01_merchcat_etl.py:138-153, utils/fasttext_utils.py:46-55 —
+    SURVEY.md §4.2): the dict has one entry per class (~1e3), so collecting
+    it is cheap and `sampleBy` re-broadcasts it; this avoids a join against
+    the counts at any data scale.
+
+      * `min_count`      — classes with fewer rows are dropped (rate absent)
+        [SA1 policy, reference 01_merchcat_etl.py:148]
+      * `oversample_floor` — small classes get rate bumped to
+        floor/count + floor_bump  [SA2 policy, utils/fasttext_utils.py:47-53]
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
+    if min_count is not None:
+        counts = counts.where(F.col("count") >= min_count)
+    rate = F.lit(sample_size) / F.col("count")
+    rate = F.when(rate > 1.0, 1.0).otherwise(rate)
+    if oversample_floor is not None:
+        floor_rate = F.lit(oversample_floor) / F.col("count") + F.lit(floor_bump)
+        rate = F.when(
+            F.col("count") * rate < oversample_floor,
+            F.when(floor_rate > 1.0, 1.0).otherwise(floor_rate),
+        ).otherwise(rate)
+    rows = counts.withColumn("rate", rate).select(key, "rate").collect()
+    return {r[key]: float(r["rate"]) for r in rows}
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    sample_size: int,
+    min_count: int | None = None,
+    oversample_floor: int | None = None,
+    fixed: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-class sample with one of three policies (SURVEY.md §2.8):
+
+      * default — Bernoulli per-class rates targeting `sample_size`
+        rows/class, capped at 1.0; classes under `min_count` dropped [SA1]
+      * oversample_floor=n — small classes bumped so they keep ≥ n rows in
+        expectation [SA2]
+      * fixed=True — exactly ≤ `sample_size` rows per class via seeded
+        random order + row_number [SA3]
+
+    Scale: sampleBy is a map-only filter (no shuffle); the fixed policy
+    pays one window sort on `key`.
+    """
+    if fixed:
+        return group_topk(
+            df,
+            [key],
+            [F.rand(seed)],
+            sample_size,
+        )
+    fractions = class_counts_fractions(
+        df, key, sample_size, min_count=min_count, oversample_floor=oversample_floor
+    )
+    return df.sampleBy(key, fractions, seed=seed)
+
+
+def with_class_percentile(
+    df: DataFrame, key: str, seed: int = 42, percentile_col: str = "class_percentile"
+) -> DataFrame:
+    """Attach a per-class uniform percentile in [0,1]
+    (reference 01_merchcat_etl.py:176-180 — SURVEY.md §2.6 W1, §2.3 E14/E15):
+    percent_rank over a seeded random order within each class, rounded
+    half-even to 4dp.
+
+    Scale: one shuffle+sort on `key`. A skew-robust alternative that needs
+    NO window at all is `F.rand(seed)` directly as the percentile (uniform
+    iid ≈ percent_rank for large classes); keep the window form because the
+    reference's split semantics are exact-per-class-fraction.
+    """
+    w = Window.partitionBy(key).orderBy(F.rand(seed))
+    return df.withColumn(percentile_col, F.bround(F.percent_rank().over(w), 4))
+
+
+def class_percentile_split(
+    df: DataFrame,
+    key: str,
+    test_fraction: float = 0.1,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic per-class train/test split
+    (reference 01_merchcat_etl.py:176-201 — SURVEY.md §2.2 P4).
+
+    Returns (train, test): train = percentile < 1 - test_fraction,
+    test = the complement. The ranked frame is persisted so both halves are
+    carved from ONE materialization — train ∪ test == input and
+    train ∩ test == ∅ by construction.
+    """
+    ranked = with_class_percentile(df, key, seed=seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    threshold = 1.0 - test_fraction
+    train = ranked.where(F.col("class_percentile") < threshold)
+    test = ranked.where(F.col("class_percentile") >= threshold)
+    return train, test

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference delegates all physical planning to the Databricks runtime
+(SURVEY.md §4.1); our engine makes the good defaults explicit so the same
+code runs on `local[N]` for tests and on a 1000-executor cluster unchanged:
+
+  * AQE (adaptive query execution) — runtime shuffle-partition coalescing,
+    skew-join splitting, and dynamic broadcast-join demotion/promotion.
+    This is the primary 100 TB survival mechanism: static
+    `spark.sql.shuffle.partitions` can never be right for every stage.
+  * Arrow for all pandas interchange (pandas UDFs, toPandas).
+  * UTC session timezone — deterministic timestamp semantics everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "merchant_classification_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster master is configured; on a real cluster the caller
+    passes nothing and spark-submit's master wins.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # test corpus writes TIMESTAMP(NANOS) parquet, which Spark refuses
+        # by default; read as long and convert in the source shim
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,58 @@
+"""Parquet table sources for the engine's test corpus.
+
+The reference reads/writes Delta tables (reference 01_merchcat_etl.py:20-27,
+:105-111 — SURVEY.md §2.1 S1-S6); the engine treats the format as a config
+knob (parquet here, delta on a cluster with the delta jars) because every
+operator above the scan is format-agnostic DataFrame code. Filters and
+column projections written against these scans push down into the parquet
+reader automatically (check `.explain` → PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables a planner should always broadcast in a join.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one named table from an sf directory of parquet files.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark reads only as
+    a long (with ``spark.sql.legacy.parquet.nanosAsLong``); normalize it to
+    a microsecond timestamp here so every operator sees a real timestamp.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table as {name: DataFrame}."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` queries run on it."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
