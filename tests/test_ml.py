@@ -1,0 +1,100 @@
+"""ML pipeline tests: train on synthetic narratives, verify accuracy and
+in-engine evaluation metrics; full ETL → train → score round trip."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.ml.classifier import NarrativeClassifier
+from merchant_classification_spark.ml.evaluate import evaluate_per_class
+from merchant_classification_spark.pipelines.etl import etl_pipeline
+
+MERCHANTS = {
+    "starbucks": "starbucks coffee {n} london",
+    "amazon": "amzn mktp {n} lux",
+    "virgin media": "virgin media cd {n} deb",
+    "national trust": "national trust cd {n} deb",
+    "tesco": "tesco stores {n} gbp",
+}
+
+
+def synth_rows(n_per_class=80, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for merchant, tpl in MERCHANTS.items():
+        for _ in range(n_per_class):
+            rows.append((merchant, tpl.format(n=rng.randint(1000, 9999))))
+    rng.shuffle(rows)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    return spark.createDataFrame(
+        synth_rows(), ["tr_merchant", "tr_description_clean"]
+    )
+
+
+def test_train_and_score(labeled):
+    clf = NarrativeClassifier(ngram_max=2, num_features=1 << 14, max_iter=30)
+    model = clf.fit(labeled)
+    scored = model.transform(labeled)
+    assert "pr_merchant" in scored.columns
+    # internal feature columns must not leak
+    assert all(not c.startswith("_") for c in scored.columns)
+    acc = scored.where(F.col("pr_merchant") == F.col("tr_merchant")).count() / scored.count()
+    assert acc > 0.95, f"train accuracy too low: {acc}"
+
+
+def test_evaluate_per_class(labeled):
+    clf = NarrativeClassifier(ngram_max=2, num_features=1 << 14, max_iter=30)
+    model = clf.fit(labeled)
+    per_class, summary = evaluate_per_class(
+        model.transform(labeled), "tr_merchant", "pr_merchant"
+    )
+    assert set(per_class.columns) == {"tr_merchant", "predicted", "total", "accuracy"}
+    assert per_class.count() == len(MERCHANTS)
+    assert 0.9 < summary["avg_acc"] <= 1.0
+    assert summary["q_05"] <= summary["q_50"] <= summary["q_95"]
+
+
+def test_model_save_load(labeled, tmp_path):
+    from merchant_classification_spark.ml.classifier import NarrativeClassifierModel
+
+    clf = NarrativeClassifier(ngram_max=2, num_features=1 << 14, max_iter=10)
+    model = clf.fit(labeled)
+    path = str(tmp_path / "model")
+    model.save(path)
+    reloaded = NarrativeClassifierModel.load(path, clf)
+    a = model.transform(labeled).select("pr_merchant").collect()
+    b = reloaded.transform(labeled).select("pr_merchant").collect()
+    assert a == b
+
+
+def test_etl_to_model_roundtrip(spark):
+    """Reference pipeline end-to-end: raw noisy narratives → ETL →
+    train on the train split → evaluate on the test split."""
+    rng = random.Random(3)
+    rows = []
+    for merchant, tpl in MERCHANTS.items():
+        for _ in range(120):
+            desc = tpl.format(n=rng.randint(1000, 9999)) + " 14sep19 12.34 gbp"
+            rows.append((merchant, desc, float(rng.randint(1, 500))))
+    raw = spark.createDataFrame(rows, ["tr_merchant", "tr_description", "tr_amount"])
+    out = etl_pipeline(raw, sample_size=100, count_threshold=50, seed=7)
+    train, test = out["train"], out["test"]
+    # cleaning removed dates/prices before formatting
+    assert train.where(F.col("tr_description_clean").contains("14sep19")).count() == 0
+    assert train.where(F.col("fasttext").startswith("__label__")).count() == train.count()
+    # split is disjoint and roughly 90/10
+    ids_train = {r.tr_description for r in train.select("tr_description").collect()}
+    ids_test = {r.tr_description for r in test.select("tr_description").collect()}
+    total = train.count() + test.count()
+    assert 0.03 < test.count() / total < 0.25
+    clf = NarrativeClassifier(ngram_max=2, num_features=1 << 14, max_iter=30)
+    model = clf.fit(train)
+    _, summary = evaluate_per_class(
+        model.transform(test), "tr_merchant", "pr_merchant"
+    )
+    assert summary["avg_acc"] > 0.9

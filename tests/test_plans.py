@@ -1,0 +1,47 @@
+"""Physical-plan property tests: the engine's scale posture, checkable.
+
+These lock in the plan shapes that matter at 100 TB: filters reach the
+parquet scan, dim joins broadcast, the cleaner never leaves the JVM, and
+aggregations don't pay extra shuffles.
+"""
+
+import __spark_entry__ as entry
+from merchant_classification_spark.plans.explain import (
+    assert_no_python_eval,
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+)
+
+
+def test_filter_pushdown(spark, sf_dir):
+    df = entry.q_filter_project(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed
+    assert "o_totalprice" in pushed
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(entry.q_join_dim_chain(spark, sf_dir))
+
+
+def test_agg_join_auto_broadcasts(spark, sf_dir):
+    # counts ⋈ customer: Catalyst/AQE should pick broadcast for the dim
+    assert has_broadcast_join(entry.q_join_left_counts(spark, sf_dir))
+
+
+def test_cleaner_stays_jvm_side(spark, sf_dir):
+    assert_no_python_eval(entry.q_clean_narrative(spark, sf_dir))
+
+
+def test_group_agg_single_shuffle(spark, sf_dir):
+    # partial+final hash agg = exactly one exchange before the sort
+    df = entry.q_class_histogram(spark, sf_dir)
+    assert count_exchanges(df) <= 2  # agg shuffle + rangepartition for sort
+
+
+def test_text_ops_no_shuffle(spark, sf_dir):
+    # per-row text analysis must be a pure projection (no exchange at all
+    # beyond the final sort)
+    df = entry.q_quality_scores(spark, sf_dir)
+    assert count_exchanges(df) <= 1  # only the orderBy range partition

@@ -1,0 +1,84 @@
+"""Similarity-search tests: brute-force exactness vs numpy, LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    hyperplane_signature,
+    lsh_topk,
+)
+
+K = 5
+N_QUERIES = 8
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def numpy_topk(emb_rows, k):
+    ids = np.array([r.vec_id for r in emb_rows])
+    mat = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qi in range(N_QUERIES):
+        sims = mat @ mat[qi] / (norms * norms[qi])
+        order = sorted(
+            [(float(-s), int(i)) for s, i in zip(sims, ids) if i != qi]
+        )[:k]
+        out[qi] = [i for _, i in order]
+    return out
+
+
+def test_brute_force_matches_numpy(emb, queries):
+    rows = emb.collect()
+    expected = numpy_topk(rows, K)
+    got_rows = brute_force_topk(emb, queries, k=K).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    assert got == expected
+
+
+def test_lsh_recall_reasonable(emb, queries):
+    rows = emb.collect()
+    expected = numpy_topk(rows, K)
+    got_rows = lsh_topk(emb, queries, dim=64, k=K, bits=4, tables=8).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(got.get(q, set()) & set(v)) for q, v in expected.items())
+    recall = hits / (K * N_QUERIES)
+    assert recall > 0.5, f"LSH recall too low: {recall}"
+
+
+def test_signature_deterministic(emb):
+    a = emb.select(hyperplane_signature("embedding", 64, 12, seed=1).alias("s"))
+    b = emb.select(hyperplane_signature("embedding", 64, 12, seed=1).alias("s"))
+    assert [r.s for r in a.collect()] == [r.s for r in b.collect()]
+
+
+def test_embedding_neardup_self_detection(spark, emb):
+    """Duplicate a few vectors with tiny noise; the near-dup op must pair
+    each copy with its source."""
+    src = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    df = emb.unionByName(src)
+    pairs = embedding_neardup_pairs(df, dim=64, threshold=0.999, bits=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(3):
+        assert (i, i + 100000) in got

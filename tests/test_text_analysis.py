@@ -1,0 +1,59 @@
+"""Text-analysis function tests."""
+
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.functions.text_analysis import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    subword_count,
+    token_count,
+    tokens,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], ["t"]).select(expr.alias("v")).collect()[0].v
+
+
+def test_token_count(spark):
+    assert _one(spark, "Hello, World! 42", token_count("t")) == 3
+    assert _one(spark, "   ", token_count("t")) == 0
+    assert _one(spark, "", token_count("t")) == 0
+
+
+def test_tokens_keep_apostrophe(spark):
+    assert _one(spark, "don't stop", tokens("t")) == ["don't", "stop"]
+
+
+def test_subword_count(spark):
+    # "tokenization" → token|izat|ion = 3 pieces; "!" → 1
+    assert _one(spark, "tokenization!", subword_count("t")) == 4
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat sat on the mat and it is happy", lang_id("t")) == "en"
+    assert _one(spark, "el gato y la casa de un amigo", lang_id("t")) == "es"
+    assert _one(spark, "der hund und die katze ist da", lang_id("t")) == "de"
+    assert _one(spark, "zzz qqq xxx", lang_id("t")) == "und"
+    assert _one(spark, "", lang_id("t")) == "und"
+
+
+def test_quality_score_bounds(spark, tables):
+    scores = tables["documents"].select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in scores)
+
+
+def test_quality_prefers_clean_text(spark):
+    clean = _one(spark, "a sensible sentence with many reasonable words " * 3,
+                 quality_score("t"))
+    noisy = _one(spark, "@@!! ## 123 456 789 $$$ %% ^^", quality_score("t"))
+    assert clean > noisy
+
+
+def test_fingerprint_invariance(spark):
+    a = _one(spark, "alpha beta gamma", fingerprint("t"))
+    b = _one(spark, "gamma beta alpha alpha", fingerprint("t"))
+    c = _one(spark, "alpha beta delta", fingerprint("t"))
+    assert a == b
+    assert a != c

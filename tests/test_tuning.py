@@ -1,0 +1,53 @@
+"""Grid-search tuning + run tracking tests."""
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.ml.classifier import NarrativeClassifier
+from merchant_classification_spark.ml.tracking import RunTracker
+from merchant_classification_spark.ml.tuning import grid, tune_classifier
+
+
+def test_grid():
+    g = grid(ngram_max=[1, 2], reg_param=[0.0, 0.1])
+    assert len(g) == 4
+    assert {"ngram_max": 1, "reg_param": 0.0} in g
+
+
+@pytest.fixture(scope="module")
+def split_data(spark):
+    rng = random.Random(5)
+    tpl = {"amazon": "amzn mktp {n}", "tesco": "tesco stores {n}", "costa": "costa coffee {n}"}
+    rows = [
+        (m, t.format(n=rng.randint(100, 999)))
+        for m, t in tpl.items()
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["tr_merchant", "tr_description_clean"])
+    train, val = df.randomSplit([0.8, 0.2], seed=1)
+    return train, val
+
+
+def test_tune_classifier(split_data):
+    train, val = split_data
+    base = NarrativeClassifier(num_features=1 << 12, max_iter=10)
+    model, result = tune_classifier(
+        train, val, base, grid(ngram_max=[1, 2])
+    )
+    assert len(result.trials) == 2
+    assert result.best_accuracy >= max(t["accuracy"] for t in result.trials) - 1e-12
+    assert "pr_merchant" in model.transform(val).columns
+
+
+def test_run_tracker_local(tmp_path):
+    tracker = RunTracker("exp1", directory=str(tmp_path))
+    rid = tracker.log_run({"lr": 0.1}, {"acc": 0.97}, model_path="/tmp/m")
+    tracker.register("/tmp/m", "merchant_model")
+    runs = [json.loads(l) for l in open(tmp_path / "runs.jsonl")]
+    assert runs[0]["run_id"] == rid and runs[0]["metrics"]["acc"] == 0.97
+    reg = json.load(open(tmp_path / "registry_merchant_model.json"))
+    assert reg["path"] == "/tmp/m"
