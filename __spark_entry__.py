@@ -284,12 +284,19 @@ def q_lang_profile(spark, sf_dir):
         LANG_ORDER,
         lang_id,
         stopword_hits,
+        tokens,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    cols = [stopword_hits("text", lang).alias(f"{lang}_hits") for lang in LANG_ORDER]
+    # tokenize ONCE into a column, score every language against it — the
+    # naive per-language tokenize multiplies the regex cost ~9x
+    docs = _t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
+    toks = F.col("_toks")
+    cols = [
+        stopword_hits("text", lang, tokens_col=toks).alias(f"{lang}_hits")
+        for lang in LANG_ORDER
+    ]
     return docs.select(
-        "doc_id", *cols, lang_id("text").alias("pred_lang")
+        "doc_id", *cols, lang_id("text", tokens_col=toks).alias("pred_lang")
     ).orderBy("doc_id")
 
 
@@ -302,23 +309,63 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
-def q_ngram_jaccard_neardup(spark, sf_dir):
-    from merchant_classification_spark.operators.dedup import jaccard, shingles
+NGRAM_MAX_DF = 50  # shingles in more docs than this are vocabulary noise
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text", 3).alias("sh")
+
+def q_ngram_jaccard_neardup(spark, sf_dir):
+    # exact Jaccard ≥ 0.6 pairs; prefix filtering prunes candidates
+    # losslessly, so the naive any-shared-shingle oracle matches exactly.
+    # The df cap only drops pairs whose ONLY shared shingles are in >50
+    # docs — inert at these corpus sizes and mirrored in the oracle.
+    from merchant_classification_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.6,
+        shingle_size=3,
+        max_df=NGRAM_MAX_DF,
+        prefix_filter=True,
+    ).orderBy("id_a", "id_b")
+
+
+def q_etl_clean_format(spark, sf_dir):
+    # the reference's full ETL kernel (clean → fasttext format,
+    # 01_merchcat_etl.py:52-94) over narratives synthesized from orders.
+    # The synthesized text contains wordy dates/prices but no numeric
+    # dates, so the RE2-compatible oracle pattern is exactly equivalent.
+    from merchant_classification_spark.functions.cleaning import clean_narrative
+    from merchant_classification_spark.functions.fasttext_format import (
+        to_fasttext_line,
     )
-    inv = docs.select("doc_id", "sh", F.explode("sh").alias("shingle"))
-    l = inv.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "shingle")
-    r = inv.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "shingle")
+
+    orders = _t(spark, sf_dir, "orders")
+    narrative = F.concat(
+        F.col("o_orderpriority"),
+        F.lit(" *pay "),
+        (F.pmod(F.col("o_orderkey"), 900) + 100).cast("string"),
+        F.lit(" 14sep19 12.34 gbp (ref) a&b deb"),
+    )
+    df = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("tr_merchant"),
+        narrative.alias("tr_description"),
+    )
+    # staged projection for readability; codegen subexpression elimination
+    # already evaluates the shared cleaning chain once per row either way
     return (
-        l.join(r, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("jaccard_sim", jaccard("sh_a", "sh_b"))
-        .where(F.col("jaccard_sim") >= 0.6)
-        .select("id_a", "id_b", "jaccard_sim")
-        .orderBy("id_a", "id_b")
+        df.select(
+            "o_orderkey",
+            "tr_merchant",
+            clean_narrative("tr_description").alias("tr_description_clean"),
+        )
+        .select(
+            "o_orderkey",
+            "tr_description_clean",
+            to_fasttext_line("tr_merchant", "tr_description_clean").alias("fasttext"),
+        )
+        .orderBy("o_orderkey")
     )
 
 
@@ -484,6 +531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "json_extract": q_json_extract,
     "clean_narrative": q_clean_narrative,
+    "etl_clean_format": q_etl_clean_format,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "token_stats": q_token_stats,
@@ -644,8 +692,38 @@ def _sql_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
     return "0.0 + " + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1))
 
 
+def _sql_clean_chain(expr: str) -> str:
+    """DuckDB mirror of functions.cleaning.clean_narrative (trim=True),
+    using the RE2-compatible (backref-free) date pattern — equivalent on
+    text without numeric dates."""
+    from merchant_classification_spark.functions.cleaning import POST_DATE_STEPS
+    from merchant_classification_spark.functions.patterns import (
+        build_datetime_pattern,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    out = f"regexp_replace({expr}, '{q(build_datetime_pattern(False))}', ' ', 'g')"
+    for pattern, repl in POST_DATE_STEPS:
+        out = f"regexp_replace({out}, '{q(pattern)}', '{q(repl)}', 'g')"
+    return f"trim({out})"
+
+
+_SQL_NARRATIVE = (
+    "o_orderpriority || ' *pay ' || CAST(o_orderkey % 900 + 100 AS VARCHAR)"
+    " || ' 14sep19 12.34 gbp (ref) a&b deb'"
+)
+
 ORACLES.update(
     {
+        "etl_clean_format": f"""
+            SELECT o_orderkey,
+                   {_sql_clean_chain(_SQL_NARRATIVE)} AS tr_description_clean,
+                   '__label__' || regexp_replace(o_orderpriority, '\\s+', '-', 'g')
+                       || ' ' || {_sql_clean_chain(_SQL_NARRATIVE)} AS fasttext
+            FROM orders
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY text
@@ -706,7 +784,10 @@ ORACLES.update(
                            i -> array_to_string(toks[i:i+2], ' '))) AS s
                 FROM t
             ),
-            inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            keep AS (SELECT shingle FROM inv0 GROUP BY shingle
+                     HAVING count(*) <= {NGRAM_MAX_DF}),
+            inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (shingle)),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM inv a JOIN inv b USING (shingle)

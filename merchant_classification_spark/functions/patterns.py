@@ -99,15 +99,26 @@ _TIME = (
 )
 
 
-def build_datetime_pattern() -> str:
+def build_datetime_pattern(include_numeric: bool = True) -> str:
     """The combined date+time scrub pattern, portable Python/Java dialect.
 
     Structure: (time? wordy-date time?) | (time? numeric-date time?) | time.
     Matches are replaced with a single space by the cleaner.
+
+    ``include_numeric=False`` drops the numeric-date branch — the only one
+    using backrefs — yielding a pattern RE2-class engines (DuckDB, Go) can
+    also run. On text containing no numeric dates the two variants are
+    equivalent, which is how the oracle cross-checks the full kernel.
     """
     wordy = _wordy_date()
-    numeric = _numeric_date(groups_before=0)  # groups 1-4 live here
-    combined = rf"(?:(?:{_TIME}?{wordy}{_TIME}?)|(?:{_TIME}?{numeric}{_TIME}?))|(?:{_TIME})"
+    if include_numeric:
+        numeric = _numeric_date(groups_before=0)  # groups 1-4 live here
+        combined = (
+            rf"(?:(?:{_TIME}?{wordy}{_TIME}?)|(?:{_TIME}?{numeric}{_TIME}?))"
+            rf"|(?:{_TIME})"
+        )
+    else:
+        combined = rf"(?:(?:{_TIME}?{wordy}{_TIME}?))|(?:{_TIME})"
     return rf"(?i)(?:{combined})"
 
 

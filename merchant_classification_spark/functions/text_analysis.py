@@ -55,17 +55,26 @@ def subword_count(col: Column | str) -> Column:
     return F.regexp_count(_as_col(col), F.lit(r"\w{1,4}|[^\w\s]"))
 
 
-def stopword_hits(col: Column | str, lang: str) -> Column:
-    """Number of tokens that are stopwords of `lang` (int, with repeats)."""
+def stopword_hits(
+    col: Column | str, lang: str, tokens_col: Column | None = None
+) -> Column:
+    """Number of tokens that are stopwords of `lang` (int, with repeats).
+
+    Pass `tokens_col` (a pre-computed ``tokens(...)`` column) when scoring
+    several languages over one text — otherwise each call re-tokenizes,
+    multiplying the regex cost by the number of languages.
+    """
+    toks = tokens(col) if tokens_col is None else tokens_col
     stopset = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stopset, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(stopset, t)))
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, tokens_col: Column | None = None) -> Column:
     """Heuristic language ID: argmax stopword-hit rate over LANG_ORDER,
     'und' (undetermined) when no stopword of any language appears."""
-    n = token_count(col)
-    hits = {lang: stopword_hits(col, lang) for lang in LANG_ORDER}
+    toks = tokens(col) if tokens_col is None else tokens_col
+    n = F.size(toks)
+    hits = {lang: stopword_hits(col, lang, tokens_col=toks) for lang in LANG_ORDER}
     best = F.lit("und")
     best_hits = F.lit(0)
     # strict > with in-order iteration: the FIRST language in LANG_ORDER

@@ -66,27 +66,49 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
     Texts shorter than n tokens contribute their full token string as the
     single shingle so they can still be compared.
+
+    The token array is bound through a one-element-array lambda so it is
+    evaluated ONCE per row: naively referencing ``tokens(col)`` inside the
+    position lambda makes Catalyst inline the whole tokenizer expression
+    at every use site — O(positions) re-tokenizations, ~30x slower.
     """
-    toks = tokens(col)
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.array_distinct(grams)
+
+    def grams(t: Column) -> Column:
+        k = F.size(t) - (n - 1)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), grams), 1)
 
 
 def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column:
     """MinHash signature: array<long> of length `num_hashes`.
 
-    Hash family: xxhash64 seeded by the hash index (xxhash64(i, shingle)).
-    min over the shingle set per index approximates a random permutation's
-    first element — the classic Broder construction, all map-side.
+    Broder construction, two-level hashing: each shingle is string-hashed
+    ONCE (xxhash64 over the characters), then the k "permutations" re-hash
+    that 64-bit value with the permutation index as seed material
+    (xxhash64 over 16 fixed bytes) — k× cheaper than re-hashing strings
+    per permutation, overflow-free under ANSI mode, and every op stays in
+    whole-stage codegen. min per index approximates the permutation min.
     """
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(col, lambda s: F.xxhash64(i, s))),
+    # bind the string-hash array once (lambda var), else Catalyst inlines
+    # the whole string-hash transform into each of the k permutations
+    return F.element_at(
+        F.transform(
+            F.array(F.transform(col, lambda s: F.xxhash64(s))),
+            lambda hashes: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(hashes, lambda h: F.xxhash64(i, h))
+                ),
+            ),
+        ),
+        1,
     )
 
 
@@ -127,36 +149,43 @@ def minhash_candidate_pairs(
     pairs. Band hashes are uniform, so the shuffle has no skew; the
     explode factor is `bands`, constant.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_size).alias("sh")
-    ).withColumn("sig", minhash_signature("sh", num_hashes))
+    # persisted: the shingle+signature projection feeds three DAG branches
+    # (banding, verify side A, verify side B) — without a persist Spark
+    # recomputes the tokenizer+hash work per branch
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(text_col, shingle_size).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature("sh", num_hashes))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # candidate generation moves ONLY (doc_id, band, band_hash) through the
+    # shuffle — carrying the shingle arrays through the banded self-join
+    # multiplies shuffle bytes by `bands` and dominates the runtime; the
+    # arrays are re-joined once per surviving pair side instead
     banded = base.select(
         "doc_id",
-        "sh",
         F.posexplode(lsh_band_hashes("sig", bands, rows_per_band)).alias(
             "band", "band_hash"
         ),
     )
-    left = banded.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
-        "band",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
-        "band",
-        "band_hash",
-    )
-    pairs = (
+    left = banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    pair_ids = (
         left.join(right, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return pair_ids.join(sh_a, "id_a").join(sh_b, "id_b").select(
+        "id_a", "id_b", "sh_a", "sh_b"
+    )
 
 
 def minhash_dedup_pairs(
@@ -186,34 +215,79 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     shingle_size: int = 3,
+    max_df: int = 1000,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for ALL pairs sharing at least one
-    shingle (inverted-index join — no LSH approximation, for moderate
-    corpora or as ground truth for the MinHash path).
+    """EXACT n-gram Jaccard ≥ threshold pairs via inverted-index join with
+    PPJoin-style prefix filtering (Chaudhuri/Xiao et al.): each doc posts
+    only its ``|sh| - ceil(t*|sh|) + 1`` globally-rarest shingles. Any
+    pair with Jaccard ≥ t must share a prefix shingle (sorted-merge
+    argument over a global shingle order), so the pruning is LOSSLESS —
+    output is identical to the naive any-shared-shingle join, but the
+    candidate count drops by ~(1/(1-t))² on common-vocabulary corpora.
 
-    Scale: explodes shingles (inverted index) and joins on shingle; a
-    stopword-like shingle creates a hot key — cap posting-list length by
-    filtering the most frequent shingles (df > limit) like a search engine
-    drops stopwords.
+    `max_df` additionally drops stopword-phrases entirely (this one is
+    lossy for pairs whose ONLY shared shingles are ultra-frequent — the
+    search-engine tradeoff; set None to disable).
+
+    Scale: candidate generation and pair dedup shuffle (long, long) ids
+    only; the full shingle arrays are re-joined once per surviving pair
+    for the exact verify.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: feeds the inverted index, the df-frequency agg, the
+    # prefix ordering, and both verify sides
     base = df.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, shingle_size).alias("sh")
-    )
-    inv = base.select("doc_id", "sh", F.explode("sh").alias("shingle"))
-    # drop ultra-frequent shingles (posting lists > 1000) to bound the join
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    inv = base.select("doc_id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
-    inv = inv.join(F.broadcast(freq.where(F.col("df_count") <= 1000)), "shingle")
-    l = inv.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "shingle")
-    r = inv.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "shingle")
-    pairs = (
+    if max_df is not None:
+        freq = freq.where(F.col("df_count") <= max_df)
+    inv = inv.join(freq, "shingle")
+    if prefix_filter:
+        # global canonical order = (df, shingle); keep each doc's first
+        # floor((1-t)*|sh|)+1 shingles in that order
+        ordered = (
+            inv.groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("df_count", "shingle"))
+                ).alias("ordered")
+            )
+            .withColumn(
+                "prefix_len",
+                F.floor((1.0 - threshold) * F.size("ordered")).cast("int") + 1,
+            )
+        )
+        inv = ordered.select(
+            "doc_id",
+            F.explode(
+                F.slice(
+                    F.transform(F.col("ordered"), lambda x: x["shingle"]),
+                    F.lit(1),
+                    F.col("prefix_len"),
+                )
+            ).alias("shingle"),
+        )
+    l = inv.select(F.col("doc_id").alias("id_a"), "shingle")
+    r = inv.select(F.col("doc_id").alias("id_b"), "shingle")
+    pair_ids = (
         l.join(r, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pair_ids.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn("jaccard_sim", jaccard("sh_a", "sh_b"))
         .where(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -233,11 +307,18 @@ def simhash64(col: Column | str) -> Column:
     zero = F.array_repeat(F.lit(0).cast("long"), 64)
 
     def add_token(acc: Column, t: Column) -> Column:
-        h = F.xxhash64(t)
-        return F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda a, j: a + F.when(F.getbit(h, j) == 1, 1).otherwise(-1),
+        # bind the token hash once per token — referencing xxhash64(t)
+        # directly in the per-bit lambda would re-hash 64x per token
+        return F.element_at(
+            F.transform(
+                F.array(F.xxhash64(t)),
+                lambda h: F.zip_with(
+                    acc,
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda a, j: a + F.when(F.getbit(h, j) == 1, 1).otherwise(-1),
+                ),
+            ),
+            1,
         )
 
     counters = F.aggregate(toks, zero, add_token)
