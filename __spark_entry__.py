@@ -496,6 +496,29 @@ def q_class_percentile_split(spark, sf_dir):
     return train
 
 
+SESSION_GAP_S = 3600
+
+
+def q_sessionize_batch(spark, sf_dir):
+    # batch twin of the stateful streaming sessionizer: lag → gap flag →
+    # running-sum session id → per-session aggregate
+    from merchant_classification_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(
+        _t(spark, sf_dir, "events"), gap_seconds=SESSION_GAP_S
+    ).orderBy("user_id", "session_id")
+
+
+def q_ann_ivf(spark, sf_dir):
+    from merchant_classification_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, qs, k=ANN_K, n_centroids=16, n_probe=4)
+
+
 def q_ml_train_score(spark, sf_dir):
     # end-to-end MLlib pipeline: classify document language from text,
     # report per-class accuracy (reference M1/M2/M7 shape)
@@ -541,7 +564,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_neardup": q_embedding_neardup,
     "event_time_windows": q_event_time_windows,
+    "sessionize_batch": q_sessionize_batch,
     "multimodal_decode": q_multimodal_decode,
+    "ann_ivf": q_ann_ivf,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -836,6 +861,28 @@ ORACLES.update(
             SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
                    event_type, count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize_batch": f"""
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_S * 1_000_000}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(min(ts) AS TIMESTAMP) AS session_start,
+                   CAST(max(ts) AS TIMESTAMP) AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM numbered GROUP BY user_id, session_id
         """,
         "multimodal_decode": """
             SELECT doc_id AS media_id, sha256(text) AS sha256, true AS decode_ok

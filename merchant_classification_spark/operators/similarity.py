@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from merchant_classification_spark.functions.vectors import (
     cosine_similarity,
+    squared_euclidean,
     to_double_array,
 )
 from merchant_classification_spark.operators.relational import group_topk
@@ -152,6 +153,76 @@ def lsh_topk(
     )
     return group_topk(
         candidates,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("vec_id")],
+        k,
+        keep_rank=True,
+    )
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    seed: int = 42,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index: KMeans
+    coarse quantizer assigns every row to a centroid cell; each query
+    scores only the rows in its `n_probe` nearest cells.
+
+    The 100 TB shape: the quantizer trains on a sample (MLlib KMeans,
+    distributed), cell assignment is one map-side transform, and the probe
+    join shuffles on cell id — cells are size-balanced by KMeans, and
+    recall/cost is a dial (n_probe/n_centroids). Compared to SRP-LSH this
+    adapts to the data's actual cluster structure.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = data.select(
+        F.col(data_id).alias("vec_id"), to_double_array(data_vec).alias("dv")
+    ).withColumn("features", array_to_vector("dv"))
+    kmeans = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell")
+    model = kmeans.fit(d)
+    assigned = model.transform(d).select("vec_id", "dv", "cell")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = queries.sparkSession.createDataFrame(centroids, ["cell", "cv"])
+    q = queries.select(
+        F.col(query_id).alias("query_id"), to_double_array(query_vec).alias("qv")
+    )
+    # each query picks its n_probe nearest cells (tiny broadcast join)
+    probes = group_topk(
+        q.crossJoin(F.broadcast(cdf)).select(
+            "query_id",
+            "qv",
+            "cell",
+            squared_euclidean(F.col("qv"), F.col("cv")).alias("d2"),
+        ),
+        ["query_id"],
+        [F.col("d2").asc(), F.col("cell")],
+        n_probe,
+    ).select("query_id", "qv", "cell")
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine_sim"),
+        )
+    )
+    return group_topk(
+        scored,
         ["query_id"],
         [F.col("cosine_sim").desc(), F.col("vec_id")],
         k,
