@@ -242,6 +242,99 @@ def q_clean_narrative(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-classic shapes: the standard relational composites (pricing
+# summary, shipping-priority, local-supplier-volume) with integer-cents
+# money so aggregation is order-independent
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    charge_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    return (
+        li.withColumn("disc_cents", disc_cents)
+        .withColumn("charge_cents", charge_cents)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum("disc_cents").alias("sum_disc_cents"),
+            F.sum("charge_cents").alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q3_shipping(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.withColumn("rev_cents", rev_cents)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5_local_volume(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.withColumn("rev_cents", rev_cents)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(cust.c_nationkey == sup.s_nationkey)  # local supplier
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("n_name"))
+    )
+
+
+def q_distinct_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline queries (north-star surface): dedup, text analysis,
 # similarity search, multimodal plumbing, event-time windows
 # ---------------------------------------------------------------------------
@@ -555,6 +648,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "clean_narrative": q_clean_narrative,
     "etl_clean_format": q_etl_clean_format,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_local_volume": q_tpch_q5_local_volume,
+    "distinct_counts": q_distinct_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "token_stats": q_token_stats,
@@ -694,7 +791,7 @@ ORACLES: dict[str, str] = {
 
 # DuckDB mirror of functions.text_analysis.tokens(text)
 _SQL_CLEAN = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9'']+', ' ', 'g'),"
+    "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9'']+', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
 _SQL_TOKENS = (
@@ -742,6 +839,53 @@ _SQL_NARRATIVE = (
 
 ORACLES.update(
     {
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+                   count(*) AS count_order,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_shipping": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_cents DESC, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_local_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1994-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "distinct_counts": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "etl_clean_format": f"""
             SELECT o_orderkey,
                    {_sql_clean_chain(_SQL_NARRATIVE)} AS tr_description_clean,

@@ -33,9 +33,12 @@ def _as_col(col: Column | str) -> Column:
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the lowercased, punctuation-stripped text.
 
+    NULL-safe: null text behaves as empty text (empty array) so downstream
+    dedup/analysis operators never silently drop rows through explode.
     Empty/blank text yields an empty array (split('') would yield ['']).
     """
-    cleaned = F.trim(F.regexp_replace(F.lower(_as_col(col)), r"[^a-z0-9']+", " "))
+    safe = F.coalesce(_as_col(col).cast("string"), F.lit(""))
+    cleaned = F.trim(F.regexp_replace(F.lower(safe), r"[^a-z0-9']+", " "))
     return F.when(cleaned == "", F.array().cast("array<string>")).otherwise(
         F.split(cleaned, " ")
     )

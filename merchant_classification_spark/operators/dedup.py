@@ -152,15 +152,31 @@ def minhash_candidate_pairs(
     from pyspark.storagelevel import StorageLevel
 
     rows_per_band = num_hashes // bands
-    # persisted: the shingle+signature projection feeds three DAG branches
-    # (banding, verify side A, verify side B) — without a persist Spark
-    # recomputes the tokenizer+hash work per branch
+    # shingles are immediately hashed to longs: all downstream work
+    # (signatures, verify-Jaccard) runs on 8-byte values instead of
+    # strings — cheaper to hash, shuffle, and intersect. Collisions of
+    # distinct shingles (~1e-11 at corpus scale) are the accepted epsilon.
+    # persisted: the projection feeds three DAG branches (banding, verify
+    # side A, verify side B) — without a persist Spark recomputes the
+    # tokenizer+hash work per branch
     base = (
         df.select(
             F.col(id_col).alias("doc_id"),
             shingles(text_col, shingle_size).alias("sh"),
         )
-        .withColumn("sig", minhash_signature("sh", num_hashes))
+        .select(
+            "doc_id",
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
+        )
+        .withColumn(
+            "sig",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(F.col("shh"), lambda h: F.xxhash64(i, h))
+                ),
+            ),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # candidate generation moves ONLY (doc_id, band, band_hash) through the
@@ -181,8 +197,8 @@ def minhash_candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("sh_b"))
     return pair_ids.join(sh_a, "id_a").join(sh_b, "id_b").select(
         "id_a", "id_b", "sh_a", "sh_b"
     )
@@ -236,12 +252,18 @@ def ngram_jaccard_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
+    # shingles hashed to longs up front (see minhash_candidate_pairs);
     # persisted: feeds the inverted index, the df-frequency agg, the
     # prefix ordering, and both verify sides
-    base = df.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_size).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    inv = base.select("doc_id", F.explode("sh").alias("shingle"))
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(text_col, shingle_size).alias("sh"),
+        )
+        .select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    inv = base.select("doc_id", F.explode("shh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
     if max_df is not None:
         freq = freq.where(F.col("df_count") <= max_df)
@@ -279,8 +301,8 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("sh_b"))
     return (
         pair_ids.join(sh_a, "id_a")
         .join(sh_b, "id_b")

@@ -13,13 +13,15 @@ from merchant_classification_spark.functions.text_analysis import (
 
 
 def _one(spark, text, expr):
-    return spark.createDataFrame([(text,)], ["t"]).select(expr.alias("v")).collect()[0].v
+    df = spark.createDataFrame([(text,)], "t: string")
+    return df.select(expr.alias("v")).collect()[0].v
 
 
 def test_token_count(spark):
     assert _one(spark, "Hello, World! 42", token_count("t")) == 3
     assert _one(spark, "   ", token_count("t")) == 0
     assert _one(spark, "", token_count("t")) == 0
+    assert _one(spark, None, token_count("t")) == 0  # null-safe
 
 
 def test_tokens_keep_apostrophe(spark):
