@@ -45,12 +45,32 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (each is a full data
-    re-partitioning — the dominant cost at scale)."""
+    re-partitioning — the dominant cost at scale). Matches both the
+    compact form (`Exchange hashpartitioning(...)`) and the formatted
+    node-list form (`(n) Exchange` + an Arguments partitioning line);
+    broadcast and reused exchanges are excluded.
+    """
     plan = explain_str(df)
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    compact = len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+    formatted = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    return max(compact, formatted)
+
+
+# Node names that mean a Python worker is in the execution path.
+_PYTHON_NODES = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas", "InPandas")
+
+
+def has_python_stage(df: DataFrame) -> bool:
+    plan = explain_str(df)
+    return any(node in plan for node in _PYTHON_NODES)
 
 
 def assert_no_python_eval(df: DataFrame) -> None:
-    plan = explain_str(df)
-    if "EvalPython" in plan:
-        raise AssertionError("plan contains a Python worker stage:\n" + plan)
+    if has_python_stage(df):
+        raise AssertionError(
+            "plan contains a Python worker stage:\n" + explain_str(df)
+        )
