@@ -77,6 +77,39 @@ def group_topk(
     return out if keep_rank else out.drop(rank_col)
 
 
+def group_topk_salted(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-robust per-group top-k: two-phase window.
+
+    Phase 1 splits each group into `salt_buckets` random sub-groups and
+    takes a partial top-k per (group, salt) — a dominant key's sort work
+    spreads over `salt_buckets` tasks instead of one straggler. Phase 2
+    re-ranks the ≤ k*salt_buckets survivors per group (tiny). Equivalent
+    output to ``group_topk`` whenever `order_cols` is a total order:
+    the true global top-k of a group always survives its salt bucket's
+    partial top-k.
+
+    Use when one key holds a large share of rows (the Amazon-vs-corner-
+    shop skew the reference calls out); plain ``group_topk`` is cheaper
+    on balanced keys.
+    """
+    salt = (F.rand(seed) * salt_buckets).cast("int").alias("_salt")
+    salted = df.withColumn("_salt", salt)
+    w1 = Window.partitionBy(*partition_cols, "_salt").orderBy(*order_cols)
+    partial = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    return group_topk(partial, partition_cols, order_cols, k)
+
+
 def histogram_bins(df: DataFrame, col: str, bin_width: float) -> DataFrame:
     """Engine-side histogram: bin index → count
     (replaces the reference's driver-side pandas `hist`,

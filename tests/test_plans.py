@@ -40,6 +40,25 @@ def test_group_agg_single_shuffle(spark, sf_dir):
     assert count_exchanges(df) <= 2  # agg shuffle + rangepartition for sort
 
 
+def test_salted_topk_equals_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.operators.relational import (
+        group_topk,
+        group_topk_salted,
+    )
+    from merchant_classification_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    plain = group_topk(li, ["l_returnflag"], order, 7)
+    salted = group_topk_salted(li, ["l_returnflag"], order, 7, salt_buckets=8)
+    cols = ["l_returnflag", "l_orderkey", "l_linenumber"]
+    assert sorted(map(tuple, plain.select(cols).collect())) == sorted(
+        map(tuple, salted.select(cols).collect())
+    )
+
+
 def test_text_ops_no_shuffle(spark, sf_dir):
     # per-row text analysis must be a pure projection (no exchange at all
     # beyond the final sort)

@@ -62,6 +62,30 @@ def test_enrich_stream(spark, stream_dir):
     assert out.where(F.col("tr_description_clean").contains("14sep19")).count() == 0
 
 
+def test_enrich_stream_with_model(spark, stream_dir):
+    """The SAME fitted MLlib model scores a stream — the capability the
+    reference only gestures at (02_merchcat_ml.py:518)."""
+    from merchant_classification_spark.ml.classifier import NarrativeClassifier
+
+    train = spark.createDataFrame(
+        [("amazon", f"amzn mktp {i} deb") for i in range(40)]
+        + [("tesco", f"tesco stores {i} gbp") for i in range(40)],
+        ["tr_merchant", "tr_description_clean"],
+    )
+    model = NarrativeClassifier(ngram_max=1, num_features=1 << 12, max_iter=10).fit(
+        train
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir).drop("pr_merchant")
+    name = f"scored_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(enrich_stream(stream, model=model), name)
+    out = spark.sql(f"SELECT * FROM {name}")
+    assert out.count() == 120
+    # every 'amzn mktp ...' narrative scores as amazon
+    assert (
+        out.where(F.col("pr_merchant") == "amazon").count() == 120
+    )  # all rows are amzn-style narratives
+
+
 def test_windowed_accuracy(spark, stream_dir):
     # aggregation emits in append mode only once the watermark passes the
     # window end — a one-batch test would see nothing; complete mode shows
