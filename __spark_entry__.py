@@ -321,6 +321,61 @@ def q_tpch_q5_local_volume(spark, sf_dir):
     )
 
 
+def q_sql_api(spark, sf_dir):
+    # the SQL entry point: same Catalyst plan as the DataFrame API —
+    # register the scans as views and express the query as text
+    from merchant_classification_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    # beyond-reference: hierarchical subtotals via ROLLUP
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.withColumn("price_cents", cents)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("price_cents").alias("sum_cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_pivot_counts(spark, sf_dir):
+    # beyond-reference: pivot linestatus into columns per return flag
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            # pivot yields NULL for absent combinations; the oracle's
+            # FILTER counts yield 0 — normalize
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_distinct_counts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -652,6 +707,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q5_local_volume": q_tpch_q5_local_volume,
     "distinct_counts": q_distinct_counts,
+    "sql_api": q_sql_api,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_counts": q_pivot_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "token_stats": q_token_stats,
@@ -884,6 +942,27 @@ ORACLES.update(
                    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
                    count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "sql_api": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            GROUP BY o_orderstatus
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   count(*) AS cnt
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_counts": """
+            SELECT l_returnflag,
+                   CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_open,
+                   CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_filled
             FROM lineitem GROUP BY l_returnflag
         """,
         "etl_clean_format": f"""
