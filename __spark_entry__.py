@@ -667,6 +667,25 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, qs, k=ANN_K, n_centroids=16, n_probe=4)
 
 
+def q_approx_sketches(spark, sf_dir):
+    # sketch-based aggregates: the 100 TB substitutes for exact distinct/
+    # percentile — mergeable, bounded-memory (HLL++ / KLL-style). Approx
+    # answers can't hash-match an exact oracle, so this is rows-only; the
+    # exact twins (distinct_counts, percentiles_quantity) are the gate.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
+            ).alias("price_quantiles"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_ml_train_score(spark, sf_dir):
     # end-to-end MLlib pipeline: classify document language from text,
     # report per-class accuracy (reference M1/M2/M7 shape)
@@ -728,6 +747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "stratified_sample": q_stratified_sample,
     "class_percentile_split": q_class_percentile_split,
+    "approx_sketches": q_approx_sketches,
     "ml_train_score": q_ml_train_score,
 }
 

@@ -1,10 +1,17 @@
+from merchant_classification_spark.sources.partitioned import (
+    read_partitioned,
+    write_partitioned,
+)
 from merchant_classification_spark.sources.tables import TABLE_NAMES, load_table, load_tables, register_views
-from merchant_classification_spark.sources.text import write_single_text_file
+from merchant_classification_spark.sources.text import read_text, write_single_text_file
 
 __all__ = [
     "TABLE_NAMES",
     "load_table",
     "load_tables",
+    "read_partitioned",
+    "read_text",
     "register_views",
+    "write_partitioned",
     "write_single_text_file",
 ]
