@@ -321,6 +321,41 @@ def q_tpch_q5_local_volume(spark, sf_dir):
     )
 
 
+def q_semi_anti_join(spark, sf_dir):
+    # left-semi (EXISTS) and left-anti (NOT EXISTS) in one tagged result
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000.0)
+    on = cust.c_custkey == big_orders.o_custkey
+    with_big = cust.join(big_orders, on, "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("tag")
+    )
+    without_big = cust.join(big_orders, on, "left_anti").select(
+        "c_custkey", F.lit("no_big_order").alias("tag")
+    )
+    return with_big.unionByName(without_big).orderBy("tag", "c_custkey")
+
+
+def q_running_totals(spark, sf_dir):
+    # cumulative + lag/lead/first window frames over order history
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.withColumn("price_cents", cents)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("price_cents").over(running).alias("cum_cents"),
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.first("o_orderkey").over(running).alias("first_orderkey"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
 def q_sql_api(spark, sf_dir):
     # the SQL entry point: same Catalyst plan as the DataFrame API —
     # register the scans as views and express the query as text
@@ -729,6 +764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_api": q_sql_api,
     "rollup_revenue": q_rollup_revenue,
     "pivot_counts": q_pivot_counts,
+    "semi_anti_join": q_semi_anti_join,
+    "running_totals": q_running_totals,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "token_stats": q_token_stats,
@@ -984,6 +1021,29 @@ ORACLES.update(
                    CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_open,
                    CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_filled
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey, 'has_big_order' AS tag FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+            UNION ALL
+            SELECT c_custkey, 'no_big_order' AS tag FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+        """,
+        "running_totals": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+                   lag(o_orderkey) OVER w AS prev_orderkey,
+                   lead(o_orderkey) OVER w AS next_orderkey,
+                   first_value(o_orderkey)
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS first_orderkey,
+                   CAST(row_number() OVER w AS INTEGER) AS order_seq
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "etl_clean_format": f"""
             SELECT o_orderkey,
