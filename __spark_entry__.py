@@ -288,7 +288,11 @@ def q_tpch_q3_shipping(spark, sf_dir):
         li.withColumn("rev_cents", rev_cents)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg(F.sum("rev_cents").alias("revenue_cents"))
         .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -702,6 +706,24 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, qs, k=ANN_K, n_centroids=16, n_probe=4)
 
 
+def q_grouped_linear_fit(spark, sf_dir):
+    # grouped-map applyInPandas: per-event-type OLS fit of value~user_id
+    # (per-group numerical fitting — the legitimate Python escape hatch;
+    # cross-checked against DuckDB regr_* in pytest with fp tolerance, so
+    # rows-only here where the gate demands bit-exactness)
+    from merchant_classification_spark.operators.grouped_apply import (
+        grouped_linear_fit,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_linear_fit(
+        ev.withColumn("x", F.col("user_id").cast("double")),
+        "event_type",
+        "x",
+        "value",
+    ).orderBy("group")
+
+
 def q_approx_sketches(spark, sf_dir):
     # sketch-based aggregates: the 100 TB substitutes for exact distinct/
     # percentile — mergeable, bounded-memory (HLL++ / KLL-style). Approx
@@ -785,6 +807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "class_percentile_split": q_class_percentile_split,
     "approx_sketches": q_approx_sketches,
+    "grouped_linear_fit": q_grouped_linear_fit,
     "ml_train_score": q_ml_train_score,
 }
 
@@ -967,7 +990,7 @@ ORACLES.update(
             GROUP BY l_returnflag, l_linestatus
         """,
         "tpch_q3_shipping": """
-            SELECT l_orderkey, o_orderdate, o_orderpriority,
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
                    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

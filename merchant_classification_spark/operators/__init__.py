@@ -11,6 +11,7 @@ from merchant_classification_spark.operators.dedup import (
     simhash64,
     simhash_dedup_pairs,
 )
+from merchant_classification_spark.operators.grouped_apply import grouped_linear_fit
 from merchant_classification_spark.operators.multimodal import (
     decode_image_meta,
     sample_frames,
@@ -46,6 +47,7 @@ __all__ = [
     "exact_dedup",
     "fingerprint_dedup",
     "group_topk",
+    "grouped_linear_fit",
     "histogram_bins",
     "hyperplane_signature",
     "ivf_topk",
