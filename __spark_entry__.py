@@ -739,6 +739,14 @@ def q_approx_sketches(spark, sf_dir):
             ).alias("price_quantiles"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+        # scalar columns only: driver canonicalizer can't sort/hash arrays
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.col("price_quantiles")[0].alias("q50_price"),
+            F.col("price_quantiles")[1].alias("q95_price"),
+            "n_rows",
+        )
         .orderBy("l_returnflag")
     )
 

@@ -59,18 +59,21 @@ def _decode_one(content: bytes | None):
     if content is None:
         return None, None, None, None, False
     sha = hashlib.sha256(content).hexdigest()
-    try:  # real decoder when available
+    try:
         import io
 
         from PIL import Image  # noqa: F401
-
+    except ImportError:
+        # No codec in this environment → clearly-marked deterministic FAKE.
+        w, h, ch = _fake_image_meta(content)
+        return w, h, ch, sha, True
+    try:  # real decoder available: genuinely corrupt bytes must surface
         img = Image.open(io.BytesIO(content))
         w, h = img.size
         ch = len(img.getbands())
         return w, h, ch, sha, True
     except Exception:
-        w, h, ch = _fake_image_meta(content)
-        return w, h, ch, sha, True
+        return None, None, None, sha, False
 
 
 def decode_image_meta(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:

@@ -171,13 +171,16 @@ def ivf_topk(
     data_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index: KMeans
     coarse quantizer assigns every row to a centroid cell; each query
     scores only the rows in its `n_probe` nearest cells.
 
-    The 100 TB shape: the quantizer trains on a sample (MLlib KMeans,
-    distributed), cell assignment is one map-side transform, and the probe
+    The 100 TB shape: the quantizer trains on a bounded SAMPLE (~
+    ``fit_sample_rows`` rows — a few hundred per centroid is plenty for a
+    coarse quantizer; the iterative KMeans job must not scan 100 TB), cell
+    assignment is one map-side transform over the full data, and the probe
     join shuffles on cell id — cells are size-balanced by KMeans, and
     recall/cost is a dial (n_probe/n_centroids). Compared to SRP-LSH this
     adapts to the data's actual cluster structure.
@@ -188,8 +191,16 @@ def ivf_topk(
     d = data.select(
         F.col(data_id).alias("vec_id"), to_double_array(data_vec).alias("dv")
     ).withColumn("features", array_to_vector("dv"))
+    # Bound the quantizer's training set: one cheap count (parquet row-group
+    # stats), then a seeded uniform sample. Assignment below still scans
+    # every row exactly once, which is the correct full-data pass.
+    n_rows = data.count()
+    target = max(fit_sample_rows, 50 * n_centroids)
+    fit_df = d if n_rows <= target else d.sample(
+        fraction=min(1.0, 1.05 * target / n_rows), seed=seed
+    )
     kmeans = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell")
-    model = kmeans.fit(d)
+    model = kmeans.fit(fit_df)
     assigned = model.transform(d).select("vec_id", "dv", "cell")
 
     centroids = [

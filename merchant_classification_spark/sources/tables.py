@@ -32,14 +32,30 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, format: str = "parquet"
+) -> DataFrame:
     """Load one named table from an sf directory of parquet files.
 
     ``events.ts`` is written as TIMESTAMP(NANOS), which Spark reads only as
     a long (with ``spark.sql.legacy.parquet.nanosAsLong``); normalize it to
     a microsecond timestamp here so every operator sees a real timestamp.
+
+    Works on ANY SparkSession — the nanos conf is runtime-settable, so we
+    set it here rather than relying on the caller's session builder. The
+    ``format`` knob mirrors the reference's Delta reads (reference
+    01_merchcat_etl.py:20-27): ``"delta"`` passes straight through to
+    ``spark.read.format("delta")`` on a cluster with the delta jars.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # Runtime-settable; required to read TIMESTAMP(NANOS) parquet on a
+        # vanilla session (without it: PARQUET_TYPE_ILLEGAL).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if format == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        df = spark.read.format(format).load(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integral `div`, NOT `/`: float division of epoch-nanos exceeds
         # double precision (2^53) and lands ±1 µs off

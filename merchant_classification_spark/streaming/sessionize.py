@@ -26,7 +26,7 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("session_start", T.TimestampType(), False),
         T.StructField("session_end", T.TimestampType(), False),
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("sum_value", T.DoubleType(), False),
+        T.StructField("sum_value_cents", T.LongType(), False),
     ]
 )
 
@@ -35,11 +35,19 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("start_us", T.LongType(), False),
         T.StructField("last_us", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("sum_value", T.DoubleType(), False),
+        T.StructField("sum_cents", T.LongType(), False),
     ]
 )
 
 _US = 1_000_000
+
+
+def _to_cents(v: float) -> int:
+    """HALF_UP cents for non-negative money, matching Spark's
+    ``F.round(value * 100)`` in ``sessionize_batch`` bit-for-bit."""
+    import math
+
+    return int(math.floor(v * 100.0 + 0.5))
 
 
 def _session_fn(gap_seconds: int):
@@ -60,7 +68,7 @@ def _session_fn(gap_seconds: int):
                     "session_start": [pd.Timestamp(start_us, unit="us")],
                     "session_end": [pd.Timestamp(last_us, unit="us")],
                     "n_events": [n],
-                    "sum_value": [sv],
+                    "sum_value_cents": [sv],
                 }
             )
             return
@@ -74,19 +82,19 @@ def _session_fn(gap_seconds: int):
             start_us, last_us, n, sv = state.get
         else:  # values unused until the first event sets them (n == 0)
             start_us = last_us = int(ts_us.iloc[0])
-            n, sv = 0, 0.0
+            n, sv = 0, 0
 
         closed = []
         for t_us, v in zip(ts_us, values):
             t_us = int(t_us)
             if n > 0 and t_us - last_us > gap_us:
                 closed.append((start_us, last_us, n, sv))
-                start_us, n, sv = t_us, 0, 0.0
+                start_us, n, sv = t_us, 0, 0
             if n == 0:
                 start_us = t_us
             last_us = t_us
             n += 1
-            sv += float(v)
+            sv += _to_cents(float(v))
 
         state.update((start_us, last_us, n, sv))
         # close the open session if no event arrives within the gap
@@ -98,7 +106,7 @@ def _session_fn(gap_seconds: int):
                     "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
                     "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in closed],
                     "n_events": [n_ev for _, _, n_ev, _ in closed],
-                    "sum_value": [v for _, _, _, v in closed],
+                    "sum_value_cents": [v for _, _, _, v in closed],
                 }
             )
 
@@ -155,7 +163,9 @@ def sessionize_stream(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """events stream → closed sessions (user_id, session_start,
-    session_end, n_events, sum_value).
+    session_end, n_events, sum_value_cents) — the SAME schema, types, and
+    units as ``sessionize_batch``, so batch backfill and live stream are
+    interchangeable (values summed as exact integer cents in both).
 
     A session closes when `gap_seconds` pass with no event for the user —
     emitted either when a later event proves the gap, or by event-time

@@ -62,10 +62,10 @@ def test_sessionize(spark, session_src):
     q.stop()
     rows = spark.sql(f"SELECT * FROM {name} ORDER BY user_id, session_start").collect()
     got = [
-        (r.user_id, r.session_start.minute, r.session_end.minute, r.n_events, r.sum_value)
+        (r.user_id, r.session_start.minute, r.session_end.minute, r.n_events, r.sum_value_cents)
         for r in rows
         if r.user_id != 3
     ]
-    assert (1, 0, 10, 3, 6.0) in got  # first session of user 1
-    assert (1, 50, 55, 2, 9.0) in got  # second session after the gap
-    assert (2, 0, 20, 2, 20.0) in got
+    assert (1, 0, 10, 3, 600) in got  # first session of user 1
+    assert (1, 50, 55, 2, 900) in got  # second session after the gap
+    assert (2, 0, 20, 2, 2000) in got

@@ -5,7 +5,32 @@ import os
 
 from pyspark.sql import functions as F
 
+from merchant_classification_spark.sources.tables import TABLE_NAMES, load_table
 from merchant_classification_spark.sources.text import read_text, write_single_text_file
+
+
+def test_load_every_table_on_vanilla_session(spark, sf_dir):
+    """load_table must work on a session that did NOT come from
+    build_session — the external correctness gate builds a conf-less
+    SparkSession, so the nanos-parquet conf has to be set inside
+    load_table itself (round-1 regression: PARQUET_TYPE_ILLEGAL on
+    events.parquet)."""
+    vanilla = spark.newSession()
+    # simulate a session whose builder never set the legacy-nanos conf
+    vanilla.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    for name in TABLE_NAMES:
+        df = load_table(vanilla, sf_dir, name)
+        assert df.limit(1).count() >= 0
+    ev = load_table(vanilla, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_format_knob_parquet(spark, sf_dir):
+    """The format= knob (reference reads Delta; parquet here) routes
+    through spark.read.format(...).load for non-default formats."""
+    a = load_table(spark, sf_dir, "nation")
+    b = load_table(spark, sf_dir, "nation", format="parquet")
+    assert a.count() == b.count() == 25
 
 
 def test_write_single_text_file_roundtrip(spark, tmp_path):

@@ -19,7 +19,6 @@ import duckdb
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from merchant_classification_spark.session import build_session  # noqa: E402
 from merchant_classification_spark.sources import TABLE_NAMES  # noqa: E402
 
 
@@ -46,7 +45,19 @@ def frame_to_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = build_session(app_name="oracle-check")
+    # Deliberately VANILLA (mirrors the external gate, which does not run
+    # build_session) — any query that silently depends on our session confs
+    # must fail here, not in the gate. Round-1 lesson.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("oracle-check")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
