@@ -11,6 +11,8 @@ same objective; we gate it behind an import so the engine has no hard dep.
 
 from __future__ import annotations
 
+import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -81,3 +83,152 @@ def tune_classifier(
         val.unpersist()
     assert best_model is not None, "param_grid must be non-empty"
     return best_model, best
+
+
+def tune_classifier_parallel(
+    train: DataFrame,
+    validation: DataFrame,
+    base: NarrativeClassifier,
+    param_grid: list[dict],
+    parallelism: int = 4,
+) -> tuple[NarrativeClassifierModel, TuningResult]:
+    """Concurrent trials: each trial is an independent distributed fit
+    driven from its own driver thread, so up to ``parallelism`` Spark jobs
+    run at once — the cluster shape of the reference's hyperopt
+    SparkTrials(parallelism=20) (reference 02_merchcat_ml.py:305-323)
+    without the external dependency.
+
+    Spark job scheduling is thread-safe (CrossValidator uses the same
+    pattern); set ``spark.scheduler.mode=FAIR`` on a shared cluster so
+    concurrent trials split executors instead of queueing FIFO. The
+    winner is chosen by (accuracy, grid order) — identical to the serial
+    ``tune_classifier`` regardless of completion order. Each trial entry
+    records wall-clock start/end so overlap is observable.
+    """
+    spark = train.sparkSession
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "tuning")
+    val = validation.persist()
+    val.count()  # materialize once before the threads race to use it
+
+    def run_trial(idx_params: tuple[int, dict]) -> dict:
+        idx, params = idx_params
+        t0 = time.monotonic()
+        spec = NarrativeClassifier(**{**base.__dict__, **params})
+        model = spec.fit(train)
+        acc_row = (
+            model.transform(val)
+            .agg(
+                F.avg(
+                    F.when(
+                        F.col(spec.prediction_col) == F.col(spec.label_col), 1.0
+                    ).otherwise(0.0)
+                ).alias("acc")
+            )
+            .collect()[0]
+        )
+        acc = float(acc_row["acc"]) if acc_row["acc"] is not None else 0.0
+        return {
+            "idx": idx,
+            "params": params,
+            "accuracy": acc,
+            "model": model,
+            "started_at": t0,
+            "ended_at": time.monotonic(),
+        }
+
+    try:
+        with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+            results = list(pool.map(run_trial, enumerate(param_grid)))
+    finally:
+        val.unpersist()
+    assert results, "param_grid must be non-empty"
+    results.sort(key=lambda r: r["idx"])  # deterministic tie-break order
+    winner = max(results, key=lambda r: (r["accuracy"], -r["idx"]))
+    trials = [
+        {
+            "params": r["params"],
+            "accuracy": r["accuracy"],
+            "started_at": r["started_at"],
+            "ended_at": r["ended_at"],
+        }
+        for r in results
+    ]
+    return winner["model"], TuningResult(
+        best_params=winner["params"],
+        best_accuracy=winner["accuracy"],
+        trials=trials,
+    )
+
+
+def tune_classifier_tpe(
+    train: DataFrame,
+    validation: DataFrame,
+    base: NarrativeClassifier,
+    space: dict,
+    max_evals: int = 25,
+    seed: int = 42,
+) -> tuple[NarrativeClassifierModel, TuningResult]:
+    """Adaptive (TPE) search via hyperopt when installed — the reference's
+    exact algorithm (02_merchcat_ml.py:392-419: hp.quniform/loguniform
+    space, tpe.suggest, 25→90 evals). Optional dependency: raises
+    ImportError with a clear message if hyperopt is absent; the grid and
+    parallel-grid paths above have no external deps.
+
+    ``space`` maps param name → hyperopt expression (e.g.
+    ``{"num_features": hp.choice(...), "max_iter": hp.quniform(...)}``).
+    """
+    try:
+        import numpy as np
+        from hyperopt import Trials, fmin, tpe
+    except ImportError as e:  # pragma: no cover - exercised when installed
+        raise ImportError(
+            "tune_classifier_tpe requires hyperopt; use tune_classifier / "
+            "tune_classifier_parallel for the dependency-free grid paths"
+        ) from e
+
+    val = validation.persist()
+    trials_log: list[dict] = []
+    best_state: dict = {"acc": -1.0, "model": None, "params": None}
+
+    def objective(params: dict) -> float:
+        clean = {
+            k: int(v) if isinstance(v, float) and float(v).is_integer() else v
+            for k, v in params.items()
+        }
+        spec = NarrativeClassifier(**{**base.__dict__, **clean})
+        model = spec.fit(train)
+        acc_row = (
+            model.transform(val)
+            .agg(
+                F.avg(
+                    F.when(
+                        F.col(spec.prediction_col) == F.col(spec.label_col), 1.0
+                    ).otherwise(0.0)
+                ).alias("acc")
+            )
+            .collect()[0]
+        )
+        acc = float(acc_row["acc"]) if acc_row["acc"] is not None else 0.0
+        trials_log.append({"params": clean, "accuracy": acc})
+        if acc > best_state["acc"]:
+            best_state.update(acc=acc, model=model, params=clean)
+        return -acc  # hyperopt minimizes
+
+    try:
+        fmin(
+            fn=objective,
+            space=space,
+            algo=tpe.suggest,
+            max_evals=max_evals,
+            trials=Trials(),
+            rstate=np.random.default_rng(seed),
+            show_progressbar=False,
+        )
+    finally:
+        val.unpersist()
+    assert best_state["model"] is not None
+    return best_state["model"], TuningResult(
+        best_params=best_state["params"],
+        best_accuracy=best_state["acc"],
+        trials=trials_log,
+    )

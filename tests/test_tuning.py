@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 
 from merchant_classification_spark.ml.classifier import NarrativeClassifier
 from merchant_classification_spark.ml.tracking import RunTracker
-from merchant_classification_spark.ml.tuning import grid, tune_classifier
+from merchant_classification_spark.ml.tuning import (
+    grid,
+    tune_classifier,
+    tune_classifier_parallel,
+    tune_classifier_tpe,
+)
 
 
 def test_grid():
@@ -41,6 +46,54 @@ def test_tune_classifier(split_data):
     assert len(result.trials) == 2
     assert result.best_accuracy >= max(t["accuracy"] for t in result.trials) - 1e-12
     assert "pr_merchant" in model.transform(val).columns
+
+
+def test_tune_classifier_parallel_overlaps_and_agrees(split_data):
+    """The parallel path must (a) actually run trials concurrently —
+    asserted by wall-clock interval overlap — and (b) pick the same best
+    params as the serial grid search."""
+    train, val = split_data
+    base = NarrativeClassifier(num_features=1 << 12, max_iter=10)
+    g = grid(ngram_max=[1, 2], reg_param=[0.0, 0.01])
+    _, serial = tune_classifier(train, val, base, g)
+    model, par = tune_classifier_parallel(train, val, base, g, parallelism=4)
+
+    assert par.best_params == serial.best_params
+    assert par.best_accuracy == serial.best_accuracy
+    assert [t["params"] for t in par.trials] == g  # grid order preserved
+    # concurrency proof: some pair of trials' [start, end) intervals overlap
+    intervals = [(t["started_at"], t["ended_at"]) for t in par.trials]
+    overlapping = any(
+        a_start < b_end and b_start < a_end
+        for i, (a_start, a_end) in enumerate(intervals)
+        for (b_start, b_end) in intervals[i + 1 :]
+    )
+    assert overlapping, f"no two trials overlapped: {intervals}"
+    assert "pr_merchant" in model.transform(val).columns
+
+
+def test_tune_classifier_tpe_gated(split_data):
+    """TPE path: runs when hyperopt is installed, raises a clear
+    ImportError otherwise (no hard dependency)."""
+    train, val = split_data
+    base = NarrativeClassifier(num_features=1 << 12, max_iter=5)
+    try:
+        import hyperopt  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="hyperopt"):
+            tune_classifier_tpe(train, val, base, space={}, max_evals=2)
+        return
+    from hyperopt import hp
+
+    model, result = tune_classifier_tpe(
+        train,
+        val,
+        base,
+        space={"ngram_max": hp.choice("ngram_max", [1, 2])},
+        max_evals=3,
+    )
+    assert len(result.trials) == 3
+    assert result.best_accuracy >= max(t["accuracy"] for t in result.trials) - 1e-12
 
 
 def test_run_tracker_local(tmp_path):
