@@ -770,6 +770,185 @@ def q_ml_train_score(spark, sf_dir):
     return accuracy_report(model.transform(docs), "lang", "pr_lang")
 
 
+# ---------------------------------------------------------------------------
+# temporal joins + relational breadth (round 2)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_last_click(spark, sf_dir):
+    # as-of (point-in-time) join: for every purchase event, the most
+    # recent click of the same user at-or-before it. Spark lacks this
+    # join; ours is the union+window composition (one shuffle on user_id,
+    # no range-join explosion) — see operators/temporal.py:asof_join.
+    from merchant_classification_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+    ).orderBy("event_id")
+
+
+def q_range_click_window(spark, sf_dir):
+    # bounded-window range join: clicks within 30 min AFTER each purchase,
+    # same user — bucketed equi-join (2× left fan-out, no non-equi join);
+    # see operators/temporal.py:range_join_agg.
+    from merchant_classification_spark.operators.temporal import range_join_agg
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.round(F.col("value") * 100).cast("long").alias("click_cents"),
+    )
+    return range_join_agg(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=30 * 60,
+        aggs=[
+            F.count("click_id").alias("n_clicks"),
+            F.sum("click_cents").alias("click_cents"),
+        ],
+        left_id="event_id",
+    ).orderBy("event_id")
+
+
+def q_cube_revenue(spark, sf_dir):
+    # CUBE with grouping_id: all 4 aggregation levels in one pass
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.withColumn("price_cents", cents)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
+def q_median_by_group(spark, sf_dir):
+    # EXACT per-group quantiles (interpolated, computed on integer cents
+    # so the interpolation result is a dyadic rational — bit-exact in
+    # both engines)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "price_cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(price_cents, array(0.25, 0.5, 0.75))").alias("qs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("q25_cents"),
+            F.col("qs")[1].alias("q50_cents"),
+            F.col("qs")[2].alias("q75_cents"),
+            "n_rows",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_conditional_agg(spark, sf_dir):
+    # filtered aggregation: count_if + exact integer-ratio share
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("count_if(o_totalprice > 150000.0)").alias("n_big"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .withColumn("big_share", F.col("n_big") / F.col("n_total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_embedding_stats(spark, sf_dir):
+    # array-column analytics: per-label vector census. min/max only — no
+    # float summation, so float32 values pass through bit-exact.
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max(F.size("embedding")).alias("dim"),
+            F.min(F.array_min("embedding")).alias("min_val"),
+            F.max(F.array_max("embedding")).alias("max_val"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_monthly_orders(spark, sf_dir):
+    # time-bucketed rollup: date_trunc month series
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+        )
+        .groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    # UNPIVOT (wide → long): three pricing measures stacked into rows
+    li = _t(spark, sf_dir, "lineitem")
+    base = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    charge = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    wide = (
+        li.withColumn("base_cents", base)
+        .withColumn("disc_cents", disc)
+        .withColumn("charge_cents", charge)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("base_cents").alias("base"),
+            F.sum("disc_cents").alias("disc"),
+            F.sum("charge_cents").alias("charge"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'base', base, 'disc', disc, 'charge', charge) AS (metric, cents)"
+        ),
+    ).orderBy("l_returnflag", "metric")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -817,6 +996,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_sketches": q_approx_sketches,
     "grouped_linear_fit": q_grouped_linear_fit,
     "ml_train_score": q_ml_train_score,
+    "asof_last_click": q_asof_last_click,
+    "range_click_window": q_range_click_window,
+    "cube_revenue": q_cube_revenue,
+    "median_by_group": q_median_by_group,
+    "conditional_agg": q_conditional_agg,
+    "embedding_stats": q_embedding_stats,
+    "monthly_orders": q_monthly_orders,
+    "unpivot_metrics": q_unpivot_metrics,
 }
 
 
@@ -1221,6 +1408,93 @@ ORACLES.update(
         "multimodal_decode": """
             SELECT doc_id AS media_id, sha256(text) AS sha256, true AS decode_ok
             FROM documents
+        """,
+        "asof_last_click": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'click'),
+                 m AS (SELECT p.event_id,
+                              c.event_id AS asof_event_id,
+                              c.value AS asof_value,
+                              row_number() OVER (PARTITION BY p.event_id
+                                                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                       FROM p JOIN c
+                         ON c.user_id = p.user_id AND c.ts <= p.ts)
+            SELECT p.event_id, p.user_id, p.ts, m.asof_event_id, m.asof_value
+            FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
+            ORDER BY p.event_id
+        """,
+        "range_click_window": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts,
+                              event_id AS click_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts,
+                   count(c.click_id) AS n_clicks,
+                   CAST(COALESCE(sum(c.cents), 0) AS BIGINT) AS click_cents
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
+            GROUP BY p.event_id, p.user_id, p.ts
+            ORDER BY p.event_id
+        """,
+        "cube_revenue": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "median_by_group": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+                       FROM lineitem)
+            SELECT l_returnflag,
+                   quantile_cont(price_cents, 0.25) AS q25_cents,
+                   quantile_cont(price_cents, 0.5) AS q50_cents,
+                   quantile_cont(price_cents, 0.75) AS q75_cents,
+                   count(*) AS n_rows
+            FROM c GROUP BY l_returnflag
+        """,
+        "conditional_agg": """
+            SELECT o_orderpriority,
+                   CAST(count(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS n_big,
+                   count(*) AS n_total,
+                   CAST(count(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT)
+                       / count(*) AS big_share
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "embedding_stats": """
+            SELECT label,
+                   count(*) AS n_vecs,
+                   CAST(max(len(embedding)) AS INTEGER) AS dim,
+                   min(list_min(embedding)) AS min_val,
+                   max(list_max(embedding)) AS max_val
+            FROM embeddings GROUP BY label
+        """,
+        "monthly_orders": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders GROUP BY 1
+        """,
+        "unpivot_metrics": """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS disc,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS charge
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'base' AS metric, base AS cents FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'disc' AS metric, disc AS cents FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'charge' AS metric, charge AS cents FROM wide
         """,
     }
 )
