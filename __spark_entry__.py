@@ -949,6 +949,67 @@ def q_unpivot_metrics(spark, sf_dir):
     ).orderBy("l_returnflag", "metric")
 
 
+def q_repetition_scores(spark, sf_dir):
+    # Gopher-style repetition quality signals: exact integer ratios,
+    # shuffle-free codegen projection (functions/text_analysis.py)
+    from merchant_classification_spark.functions.text_analysis import (
+        repetition_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_scores(docs, "text", "doc_id").orderBy("doc_id")
+
+
+def q_ngram_top(spark, sf_dir):
+    # corpus-level n-gram frequency: explode bigrams (with repeats),
+    # count, top-20 with full deterministic tie-break — the vocabulary/
+    # boilerplate-mining primitive behind dedup prefix filters
+    from merchant_classification_spark.functions.text_analysis import (
+        bigrams,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # tokenize ONCE into a materialized column before the bigram HOF —
+    # feeding tokens(...) straight into bigrams() inlines the regex
+    # tokenizer into the transform lambda (recomputed per element, O(n^2))
+    return (
+        docs.select(tokens(F.col("text")).alias("_t"))
+        .select(bigrams(F.col("_t")).alias("bg"))
+        .select(F.explode("bg").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+def q_window_rank_suite(spark, sf_dir):
+    # rank-function breadth: dense_rank over a coarse band (real ties),
+    # ntile + cume_dist over a unique total order (deterministic)
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    banded = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents.alias("price_cents"),
+    ).withColumn("band", F.expr("price_cents div 1000000"))
+    w_band = Window.partitionBy("o_orderpriority").orderBy("band")
+    w_unique = Window.partitionBy("o_orderpriority").orderBy(
+        "price_cents", "o_orderkey"
+    )
+    return banded.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "price_cents",
+        F.dense_rank().over(w_band).alias("band_rank"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+        F.cume_dist().over(w_unique).alias("cdist"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1004,6 +1065,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_stats": q_embedding_stats,
     "monthly_orders": q_monthly_orders,
     "unpivot_metrics": q_unpivot_metrics,
+    "repetition_scores": q_repetition_scores,
+    "ngram_top": q_ngram_top,
+    "window_rank_suite": q_window_rank_suite,
 }
 
 
@@ -1481,6 +1545,62 @@ ORACLES.update(
                    count(*) AS n_orders,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders GROUP BY 1
+        """,
+        "repetition_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9'']+', ' ', 'g')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(trim(regexp_replace(lower(text), '[^a-z0-9'']+', ' ', 'g')), ' ')
+                       END AS t
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                       END AS b
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+                   CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS BIGINT) / CAST(len(t) AS BIGINT) END AS distinct_ratio,
+                   CASE WHEN len(t) > 0 THEN CAST(list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))) AS BIGINT) / CAST(len(t) AS BIGINT) END AS top_token_share,
+                   CASE WHEN len(b) > 0 THEN CAST(list_max(list_transform(list_distinct(b), x -> len(list_filter(b, y -> y = x)))) AS BIGINT) / CAST(len(b) AS BIGINT) END AS top_bigram_share
+            FROM bg
+            ORDER BY doc_id
+        """,
+        "ngram_top": """
+            WITH toks AS (
+                SELECT CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9'']+', ' ', 'g')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(trim(regexp_replace(lower(text), '[^a-z0-9'']+', ' ', 'g')), ' ')
+                       END AS t
+                FROM documents
+            ),
+            bg AS (
+                SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+                FROM toks WHERE len(t) >= 2
+            )
+            SELECT bigram, count(*) AS n
+            FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram
+            LIMIT 20
+        """,
+        "window_rank_suite": """
+            WITH banded AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                       CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS band
+                FROM orders
+            )
+            SELECT o_orderkey, o_orderpriority, price_cents,
+                   CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY band) AS INTEGER) AS band_rank,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY price_cents, o_orderkey) AS INTEGER) AS quartile,
+                   cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY price_cents, o_orderkey) AS cdist
+            FROM banded
+            ORDER BY o_orderkey
         """,
         "unpivot_metrics": """
             WITH wide AS (

@@ -114,6 +114,87 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def bigrams(tokens_col: Column) -> Column:
+    """Adjacent token bigrams WITH repeats (array<string>) — unlike
+    ``dedup.shingles`` this keeps duplicates, because repetition counting
+    is the point. Empty array for texts of < 2 tokens.
+
+    The token array is bound through a one-element-array lambda (same
+    pattern as ``dedup.shingles``): a raw ``tokens(col)`` argument would
+    otherwise be inlined by CollapseProject into every ``element_at`` of
+    the position lambda — O(tokens) re-tokenizations per row.
+    """
+
+    def _bg(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(tokens_col), _bg), 1)
+
+
+def top_count(arr: Column) -> Column:
+    """Highest occurrence count of any element in the array (int; null
+    for empty arrays). O(n·distinct) per row, all inside codegen — arr
+    must be a plain column reference (pre-materialize expensive exprs)."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda x: F.size(F.filter(arr, lambda y: y == x)),
+        )
+    )
+
+
+def repetition_scores(
+    df, text_col: str, id_col: str = "doc_id"
+):
+    """Gopher-style repetition quality signals per document:
+
+      * ``distinct_ratio``    — distinct tokens / tokens (low = repetitive)
+      * ``top_token_share``   — most frequent token's share of all tokens
+      * ``top_bigram_share``  — most frequent bigram's share of all bigrams
+
+    All ratios are exact integer divisions in a fixed order (bit-exact in
+    any engine); degenerate docs (0 tokens / <2 tokens) yield NULLs.
+    One shuffle-free codegen projection; tokenize-once via materialized
+    columns.
+    """
+    t = tokens(F.col(text_col))
+    out = (
+        df.select(F.col(id_col), t.alias("_t"))
+        .withColumn("_bg", bigrams(F.col("_t")))
+        .select(
+            id_col,
+            F.size("_t").alias("n_tokens"),
+            F.size(F.array_distinct("_t")).alias("n_distinct"),
+            top_count(F.col("_t")).alias("_topt"),
+            F.size("_bg").alias("_nbg"),
+            top_count(F.col("_bg")).alias("_topbg"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            F.when(
+                F.col("n_tokens") > 0, F.col("n_distinct") / F.col("n_tokens")
+            ).alias("distinct_ratio"),
+            F.when(F.col("n_tokens") > 0, F.col("_topt") / F.col("n_tokens")).alias(
+                "top_token_share"
+            ),
+            F.when(F.col("_nbg") > 0, F.col("_topbg") / F.col("_nbg")).alias(
+                "top_bigram_share"
+            ),
+        )
+    )
+    return out
+
+
 def fingerprint(col: Column | str) -> Column:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set — invariant to token order and repetition, so permuted/near-

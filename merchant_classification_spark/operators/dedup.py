@@ -428,6 +428,7 @@ def assign_representatives(
         .distinct()
     )
     labels = ids.select("doc_id", F.col("doc_id").alias("rep"))
+    prev_persisted = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.doc_id)
@@ -450,7 +451,9 @@ def assign_representatives(
             .limit(1)
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
             break

@@ -53,7 +53,22 @@ def class_counts_fractions(
             F.col("count") * rate < oversample_floor,
             F.when(floor_rate > 1.0, 1.0).otherwise(floor_rate),
         ).otherwise(rate)
-    rows = counts.withColumn("rate", rate).select(key, "rate").collect()
+    # driver-side by design (mirrors the reference; sampleBy needs a
+    # literal fractions dict) — guard the cardinality so a runaway key
+    # column fails loudly instead of OOMing the driver
+    max_classes = 1_000_000
+    rows = (
+        counts.withColumn("rate", rate)
+        .select(key, "rate")
+        .limit(max_classes + 1)
+        .collect()
+    )
+    if len(rows) > max_classes:
+        raise ValueError(
+            f"stratified sampling key {key!r} has more than {max_classes:,} "
+            "distinct values; the per-class fractions dict would not fit on "
+            "the driver — aggregate or hash the key first"
+        )
     return {r[key]: float(r["rate"]) for r in rows}
 
 

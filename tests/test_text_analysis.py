@@ -59,3 +59,31 @@ def test_fingerprint_invariance(spark):
     c = _one(spark, "alpha beta delta", fingerprint("t"))
     assert a == b
     assert a != c
+
+
+def test_repetition_scores_edges(spark):
+    from merchant_classification_spark.functions.text_analysis import (
+        repetition_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # fully repetitive
+            (2, "w x y z"),            # fully distinct
+            (3, "solo"),               # single token: no bigrams
+            (4, ""),                   # empty: all ratios NULL
+            (5, None),                 # null text behaves as empty
+            (6, "p q p q p q"),        # dominant bigram alternation
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_scores(df, "text").collect()}
+    assert out[1].n_tokens == 4 and out[1].n_distinct == 1
+    assert out[1].distinct_ratio == 0.25 and out[1].top_token_share == 1.0
+    assert out[1].top_bigram_share == 1.0  # "a a" is every bigram
+    assert out[2].distinct_ratio == 1.0 and out[2].top_token_share == 0.25
+    assert out[3].n_tokens == 1 and out[3].top_bigram_share is None
+    assert out[4].n_tokens == 0 and out[4].distinct_ratio is None
+    assert out[5].n_tokens == 0 and out[5].top_token_share is None
+    # "p q" appears 3x of 5 bigrams
+    assert out[6].top_bigram_share == 3 / 5
