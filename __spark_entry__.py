@@ -1010,6 +1010,165 @@ def q_window_rank_suite(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def q_stats_suite(spark, sf_dir):
+    # statistical aggregates (Pearson corr / sample stddev) from EXACT
+    # integer moment components: one hash agg produces bigint sums
+    # (map-side partial agg, single shuffle), then the final statistics
+    # combine them in one fixed IEEE-double expression order — bit-exact
+    # in any engine without relying on corr()/stddev() internals, which
+    # are accumulation-order-dependent
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    m = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr_qty_price"),
+        F.sqrt(vx / (n * (n - F.lit(1.0)))).alias("stddev_qty"),
+        F.sqrt(vy / (n * (n - F.lit(1.0)))).alias("stddev_price"),
+    ).orderBy("l_returnflag")
+
+
+def q_date_breadth(spark, sf_dir):
+    # date/time function breadth: year/quarter/month/day-of-week
+    # extraction, month-end flag, day index vs a fixed epoch; grouped
+    # rollup keeps the oracle small. dayofweek uses Spark's Sunday=1
+    # convention (oracle maps DuckDB isodow accordingly).
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    proj = o.select(
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mo"),
+        F.dayofweek(d).alias("dow"),
+        (F.last_day(d) == d).cast("int").alias("is_eom"),
+        F.datediff(d, F.lit("1992-01-01").cast("date")).alias("day_idx"),
+    )
+    return (
+        proj.groupBy("yr", "qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("mo").alias("n_months"),
+            F.countDistinct("dow").alias("n_dows"),
+            F.sum("is_eom").alias("n_month_end"),
+            F.min("day_idx").alias("first_day_idx"),
+            F.max("day_idx").alias("last_day_idx"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+def q_fuzzy_nation_pairs(spark, sf_dir):
+    # fuzzy string matching: pairwise edit distance over a DIMENSION
+    # table (25 rows — broadcast nested-loop is the right plan here; for
+    # fact-scale fuzzy joins use blocking keys + ngram_jaccard_pairs,
+    # which is the scalable path in operators/dedup.py)
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .orderBy("edit_dist", "name_a", "name_b")
+        .limit(40)
+    )
+
+
+def q_subquery_suite(spark, sf_dir):
+    # correlated subqueries: EXISTS / NOT EXISTS + scalar aggregate
+    # comparison, written in SQL so Catalyst's decorrelation (rewrite to
+    # semi/anti/aggregate joins) is exercised. The scalar comparison is
+    # integer-exact (cents × count vs summed cents) — no float-boundary
+    # flakiness between engines.
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+          AND CAST(round(c_acctbal * 100) AS BIGINT)
+                * (SELECT count(*) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                 FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    # explicit GROUPING SETS — finer-grained than rollup/cube (which are
+    # already covered); coalesce labels the super-aggregate rows so the
+    # output has no NULL group keys
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        ORDER BY pri, status
+        """
+    )
+
+
+def q_dedup_rep_assign(spark, sf_dir):
+    # oracle endpoint for the iterative min-label-propagation operator:
+    # with edges = same-fingerprint pairs, the converged representative
+    # must equal the window-min doc_id over each fingerprint group —
+    # which IS SQL-expressible, so the iterative operator gets a real
+    # oracle instead of invariant tests only
+    from merchant_classification_spark.functions.text_analysis import fingerprint
+    from merchant_classification_spark.operators.dedup import (
+        assign_representatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    a = docs.select("fp", F.col("doc_id").alias("id_a"))
+    b = docs.select("fp", F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "fp").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+    return assign_representatives(docs.select("doc_id"), pairs).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1068,6 +1227,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_scores": q_repetition_scores,
     "ngram_top": q_ngram_top,
     "window_rank_suite": q_window_rank_suite,
+    "stats_suite": q_stats_suite,
+    "date_breadth": q_date_breadth,
+    "fuzzy_nation_pairs": q_fuzzy_nation_pairs,
+    "subquery_suite": q_subquery_suite,
+    "grouping_sets": q_grouping_sets,
+    "dedup_rep_assign": q_dedup_rep_assign,
 }
 
 
@@ -1615,6 +1780,92 @@ ORACLES.update(
             SELECT l_returnflag, 'disc' AS metric, disc AS cents FROM wide
             UNION ALL
             SELECT l_returnflag, 'charge' AS metric, charge AS cents FROM wide
+        """,
+        "stats_suite": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       count(*) AS n,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                       CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+                       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+                       CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n, sx, sy,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       AS corr_qty_price,
+                   sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+                   sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_price
+            FROM m ORDER BY l_returnflag
+        """,
+        "date_breadth": """
+            WITH proj AS (
+                SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+                       quarter(CAST(o_orderdate AS DATE)) AS qtr,
+                       month(CAST(o_orderdate AS DATE)) AS mo,
+                       (isodow(CAST(o_orderdate AS DATE)) % 7) + 1 AS dow,
+                       CASE WHEN last_day(CAST(o_orderdate AS DATE)) = CAST(o_orderdate AS DATE)
+                            THEN 1 ELSE 0 END AS is_eom,
+                       datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_idx
+                FROM orders
+            )
+            SELECT CAST(yr AS INTEGER) AS yr, CAST(qtr AS INTEGER) AS qtr,
+                   count(*) AS n,
+                   CAST(count(DISTINCT mo) AS BIGINT) AS n_months,
+                   CAST(count(DISTINCT dow) AS BIGINT) AS n_dows,
+                   CAST(sum(is_eom) AS BIGINT) AS n_month_end,
+                   CAST(min(day_idx) AS INTEGER) AS first_day_idx,
+                   CAST(max(day_idx) AS INTEGER) AS last_day_idx
+            FROM proj GROUP BY yr, qtr ORDER BY yr, qtr
+        """,
+        "fuzzy_nation_pairs": """
+            SELECT a.n_name AS name_a, b.n_name AS name_b,
+                   CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS edit_dist
+            FROM nation a, nation b
+            WHERE a.n_nationkey < b.n_nationkey
+            ORDER BY edit_dist, name_a, name_b
+            LIMIT 40
+        """,
+        "subquery_suite": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 150000.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o2
+                              WHERE o2.o_custkey = c.c_custkey
+                                AND o2.o_orderstatus = 'P')
+              AND CAST(round(c_acctbal * 100) AS BIGINT)
+                    * (SELECT count(*) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+                  > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                     FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+            ORDER BY c_custkey
+        """,
+        "grouping_sets": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), (o_orderstatus), ())
+            ORDER BY pri, status
+        """,
+        "dedup_rep_assign": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+            fp AS (SELECT doc_id,
+                          md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+                   FROM t)
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep
+            FROM fp ORDER BY doc_id
         """,
     }
 )
