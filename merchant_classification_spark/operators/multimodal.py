@@ -151,3 +151,134 @@ def sample_frames(
             )
 
     return df.select(id_col, content_col).mapInPandas(explode_frames, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resize_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _resize_one(content: bytes | None, width: int, height: int):
+    if content is None:
+        return None, None, None, False
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        # STUB resize: deterministic binary transform standing in for a
+        # codec — output bytes depend only on (content, width, height)
+        fake = hashlib.sha256(
+            content + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        ).digest() * ((width * height * 3) // 32 + 1)
+        return fake[: width * height * 3], width, height, True
+    try:
+        img = Image.open(io.BytesIO(content)).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue(), width, height, True
+    except Exception:
+        return None, None, None, False
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """binary image → resized binary (RESIZED_SCHEMA), Arrow-batched.
+
+    The preprocessing step of every vision-training pipeline. STUB codec
+    (see module docstring): output bytes are a deterministic function of
+    (content, target size) when PIL is absent; real decode errors (with
+    PIL present) surface as resize_ok=False with NULL content. Output
+    size is bounded by width*height*3 so executor memory per batch is
+    predictable regardless of input size.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "content": [],
+                "width": [],
+                "height": [],
+                "resize_ok": [],
+            }
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                c, w, h, ok = _resize_one(content, width, height)
+                out["media_id"].append(mid)
+                out["content"].append(c)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["resize_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(resize, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    n_features: int = 16,
+    max_windows: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """audio binary → per-window feature vectors (1 row → ≤max_windows
+    rows of array<float>), Arrow-batched.
+
+    STUB featurizer: deterministic hash-derived floats in [0,1) stand in
+    for MFCC/mel-spectrogram frames (no audio libs in this container);
+    the fan-out + fixed-width vector contract is what downstream
+    (embedding ANN, dedup on audio fingerprints) consumes, and is real.
+    """
+
+    def _windows_of(content: bytes) -> list[list[float]]:
+        n_windows = 1 + (content[-1] if content else 0) % max_windows
+        vecs = []
+        for widx in range(n_windows):
+            h = hashlib.sha256(content + widx.to_bytes(4, "big")).digest()
+            need = (n_features * 2 + len(h) - 1) // len(h)
+            raw = (h * need)[: n_features * 2]
+            vecs.append(
+                [
+                    int.from_bytes(raw[2 * i : 2 * i + 2], "big") / 65536.0
+                    for i in range(n_features)
+                ]
+            )
+        return vecs
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                for widx, vec in enumerate(_windows_of(content)):
+                    ids.append(mid)
+                    idxs.append(widx)
+                    feats.append(vec)
+            yield pd.DataFrame(
+                {"media_id": ids, "window_idx": idxs, "features": feats}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        featurize, AUDIO_FEATURE_SCHEMA
+    )

@@ -51,3 +51,38 @@ def test_frame_sampling_fanout(media):
     assert all(r.media_id == 3 for r in rows)
     assert [r.frame_idx for r in rows] == list(range(len(rows)))
     assert len({r.frame_sha256 for r in rows}) == len(rows)
+
+
+def test_resize_contract(media):
+    from merchant_classification_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, width=8, height=8)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 4
+    # null content propagates as not-ok, never a task failure
+    assert rows[2].resize_ok is False and rows[2].content is None
+    ok = rows[0]
+    assert ok.resize_ok and ok.width == 8 and ok.height == 8
+    assert len(ok.content) <= 8 * 8 * 3
+    # deterministic across runs
+    again = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+    assert again[0].content == ok.content
+
+
+def test_audio_features_fanout(media):
+    from merchant_classification_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    out = extract_audio_features(media, n_features=16, max_windows=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    # null-content row dropped entirely
+    assert 2 not in by_id
+    for mid, rows in by_id.items():
+        assert 1 <= len(rows) <= 4
+        assert sorted(r.window_idx for r in rows) == list(range(len(rows)))
+        for r in rows:
+            assert len(r.features) == 16
+            assert all(0.0 <= v < 1.0 for v in r.features)
