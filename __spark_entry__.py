@@ -1169,6 +1169,49 @@ def q_dedup_rep_assign(spark, sf_dir):
     return assign_representatives(docs.select("doc_id"), pairs).orderBy("doc_id")
 
 
+def q_pii_scrub(spark, sf_dir):
+    # PII redaction kernel (functions/pii.py): dialect-portable patterns
+    # run identically under Java regex (here), Python re (parity fuzz in
+    # tests) and RE2 (this oracle). PII is injected deterministically from
+    # doc_id so every category is exercised on every row; output is the
+    # scrubbed text plus per-category counts — one codegen projection,
+    # zero shuffles, zero Python workers.
+    from merchant_classification_spark.functions.pii import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        sid,
+        F.lit("@mail.example.com via https://ex.ample/d/"),
+        sid,
+        F.lit(" or +44 20 79"),
+        F.lpad(F.pmod(F.col("doc_id"), 100).cast("string"), 2, "0"),
+        F.lit(" 0958 ip 10.0."),
+        F.pmod(F.col("doc_id"), 256).cast("string"),
+        F.lit(".7 card 4111 1111 1111 1111"),
+    )
+    return (
+        docs.select("doc_id", injected.alias("raw"))
+        .select(
+            "doc_id",
+            scrub_pii(F.col("raw")).alias("scrubbed"),
+            pii_counts(F.col("raw")).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "scrubbed",
+            F.col("c.url").alias("n_url"),
+            F.col("c.email").alias("n_email"),
+            F.col("c.ip").alias("n_ip"),
+            F.col("c.card").alias("n_card"),
+            F.col("c.phone").alias("n_phone"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1233,6 +1276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subquery_suite": q_subquery_suite,
     "grouping_sets": q_grouping_sets,
     "dedup_rep_assign": q_dedup_rep_assign,
+    "pii_scrub": q_pii_scrub,
 }
 
 
@@ -1869,6 +1913,43 @@ ORACLES.update(
         """,
     }
 )
+
+
+def _pii_oracle_sql() -> str:
+    """Progressive scrub chain mirroring functions/pii.py exactly: same
+    patterns (dialect-portable, so the literal strings are reused), same
+    order, counts taken on the same progressively-scrubbed text."""
+    from merchant_classification_spark.functions.pii import PII_STEPS
+
+    names = ["url", "email", "ip", "card", "phone"]
+    inject = (
+        "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@mail.example.com via https://ex.ample/d/' || CAST(doc_id AS VARCHAR) "
+        "|| ' or +44 20 79' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
+        "|| ' 0958 ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+        "|| '.7 card 4111 1111 1111 1111' AS t "
+        "FROM documents"
+    )
+    ctes = [f"s0 AS ({inject})"]
+    carried: list[str] = []
+    for i, ((pat, tok), name) in enumerate(zip(PII_STEPS, names)):
+        p = pat.replace("'", "''")
+        cols = ", ".join(["doc_id"] + carried)
+        ctes.append(
+            f"s{i + 1} AS (SELECT {cols}, "
+            f"CAST(len(regexp_extract_all(t, '{p}')) AS INTEGER) AS n_{name}, "
+            f"regexp_replace(t, '{p}', '{tok}', 'g') AS t FROM s{i})"
+        )
+        carried.append(f"n_{name}")
+    final_cols = ", ".join(["doc_id", "t AS scrubbed"] + carried)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT {final_cols} FROM s{len(names)} ORDER BY doc_id"
+    )
+
+
+ORACLES["pii_scrub"] = _pii_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
