@@ -1212,6 +1212,52 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_json_schema_parse(spark, sf_dir):
+    # schema-on-read JSON parsing: from_json with a declared schema (vs
+    # q_json_extract's per-path get_json_object) — the right API when a
+    # pipeline reads MANY fields; one parse, typed struct out
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k LONG").alias("p"),
+    )
+    return (
+        parsed.select(
+            "event_type",
+            F.floor(F.col("p.k") / 10).cast("int").alias("k_band"),
+        )
+        .groupBy("event_type", "k_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "k_band")
+    )
+
+
+def q_rolling_range_frame(spark, sf_dir):
+    # RANGE-frame window: trailing 7-day rolling count/revenue per
+    # priority — value-based frames (all peers of a day included), not
+    # row-based; the time-series rolling-metric primitive
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(d, F.lit("1992-01-01").cast("date")).alias("day_idx"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_idx")
+        .rangeBetween(-7, 0)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "day_idx",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum("cents").over(w).alias("cents_7d"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1277,6 +1323,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets": q_grouping_sets,
     "dedup_rep_assign": q_dedup_rep_assign,
     "pii_scrub": q_pii_scrub,
+    "json_schema_parse": q_json_schema_parse,
+    "rolling_range_frame": q_rolling_range_frame,
 }
 
 
@@ -1950,6 +1998,31 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLES["pii_scrub"] = _pii_oracle_sql()
+
+ORACLES["json_schema_parse"] = """
+    SELECT event_type,
+           CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10) AS INTEGER) AS k_band,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, k_band
+    ORDER BY event_type, k_band
+"""
+
+ORACLES["rolling_range_frame"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, CAST(day_idx AS INTEGER) AS day_idx,
+           count(*) OVER w AS n_7d,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+    FROM base
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_idx
+                 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+"""
 
 
 def oracle_sql() -> dict[str, str]:

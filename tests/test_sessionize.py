@@ -69,3 +69,46 @@ def test_sessionize(spark, session_src):
     assert (1, 0, 10, 3, 600) in got  # first session of user 1
     assert (1, 50, 55, 2, 900) in got  # second session after the gap
     assert (2, 0, 20, 2, 2000) in got
+
+
+def test_stream_batch_parity(spark, session_src):
+    """Batch-as-backfill: streaming the same closed dataset must produce
+    the IDENTICAL session rows (schema, types, integer-cent values) as
+    sessionize_batch, for every session the stream has flushed."""
+    from merchant_classification_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(session_src)
+    sessions = sessionize_stream(stream, gap_seconds=1800, watermark="1 minute")
+    name = f"parity_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/ckpt-{name}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.processAllAvailable()  # extra batch lets event-time timeouts fire
+    q.stop()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value_cents)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch_df = sessionize_batch(
+        spark.read.schema(SCHEMA).parquet(session_src), gap_seconds=1800
+    )
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value_cents)
+        for r in batch_df.collect()
+    }
+    # the stream may still hold the straggler user's open session; every
+    # flushed session must match batch exactly, and all fully-closed
+    # users must be present
+    assert streamed <= batch
+    closed_users = {u for (u, *_rest) in streamed}
+    assert {1, 2} <= closed_users
+    for row in batch:
+        if row[0] in (1, 2):
+            assert row in streamed
