@@ -1258,6 +1258,44 @@ def q_rolling_range_frame(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def q_embedding_quantize(spark, sf_dir):
+    # int8 embedding quantization (functions/vectors.py): the 4× storage/
+    # shuffle compression every 100 TB embedding table wants. Output is
+    # scalar audit columns (code sum / L1 as exact ints, scale and max
+    # reconstruction error as fixed-order doubles) — bit-exact vs DuckDB.
+    from merchant_classification_spark.functions.vectors import (
+        quantize_int8,
+        to_double_array,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        "label",
+        quantize_int8("embedding").alias("qs"),
+        to_double_array("embedding").alias("v"),
+    )
+    codes = F.col("qs.q")
+    scale = F.col("qs.scale")
+    err = F.array_max(
+        F.zip_with(
+            codes, F.col("v"), lambda c, x: F.abs(c.cast("double") * scale - x)
+        )
+    )
+    return d.select(
+        "vec_id",
+        "label",
+        scale.alias("scale"),
+        F.aggregate(codes, F.lit(0), lambda a, c: a + c.cast("int"))
+        .cast("long")
+        .alias("q_sum"),
+        F.aggregate(codes, F.lit(0), lambda a, c: a + F.abs(c.cast("int")))
+        .cast("long")
+        .alias("q_l1"),
+        err.alias("max_err"),
+    ).orderBy("vec_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1325,6 +1363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "json_schema_parse": q_json_schema_parse,
     "rolling_range_frame": q_rolling_range_frame,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 
@@ -2006,6 +2045,33 @@ ORACLES["json_schema_parse"] = """
     FROM events
     GROUP BY event_type, k_band
     ORDER BY event_type, k_band
+"""
+
+ORACLES["embedding_quantize"] = """
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, label, v, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> CAST(0 AS TINYINT))
+                    ELSE list_transform(v, x -> CAST(round(x / scale) AS TINYINT))
+               END AS q
+        FROM s
+    )
+    SELECT vec_id, label, scale,
+           CAST(list_sum(list_transform(q, c -> CAST(c AS INTEGER))) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, c -> abs(CAST(c AS INTEGER)))) AS BIGINT) AS q_l1,
+           list_max(list_transform(range(1, len(v) + 1),
+                                   i -> abs(CAST(q[i] AS DOUBLE) * scale - v[i]))) AS max_err
+    FROM q ORDER BY vec_id
 """
 
 ORACLES["rolling_range_frame"] = """

@@ -89,3 +89,24 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert by_k == {1: "one", 99: None}
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="right")
+
+
+def test_compact_parquet(spark, tmp_path):
+    from merchant_classification_spark.sources.compact import (
+        compact_parquet,
+        dir_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.createDataFrame([(i, f"row {i}") for i in range(1000)], ["k", "v"])
+    df.repartition(32).write.parquet(path)  # 32 tiny files
+    n0, _ = dir_stats(path)
+    assert n0 == 32
+    report = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert report["compacted"] and report["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg({"k": "sum"}).first()[0] == sum(range(1000))
+    # already compact: no-op
+    report2 = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert report2["compacted"] is False

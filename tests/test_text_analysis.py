@@ -87,3 +87,47 @@ def test_repetition_scores_edges(spark):
     assert out[5].n_tokens == 0 and out[5].top_token_share is None
     # "p q" appears 3x of 5 bigrams
     assert out[6].top_bigram_share == 3 / 5
+
+
+def test_vector_quantization_roundtrip(spark):
+    from merchant_classification_spark.functions.vectors import (
+        dequantize_int8,
+        l2_normalize,
+        norm,
+        quantize_int8,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [0.0, 0.0, 0.0]),          # zero vector: scale 0, codes 0
+            (3, [1e-8, -1e-8]),            # tiny magnitudes
+            (4, [100.0] * 64),             # constant
+        ],
+        "id long, v array<double>",
+    )
+    out = df.select(
+        "id",
+        quantize_int8("v").alias("qs"),
+        l2_normalize("v").alias("n"),
+        F.col("v"),
+    ).select(
+        "id",
+        "qs.scale",
+        "qs.q",
+        dequantize_int8("qs").alias("recon"),
+        norm("n").alias("unit_norm"),
+        "v",
+    )
+    rows = {r.id: r for r in out.collect()}
+    # reconstruction error bounded by scale/2 per element
+    for rid, r in rows.items():
+        for orig, rec in zip(r.v, r.recon):
+            assert abs(orig - rec) <= r.scale / 2 + 1e-12, (rid, orig, rec)
+        assert all(-127 <= c <= 127 for c in r.q)
+    assert rows[2].scale == 0.0 and set(rows[2].q) == {0}
+    # unit norm after normalization (zero vector stays zero)
+    assert abs(rows[1].unit_norm - 1.0) < 1e-12
+    assert rows[2].unit_norm == 0.0
+    assert abs(rows[4].unit_norm - 1.0) < 1e-12
