@@ -1296,6 +1296,52 @@ def q_embedding_quantize(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_ann_quantized(spark, sf_dir):
+    # quantized exact-scan ANN tier: int8 codes, INTEGER dot products
+    # (scales cancel in cosine) — exact computation over the approximate
+    # representation, so unlike float brute force it oracle-checks
+    # bit-for-bit; 4× less broadcast/scan traffic than fp32
+    from merchant_classification_spark.operators.similarity import (
+        brute_force_topk_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk_int8(emb, qs, k=ANN_K).orderBy("query_id", "rank")
+
+
+def q_session_window_builtin(spark, sf_dir):
+    # Spark's NATIVE session_window aggregate — same gap semantics as the
+    # hand-built lag→flag→running-sum composition (q_sessionize_batch)
+    # and the stateful streaming operator, so all three share one oracle
+    # family. Native session_window is the batch fast path: one hash agg
+    # with window merging, no double window pass.
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "session_end",
+            "n_events",
+            "sum_value_cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1364,6 +1410,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_schema_parse": q_json_schema_parse,
     "rolling_range_frame": q_rolling_range_frame,
     "embedding_quantize": q_embedding_quantize,
+    "ann_quantized": q_ann_quantized,
+    "session_window_builtin": q_session_window_builtin,
 }
 
 
@@ -2045,6 +2093,77 @@ ORACLES["json_schema_parse"] = """
     FROM events
     GROUP BY event_type, k_band
     ORDER BY event_type, k_band
+"""
+
+ORACLES["session_window_builtin"] = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_S * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+"""
+
+
+def _sql_idot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Integer dot product over int8 code lists (exact; order-free)."""
+    return "0 + " + " + ".join(
+        f"CAST({a}[{i}] AS INTEGER)*CAST({b}[{i}] AS INTEGER)"
+        for i in range(1, dim + 1)
+    )
+
+
+ORACLES["ann_quantized"] = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    qz AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> CAST(0 AS TINYINT))
+                    ELSE list_transform(v, x -> CAST(round(x / scale) AS TINYINT))
+               END AS q
+        FROM s
+    ),
+    n AS (SELECT vec_id, q, ({_sql_idot('q', 'q')}) AS n2 FROM qz),
+    qry AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2
+            FROM n WHERE vec_id < {N_ANN_QUERIES}),
+    scored AS (
+        SELECT qry.query_id, n.vec_id,
+               CASE WHEN sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qry.qn2 AS DOUBLE)) = 0.0
+                    THEN 0.0
+                    ELSE CAST(({_sql_idot('n.q', 'qry.qq')}) AS DOUBLE)
+                         / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qry.qn2 AS DOUBLE)))
+               END AS qcos_sim
+        FROM n, qry WHERE n.vec_id <> qry.query_id
+    )
+    SELECT query_id, vec_id, qcos_sim, rank FROM (
+        SELECT query_id, vec_id, qcos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qcos_sim DESC, vec_id) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {ANN_K}
 """
 
 ORACLES["embedding_quantize"] = """

@@ -272,3 +272,73 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cosine_sim")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def brute_force_topk_int8(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Quantized exact-scan tier: cosine top-k over int8 codes.
+
+    Each side is symmetric-int8 quantized (functions/vectors.quantize_int8)
+    ONCE, map-side; pair scoring is then an INTEGER dot product (exact —
+    64 dims × 127² fits int comfortably), and because cosine normalizes,
+    the two scale factors cancel: cos ≈ (qa·qb) / (√(qa·qa)·√(qb·qb)) with
+    no float accumulation anywhere before the final sqrt/divide.
+
+    Why at 100 TB: the broadcast of the query set and the scan-side
+    column are 4× smaller than fp32, the per-pair inner loop is integer
+    multiply-add, and the result ranking is fully deterministic — an
+    exact computation over an approximate representation, so it
+    oracle-checks bit-for-bit (unlike float brute force at different
+    fold orders). Use as the cheap first pass; rescore survivors fp64.
+
+    Returns (query_id, vec_id, qcos_sim, rank), ties broken on vec_id.
+    """
+    from merchant_classification_spark.functions.vectors import quantize_int8
+
+    def _with_codes(df, idc, vec, out_id):
+        qs = quantize_int8(vec)
+        coded = df.select(F.col(idc).alias(out_id), qs.getField("q").alias("q"))
+        self_dot = F.aggregate(
+            F.col("q"),
+            F.lit(0),
+            lambda acc, x: acc + x.cast("int") * x.cast("int"),
+        )
+        return coded.withColumn("n2", self_dot)
+
+    d = _with_codes(data, data_id, data_vec, "vec_id").withColumnsRenamed(
+        {"q": "dq", "n2": "dn2"}
+    )
+    q = _with_codes(queries, query_id, query_vec, "query_id").withColumnsRenamed(
+        {"q": "qq", "n2": "qn2"}
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("dq"), F.col("qq"), lambda x, y: x.cast("int") * y.cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.sqrt(F.col("dn2").cast("double")) * F.sqrt(F.col("qn2").cast("double"))
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(denom == 0.0, F.lit(0.0))
+            .otherwise(idot.cast("double") / denom)
+            .alias("qcos_sim"),
+        )
+    )
+    return group_topk(
+        scored,
+        ["query_id"],
+        [F.col("qcos_sim").desc(), F.col("vec_id")],
+        k,
+        keep_rank=True,
+    )

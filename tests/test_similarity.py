@@ -97,3 +97,27 @@ def test_embedding_neardup_self_detection(spark, emb):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     for i in range(3):
         assert (i, i + 100000) in got
+
+
+def test_int8_bruteforce_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in brute_force_topk(emb, qs, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk_int8(emb, qs, k=10).collect()
+    }
+    # int8 quantization on 64-dim unit-ish vectors barely moves cosine:
+    # demand near-perfect agreement with the fp64 exact scan
+    assert len(exact & quant) / len(exact) >= 0.9
