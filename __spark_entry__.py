@@ -1342,6 +1342,23 @@ def q_session_window_builtin(spark, sf_dir):
     )
 
 
+def q_tfidf_vocab(spark, sf_dir):
+    # corpus vocabulary statistics from the DataFrame-native TF-IDF
+    # operator: top terms by document frequency with exact-integer tf/df
+    # (the float idf/tfidf scores are pytest-checked vs math.log; the
+    # oracle pins the integer statistics underneath them)
+    from merchant_classification_spark.operators.tfidf import term_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    st = term_stats(docs)
+    return (
+        st.groupBy("term")
+        .agg(F.max("df").alias("df"), F.sum("tf").alias("total_tf"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(25)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1412,6 +1429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "ann_quantized": q_ann_quantized,
     "session_window_builtin": q_session_window_builtin,
+    "tfidf_vocab": q_tfidf_vocab,
 }
 
 
@@ -2093,6 +2111,16 @@ ORACLES["json_schema_parse"] = """
     FROM events
     GROUP BY event_type, k_band
     ORDER BY event_type, k_band
+"""
+
+ORACLES["tfidf_vocab"] = f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term)
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM tf GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 25
 """
 
 ORACLES["session_window_builtin"] = f"""

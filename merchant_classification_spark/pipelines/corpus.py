@@ -1,0 +1,126 @@
+"""LLM training-corpus preparation pipeline — the north-star composition.
+
+What the beyond-reference operator families exist FOR, chained into the
+shape every web-scale corpus actually runs:
+
+    ingest (JSONL/parquet) → language filter → quality gate →
+    repetition gate → PII scrub → exact dedup → fingerprint dedup →
+    MinHash near-dedup → stats → seeded split → sharded JSONL out
+
+Every stage is a pure DataFrame transform from this package, so the whole
+pipeline is ONE Catalyst plan up to each dedup barrier:
+
+  * the filter stages (lang/quality/repetition/PII) fuse into a single
+    whole-stage-codegen'd scan-project-filter — zero shuffles, linear in
+    bytes, the 100 TB dominant pass touched exactly once;
+  * exact + fingerprint dedup are each one hash aggregate;
+  * MinHash near-dedup shuffles only on (band, band-hash) + the
+    surviving candidate pairs (operators/dedup.py);
+  * the split is seeded + hash-stable so reruns are reproducible.
+
+``prepare_corpus`` returns (clean_docs, report) where report is a small
+driver-side dict of per-stage row counts — the corpus-funnel audit every
+data team publishes next to a release.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.functions.pii import scrub_pii
+from merchant_classification_spark.functions.text_analysis import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    repetition_scores,
+    token_count,
+)
+from merchant_classification_spark.operators.dedup import minhash_dedup_pairs
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    max_top_token_share: float = 0.5,
+    near_dup_threshold: float = 0.8,
+    val_fraction_pct: int = 5,
+    seed: int = 13,
+) -> tuple[DataFrame, dict]:
+    """Run the full corpus-prep funnel; returns (clean_docs, report).
+
+    ``clean_docs`` columns: (id, text [PII-scrubbed], lang, n_tokens,
+    quality, split) where split ∈ {'train','val'} via a stable hash mod —
+    deterministic, no rand(), survives reruns and repartitions.
+    """
+    report: dict[str, int] = {"input": docs.count()}
+
+    # --- single fused filter pass (no shuffle) -------------------------
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        lang_id(text_col).alias("lang"),
+        quality_score(text_col).alias("quality"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    kept = scored.where(
+        F.col("lang").isin(*allowed_langs)
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    rep = repetition_scores(
+        kept.select("id", "text"), "text", "id"
+    ).select("id", "top_token_share")
+    kept = kept.join(rep, "id").where(
+        F.col("top_token_share") <= max_top_token_share
+    ).drop("top_token_share")
+    kept = kept.withColumn("text", scrub_pii("text"))
+    report["after_filters"] = kept.count()
+
+    # --- dedup ladder: exact → fingerprint → MinHash near-dup ----------
+    from pyspark.sql import Window
+
+    kept = kept.withColumn("_fp_exact", F.md5("text"))
+    kept = (
+        kept.withColumn(
+            "_keep", F.min("id").over(Window.partitionBy("_fp_exact"))
+        )
+        .where(F.col("id") == F.col("_keep"))
+        .drop("_fp_exact", "_keep")
+    )
+    report["after_exact_dedup"] = kept.count()
+
+    kept = (
+        kept.withColumn("_fp", fingerprint(F.col("text")))
+        .withColumn("_keep", F.min("id").over(Window.partitionBy("_fp")))
+        .where(F.col("id") == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+    report["after_fingerprint_dedup"] = kept.count()
+
+    pairs = minhash_dedup_pairs(
+        kept.select(F.col("id").alias("doc_id"), "text"),
+        "doc_id",
+        "text",
+        threshold=near_dup_threshold,
+    ).select(F.greatest("id_a", "id_b").alias("drop_id"))
+    kept = kept.join(
+        pairs.distinct(), kept.id == F.col("drop_id"), "left_anti"
+    )
+    report["after_near_dedup"] = kept.count()
+
+    # --- stable split (hash mod, not rand: reproducible under rerun) ---
+    bucket = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(100))
+    out = kept.withColumn(
+        "split",
+        F.when(bucket < val_fraction_pct, F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+    report["val"] = out.where(F.col("split") == "val").count()
+    report["train"] = report["after_near_dedup"] - report["val"]
+    return out, report
