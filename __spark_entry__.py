@@ -1359,6 +1359,75 @@ def q_tfidf_vocab(spark, sf_dir):
     )
 
 
+def q_gap_fill_daily(spark, sf_dir):
+    # calendar densification + forward fill: per-user daily purchase
+    # revenue with missing days filled from the last observed day —
+    # per-key sequence+explode calendar (no global cross join), one
+    # window pass (operators/temporal.py gap_fill)
+    from merchant_classification_spark.operators.temporal import gap_fill
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    return gap_fill(daily, "user_id", "day", ["revenue_cents"], fill="ffill")
+
+
+def q_funnel_steps(spark, sf_dir):
+    # strictly-ordered view→click→purchase funnel: k chained per-user
+    # min-ts aggregates, each an equi-shuffle on user_id — no per-user
+    # event-history sort, no cross join (operators/analytics.py)
+    from merchant_classification_spark.operators.analytics import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    # weekly cohort retention triangle: first-touch week × offset →
+    # distinct active users; two aggregates, tiny output
+    from merchant_classification_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, granularity="week").orderBy(
+        "cohort", "period_offset"
+    )
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    # step-interpolated time-weighted average value per user: exact
+    # integer cents×µs sums, one lead window + one aggregate
+    from merchant_classification_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value").orderBy("user_id")
+
+
+def q_zorder_cells(spark, sf_dir):
+    # Morton (Z-order) codes as pure codegen bit arithmetic — the layout
+    # key behind multi-dimension data skipping (functions/layout.py);
+    # the oracle runs the byte-identical SQL expression
+    from merchant_classification_spark.functions.layout import zvalue
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    x = F.col("o_orderkey") % 256
+    y = F.col("o_custkey") % 256
+    return o.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        zvalue([x, y], bits=8).alias("z"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1430,6 +1499,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quantized": q_ann_quantized,
     "session_window_builtin": q_session_window_builtin,
     "tfidf_vocab": q_tfidf_vocab,
+    "gap_fill_daily": q_gap_fill_daily,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
+    "time_weighted_avg": q_time_weighted_avg,
+    "zorder_cells": q_zorder_cells,
 }
 
 
@@ -2146,6 +2220,103 @@ ORACLES["session_window_builtin"] = f"""
     FROM numbered GROUP BY user_id, session_id
     ORDER BY user_id, session_start
 """
+
+
+ORACLES["gap_fill_daily"] = """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    ),
+    joined AS (
+        SELECT c.user_id, c.day, d.rev IS NOT NULL AS observed, d.rev
+        FROM cal c LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day, observed,
+           last_value(rev IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_cents
+    FROM joined
+"""
+
+ORACLES["funnel_steps"] = """
+    WITH s0 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s1 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM s0) AS users
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+"""
+
+ORACLES["cohort_retention"] = """
+    WITH first AS (
+        SELECT user_id AS "user",
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id AS "user",
+               CAST(date_trunc('week', ts) AS DATE) AS active_period
+        FROM events
+    )
+    SELECT cohort,
+           CAST(date_diff('day', cohort, active_period) // 7 AS BIGINT) AS period_offset,
+           count(DISTINCT "user") AS active_users
+    FROM activity JOIN first USING ("user")
+    GROUP BY 1, 2 ORDER BY cohort, period_offset
+"""
+
+ORACLES["time_weighted_avg"] = """
+    WITH s AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS tus,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS nus
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(nus - tus) AS BIGINT) AS held_us,
+           CAST(sum(cents * (nus - tus)) AS BIGINT) AS weighted_sum,
+           CAST(sum(cents * (nus - tus)) AS DOUBLE)
+               / CAST(sum(nus - tus) AS DOUBLE) AS twa_cents
+    FROM s WHERE nus IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _zorder_oracle_sql() -> str:
+    from merchant_classification_spark.functions.layout import zvalue_sql
+
+    z = zvalue_sql(["(o_orderkey % 256)", "(o_custkey % 256)"], bits=8)
+    return f"""
+        SELECT o_orderkey,
+               o_orderkey % 256 AS x,
+               o_custkey % 256 AS y,
+               {z} AS z
+        FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey
+    """
+
+
+ORACLES["zorder_cells"] = _zorder_oracle_sql()
 
 
 def _sql_idot(a: str, b: str, dim: int = EMB_DIM) -> str:

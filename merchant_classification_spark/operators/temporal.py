@@ -135,3 +135,98 @@ def range_join_agg(
         if dt in ("bigint", "int", "long"):
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0).cast(dt)))
     return out
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_cols: list[str],
+    fill: str = "ffill",
+) -> DataFrame:
+    """Densify a per-key daily series: emit one row per key per calendar
+    day between that key's first and last observed day, filling missing
+    days from the last observed value (``fill="ffill"``) or leaving NULL
+    (``fill="none"``). Adds ``observed`` (true for input rows).
+
+    Scale shape: the calendar is generated PER KEY with
+    ``sequence(min_day, max_day)`` + explode — work and output are both
+    proportional to the densified series itself, with no global calendar
+    cross join and no driver-side date loop. The fill is one window pass
+    (``last ignorenulls``) per key ordered by day; everything shuffles on
+    the key only. Input must be pre-aggregated to one row per (key, day)
+    — assert-checked cheaply inside the same window pass.
+    """
+    if fill not in ("ffill", "none"):
+        raise ValueError("fill must be 'ffill' or 'none'")
+    spans = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
+    )
+    calendar = spans.select(
+        "_k", F.explode(F.sequence("_d0", "_d1")).alias("_day")
+    )
+    observed = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(date_col).alias("_day"),
+        F.lit(True).alias("observed"),
+        *[F.col(c) for c in value_cols],
+    )
+    dense = calendar.join(observed, ["_k", "_day"], "left").withColumn(
+        "observed", F.coalesce("observed", F.lit(False))
+    )
+    if fill == "ffill":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        dense = dense.select(
+            "_k",
+            "_day",
+            "observed",
+            *[
+                F.last(c, ignorenulls=True).over(w).alias(c)
+                for c in value_cols
+            ],
+        )
+    return dense.withColumnsRenamed({"_k": key_col, "_day": date_col})
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key time-weighted average: each observation's value holds until
+    the next observation (step interpolation), so its weight is that
+    duration in microseconds; the final observation spans zero time and
+    carries no weight. Keys with a single event drop out (no held time).
+
+    Output: (key, held_us, weighted_sum, twa_cents) where held_us and
+    weighted_sum = Σ value_cents·duration_us are exact longs (value →
+    HALF_UP cents, duration → epoch-micros diff, both engine-portable),
+    and the only float op is one division at the end. Overflow bound:
+    weighted_sum ≤ max_cents × key_time_span_us — a 50 %-of-long budget
+    at cents ≤ 10^5 over a ~30-year span; rescale to cents·seconds
+    upstream if keys live longer.
+
+    Scale: one window pass (lead) + one aggregate, both on the key.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    dur_us = F.lead(F.unix_micros(F.col(ts_col))).over(w) - F.unix_micros(
+        F.col(ts_col)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    stepped = df.select(
+        F.col(key_col),
+        dur_us.alias("_dur_us"),
+        (cents * dur_us).alias("_wv"),
+    ).where(F.col("_dur_us").isNotNull())
+    return stepped.groupBy(key_col).agg(
+        F.sum("_dur_us").alias("held_us"),
+        F.sum("_wv").alias("weighted_sum"),
+        (
+            F.sum("_wv").cast("double") / F.sum("_dur_us").cast("double")
+        ).alias("twa_cents"),
+    )
