@@ -1428,6 +1428,117 @@ def q_zorder_cells(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def q_tpch_q7_volume(spark, sf_dir):
+    # TPC-H Q7 shape: 6-way join resolving supplier + customer nations,
+    # revenue by nation pair x ship year. Both dimension chains broadcast
+    # (nation/supplier are small everywhere; at 100 TB only lineitem,
+    # orders, customer shuffle — on their join keys)
+    nation = _t(spark, sf_dir, "nation")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.withColumn("rev_cents", rev_cents)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q17_small_qty(spark, sf_dir):
+    # TPC-H Q17 shape: correlated avg-quantity filter — per-part average
+    # joined back (broadcast after the brand filter shrinks it), revenue
+    # of below-threshold lineitems / 7
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#9")
+    li = _t(spark, sf_dir, "lineitem")
+    brand_li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    avg_qty = brand_li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    small = brand_li.join(
+        F.broadcast(avg_qty.withColumnRenamed("l_partkey", "a_partkey")),
+        F.col("l_partkey") == F.col("a_partkey"),
+    ).where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 7.0
+        ).alias("avg_yearly_cents"),
+    )
+
+
+def q_scd2_intervals(spark, sf_dir):
+    # SCD type-2 dimension history: collapse each user's event_type
+    # change log into validity intervals (operators/scd.py) — two window
+    # passes over one shuffle+sort, no joins
+    from merchant_classification_spark.operators.scd import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_intervals(ev, "user_id", "ts", ["event_type"]).orderBy(
+        "user_id", "effective_from", "event_type"
+    )
+
+
+def q_hll_rollup(spark, sf_dir):
+    # mergeable-sketch rollup: per-(event_type, day) HLL partials unioned
+    # into per-type distinct-user estimates — the incremental pattern
+    # that answers range-distinct without rescanning raw events
+    # (operators/sketches.py). Approximate by design → rows-only; the
+    # 1.5% error bound is pytest-pinned against exact distincts.
+    from merchant_classification_spark.operators.sketches import (
+        sketch_partials,
+        sketch_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    partials = sketch_partials(
+        ev, ["event_type"], "user_id", F.col("ts").cast("date")
+    )
+    return sketch_rollup(partials, ["event_type"]).orderBy("event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1504,6 +1615,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "time_weighted_avg": q_time_weighted_avg,
     "zorder_cells": q_zorder_cells,
+    "tpch_q7_volume": q_tpch_q7_volume,
+    "tpch_q17_small_qty": q_tpch_q17_small_qty,
+    "scd2_intervals": q_scd2_intervals,
+    "hll_rollup": q_hll_rollup,
 }
 
 
@@ -2317,6 +2432,61 @@ def _zorder_oracle_sql() -> str:
 
 
 ORACLES["zorder_cells"] = _zorder_oracle_sql()
+
+
+ORACLES["tpch_q7_volume"] = """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["tpch_q17_small_qty"] = """
+    WITH brand_li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#9'
+    ),
+    avgs AS (
+        SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+        FROM brand_li GROUP BY 1
+    )
+    SELECT count(*) AS n_small,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 7.0 AS avg_yearly_cents
+    FROM brand_li JOIN avgs ON l_partkey = a_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+"""
+
+ORACLES["scd2_intervals"] = """
+    WITH w AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER win AS prev_type,
+               lag(ts) OVER win AS prev_ts
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    opens AS (
+        SELECT user_id, event_type, ts FROM w
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS effective_from,
+           lead(ts) OVER win2 AS effective_to,
+           lead(ts) OVER win2 IS NULL AS is_current
+    FROM opens
+    WINDOW win2 AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ORDER BY user_id, effective_from, event_type
+"""
 
 
 def _sql_idot(a: str, b: str, dim: int = EMB_DIM) -> str:
