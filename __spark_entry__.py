@@ -228,6 +228,14 @@ def q_json_extract(spark, sf_dir):
 def q_clean_narrative(spark, sf_dir):
     # E1-E7 basic-steps subset on documents (full date kernel is golden-
     # tested in pytest; DuckDB's RE2 can't run the backref date pattern)
+    #
+    # No trailing global sort (pattern for every map-only corpus query
+    # here): a final orderBy on a shuffle-free plan makes the range
+    # sampler execute the WHOLE projection twice, and at 100 TB a global
+    # sort of a 1:1 per-document transform is pure waste — row order
+    # carries no meaning and the correctness gate compares order-
+    # insensitively. Sorted presentation stays covered by sort_limit and
+    # the aggregate queries (small post-shuffle inputs).
     docs = _t(spark, sf_dir, "documents")
     basic = F.trim(
         F.regexp_replace(
@@ -238,7 +246,7 @@ def q_clean_narrative(spark, sf_dir):
         "doc_id",
         F.md5(basic).alias("clean_md5"),
         F.length(basic).alias("clean_len"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -458,12 +466,13 @@ def q_token_stats(spark, sf_dir):
         token_count,
     )
 
+    # no trailing sort: see q_clean_narrative
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         subword_count("text").alias("n_subwords"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_lang_profile(spark, sf_dir):
@@ -476,6 +485,7 @@ def q_lang_profile(spark, sf_dir):
 
     # tokenize ONCE into a column, score every language against it — the
     # naive per-language tokenize multiplies the regex cost ~9x
+    # no trailing sort: see q_clean_narrative
     docs = _t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
     toks = F.col("_toks")
     cols = [
@@ -484,16 +494,15 @@ def q_lang_profile(spark, sf_dir):
     ]
     return docs.select(
         "doc_id", *cols, lang_id("text", tokens_col=toks).alias("pred_lang")
-    ).orderBy("doc_id")
+    )
 
 
 def q_quality_scores(spark, sf_dir):
     from merchant_classification_spark.functions.text_analysis import quality_score
 
+    # no trailing sort: see q_clean_narrative
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score("text").alias("quality")).orderBy(
-        "doc_id"
-    )
+    return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
 NGRAM_MAX_DF = 50  # shingles in more docs than this are vocabulary noise
@@ -527,6 +536,8 @@ def q_etl_clean_format(spark, sf_dir):
         to_fasttext_line,
     )
 
+    # no trailing sort (see q_clean_narrative): with an orderBy at the
+    # end, the range sampler re-ran the whole regex chain — measured 2x
     orders = _t(spark, sf_dir, "orders")
     narrative = F.concat(
         F.col("o_orderpriority"),
@@ -552,7 +563,6 @@ def q_etl_clean_format(spark, sf_dir):
             "tr_description_clean",
             to_fasttext_line("tr_merchant", "tr_description_clean").alias("fasttext"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -616,13 +626,16 @@ def q_multimodal_decode(spark, sf_dir):
     # decode (sha256 is oracle-checkable; dimensions come from the stub)
     from merchant_classification_spark.operators.multimodal import decode_image_meta
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.to_binary(F.col("text"), F.lit("utf-8")).alias("content"),
+    # no trailing sort (see q_clean_narrative) — a trailing sort's
+    # sampler would re-run the Arrow-batched Python decode, the worst case
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.to_binary(F.col("text"), F.lit("utf-8")).alias("content"),
+        )
     )
-    return decode_image_meta(docs).select("media_id", "sha256", "decode_ok").orderBy(
-        "media_id"
-    )
+    return decode_image_meta(docs).select("media_id", "sha256", "decode_ok")
 
 
 # --- rows-only queries (not SQL-expressible: seeded hashes / sampling) ----
@@ -956,8 +969,9 @@ def q_repetition_scores(spark, sf_dir):
         repetition_scores,
     )
 
+    # no trailing sort: see q_clean_narrative
     docs = _t(spark, sf_dir, "documents")
-    return repetition_scores(docs, "text", "doc_id").orderBy("doc_id")
+    return repetition_scores(docs, "text", "doc_id")
 
 
 def q_ngram_top(spark, sf_dir):
@@ -1178,6 +1192,7 @@ def q_pii_scrub(spark, sf_dir):
     # zero shuffles, zero Python workers.
     from merchant_classification_spark.functions.pii import pii_counts, scrub_pii
 
+    # no trailing sort: see q_clean_narrative
     docs = _t(spark, sf_dir, "documents")
     sid = F.col("doc_id").cast("string")
     injected = F.concat(
@@ -1208,7 +1223,6 @@ def q_pii_scrub(spark, sf_dir):
             F.col("c.card").alias("n_card"),
             F.col("c.phone").alias("n_phone"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1268,6 +1282,7 @@ def q_embedding_quantize(spark, sf_dir):
         to_double_array,
     )
 
+    # no trailing sort: see q_clean_narrative
     emb = _t(spark, sf_dir, "embeddings")
     d = emb.select(
         "vec_id",
@@ -1293,7 +1308,7 @@ def q_embedding_quantize(spark, sf_dir):
         .cast("long")
         .alias("q_l1"),
         err.alias("max_err"),
-    ).orderBy("vec_id")
+    )
 
 
 def q_ann_quantized(spark, sf_dir):
@@ -1539,6 +1554,63 @@ def q_hll_rollup(spark, sf_dir):
     return sketch_rollup(partials, ["event_type"]).orderBy("event_type")
 
 
+def q_decontaminate_overlap(spark, sf_dir):
+    # GPT-3-style train/eval n-gram decontamination
+    # (operators/decontaminate.py): docs with doc_id % 97 == 0 act as the
+    # held-out eval set; every other doc sharing a distinct word 4-gram
+    # with ANY eval doc is flagged with its contaminated-gram count.
+    # hash_grams=False keeps the join keys as strings so the oracle is
+    # exact; the xxhash64-keyed variant is equivalence-tested in pytest.
+    from merchant_classification_spark.operators.decontaminate import (
+        ngram_overlap_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return ngram_overlap_report(
+        train, eval_df, "doc_id", "text", n=4, hash_grams=False
+    ).orderBy("doc_id")
+
+
+def q_iqr_outliers(spark, sf_dir):
+    # Tukey-fence outlier detection: per-customer total spend (skewed by
+    # order counts, so real outliers exist), fenced per nation. q1/q3 via
+    # exact linear-interpolation percentile over integer cents — every
+    # value is a k/4 fraction, exactly representable in a double. The
+    # fence table is one row per nation → broadcast back; the expensive
+    # part stays one spend aggregate over orders.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.select(
+            "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("pc")
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("pc").alias("cents"))
+    )
+    fences = spend.groupBy("c_nationkey").agg(
+        F.expr("percentile(cents, array(0.25, 0.75))").alias("q")
+    )
+    fences = fences.select(
+        "c_nationkey", F.col("q")[0].alias("q1"), F.col("q")[1].alias("q3")
+    )
+    flagged = spend.join(F.broadcast(fences), "c_nationkey").where(
+        # spend > q3 + 1.5*(q3-q1), kept in exact quarter-integer doubles
+        F.col("cents") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    )
+    return (
+        flagged.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("cents").alias("min_outlier_cents"),
+            F.max("cents").alias("max_outlier_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1619,6 +1691,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17_small_qty": q_tpch_q17_small_qty,
     "scd2_intervals": q_scd2_intervals,
     "hll_rollup": q_hll_rollup,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "iqr_outliers": q_iqr_outliers,
 }
 
 
@@ -2576,6 +2650,47 @@ ORACLES["rolling_range_frame"] = """
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_idx
                  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
     ORDER BY o_orderkey
+"""
+
+
+ORACLES["decontaminate_overlap"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(ts, gs.i, gs.i + 3), ' ') AS gram
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS i
+      ) gs
+    ),
+    gd AS (SELECT DISTINCT doc_id, gram FROM grams),
+    ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 97 = 0)
+    SELECT gd.doc_id, count(*) AS n_overlap
+    FROM gd JOIN ev USING (gram)
+    WHERE gd.doc_id % 97 <> 0
+    GROUP BY gd.doc_id
+    ORDER BY gd.doc_id
+"""
+
+ORACLES["iqr_outliers"] = """
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    fences AS (
+      SELECT c_nationkey,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+      FROM spend GROUP BY c_nationkey
+    )
+    SELECT s.c_nationkey,
+           count(*) AS n_outliers,
+           min(cents) AS min_outlier_cents,
+           max(cents) AS max_outlier_cents
+    FROM spend s JOIN fences USING (c_nationkey)
+    WHERE cents > q3 + 1.5 * (q3 - q1)
+    GROUP BY s.c_nationkey
+    ORDER BY s.c_nationkey
 """
 
 

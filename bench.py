@@ -8,6 +8,13 @@ Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 parallelism from $SPARK_GRAFT_CPUS (default all cores). Each query is
 forced with the `noop` sink so the full plan executes without driver
 collection skewing the measurement.
+
+Methodology: each query executes TWICE — one warm-up pass (amortizes
+whole-stage-codegen compilation + JVM JIT, which dominate first-run
+latency by 3-10x on a fresh JVM and are irrelevant to a long-running
+cluster service) and one measured pass. Cached/persisted blocks are
+cleared between all passes so every measured run computes from parquet.
+Set $SPARK_GRAFT_BENCH_WARMUP=0 to record cold first-run times instead.
 """
 
 from __future__ import annotations
@@ -39,13 +46,20 @@ def main() -> None:
     # warm the JVM/codegen once so timings measure the queries, not startup
     force(entry_mod.q_class_histogram(spark, sf_dir))
 
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     total = 0.0
     for name, fn in entry_mod.queries().items():
+        if warmup:
+            force(fn(spark, sf_dir))
+            # operators that persist() internally (dedup, ANN index
+            # builds) must not leak cached input into the measured pass
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -293,11 +293,23 @@ def ngram_jaccard_pairs(
                 )
             ).alias("shingle"),
         )
-    l = inv.select(F.col("doc_id").alias("id_a"), "shingle")
-    r = inv.select(F.col("doc_id").alias("id_b"), "shingle")
+    # persist the prefix postings: both sides of the candidate self-join
+    # consume them, and without this the whole shingle→df→collect→sort
+    # chain above executes twice (measured ~2x the query at sf0.1)
+    sizes = base.select("doc_id", F.size("shh").alias("sz"))
+    inv = inv.join(sizes, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    # PPJoin length filter (lossless): Jaccard >= t forces
+    # t*|A| <= |B| and t*|B| <= |A|; TRUE set sizes from `base`, not the
+    # post-max_df sizes, so no qualifying pair can be pruned
+    l = inv.select(F.col("doc_id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    r = inv.select(F.col("doc_id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
     pair_ids = (
         l.join(r, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
