@@ -1611,6 +1611,182 @@ def q_iqr_outliers(spark, sf_dir):
     )
 
 
+def q_tpch_q13_custdist(spark, sf_dir):
+    # TPC-H Q13 shape: customer order-count distribution. LEFT OUTER join
+    # with an extra predicate in the ON clause (not a post-filter — that
+    # would drop the zero-order customers Q13 exists to count), then a
+    # double aggregation: count per customer, then customers per count.
+    # Both aggregates shuffle on small keys; the second input is one row
+    # per customer, the final one row per distinct order count.
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape: revenue per supplier over a ship-date quarter, then
+    # the supplier(s) hitting the global max — a scalar aggregate subquery.
+    # Expressed as a window max over an empty frame? No: a global max over
+    # a tiny aggregate (one row per supplier) — cross-joined back as a
+    # 1-row broadcast, which is exactly how Catalyst executes a scalar
+    # subquery. The heavy part stays the one lineitem aggregate.
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("total_revenue_cents")
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    # TPC-H Q18 shape: group-HAVING-IN — orders whose total quantity
+    # exceeds a threshold, re-joined to customer + order detail. The
+    # HAVING set is small (the tail of the distribution), so it
+    # broadcasts; lineitem is aggregated ONCE and reused for both the
+    # filter set and the final sum via the same plan subtree.
+    li = _t(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").cast("long").alias("total_qty")
+    )
+    big = qty.where(F.col("total_qty") > 150)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+def q_tpch_q19_disjunctive(spark, sf_dir):
+    # TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+    # brand/size/quantity predicates. The per-branch part predicates are
+    # OR-reducible to `p_size >= 1 AND p_size <= 15 AND brand IN (...)`,
+    # which Catalyst derives and pushes into the part scan; the mixed
+    # part+lineitem conjuncts evaluate post-join. Part (filtered) is the
+    # broadcast side.
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.where(branch1 | branch2 | branch3).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("revenue_cents"),
+    )
+
+
+def q_tpch_q22_global_avg(spark, sf_dir):
+    # TPC-H Q22 shape: anti join against orders + a global scalar-average
+    # threshold. Customers in selected "country" groups (here: name-suffix
+    # buckets) with above-average positive balances and no RECENT orders
+    # (every testdata customer has some order, so the classic "no orders
+    # ever" predicate is vacuous; a date-windowed anti join keeps the
+    # operator shape AND a non-empty answer). Two scalar crossings: the
+    # 1-row avg (broadcast), and the anti join (orders side filtered by
+    # the pushed-down date predicate, then reduced to distinct custkeys
+    # before the shuffle).
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "cgroup", F.substring(F.col("c_name"), -1, 1)
+    )
+    sel = c.where(F.col("cgroup").isin("1", "3", "5", "7", "9"))
+    avg_bal = sel.where(F.col("c_acctbal") > 0).agg(
+        F.avg(F.round(F.col("c_acctbal") * 100).cast("long")).alias("ab")
+    )
+    rich = sel.join(
+        F.broadcast(avg_bal),
+        F.round(F.col("c_acctbal") * 100).cast("long") > F.col("ab"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        rich.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cgroup")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "totacctbal_cents"
+            ),
+        )
+        .orderBy("cgroup")
+    )
+
+
+def q_argmin_per_group(spark, sf_dir):
+    # TPC-H Q2's correlated-min shape on available tables: the cheapest
+    # part within each p_type, with deterministic tie-breaks — the
+    # argmin-per-group operator. min_by/arg-min via a single hash
+    # aggregate (struct-min trick: min over (price, partkey) structs
+    # orders lexicographically), NOT a window sort — one shuffle on
+    # p_type, no per-group sort, skew-immune at scale.
+    p = _t(spark, sf_dir, "part").withColumn(
+        "price_cents", F.round(F.col("p_retailprice") * 100).cast("long")
+    )
+    best = p.groupBy("p_type").agg(
+        F.min(F.struct("price_cents", "p_partkey")).alias("m"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return best.select(
+        "p_type",
+        F.col("m.p_partkey").alias("best_partkey"),
+        F.col("m.price_cents").alias("min_price_cents"),
+        "n_parts",
+    ).orderBy("p_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1693,6 +1869,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_rollup": q_hll_rollup,
     "decontaminate_overlap": q_decontaminate_overlap,
     "iqr_outliers": q_iqr_outliers,
+    "tpch_q13_custdist": q_tpch_q13_custdist,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+    "tpch_q22_global_avg": q_tpch_q22_global_avg,
+    "argmin_per_group": q_argmin_per_group,
 }
 
 
@@ -2691,6 +2873,96 @@ ORACLES["iqr_outliers"] = """
     WHERE cents > q3 + 1.5 * (q3 - q1)
     GROUP BY s.c_nationkey
     ORDER BY s.c_nationkey
+"""
+
+
+ORACLES["tpch_q13_custdist"] = """
+    WITH pc AS (
+      SELECT c.c_custkey, count(o.o_custkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM pc GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["tpch_q15_top_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+    ORDER BY s.s_suppkey
+"""
+
+ORACLES["tpch_q18_large_orders"] = """
+    WITH qty AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           q.total_qty
+    FROM orders o
+    JOIN qty q ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE q.total_qty > 150
+    ORDER BY q.total_qty DESC, o.o_orderkey
+"""
+
+ORACLES["tpch_q19_disjunctive"] = """
+    SELECT count(*) AS n_lines,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS revenue_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["tpch_q22_global_avg"] = """
+    WITH sel AS (
+      SELECT c_custkey, c_acctbal,
+             substring(c_name, length(c_name), 1) AS cgroup,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE substring(c_name, length(c_name), 1) IN ('1','3','5','7','9')
+    )
+    SELECT cgroup, count(*) AS numcust, sum(bal_cents) AS totacctbal_cents
+    FROM sel
+    WHERE bal_cents > (SELECT avg(bal_cents) FROM sel WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = sel.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cgroup ORDER BY cgroup
+"""
+
+ORACLES["argmin_per_group"] = """
+    WITH r AS (
+      SELECT p_type, p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (
+               PARTITION BY p_type
+               ORDER BY CAST(round(p_retailprice * 100) AS BIGINT), p_partkey
+             ) AS rn,
+             count(*) OVER (PARTITION BY p_type) AS n_parts
+      FROM part
+    )
+    SELECT p_type, p_partkey AS best_partkey, price_cents AS min_price_cents,
+           n_parts
+    FROM r WHERE rn = 1 ORDER BY p_type
 """
 
 
