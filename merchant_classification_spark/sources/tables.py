@@ -56,10 +56,17 @@ def load_table(
         df = spark.read.parquet(path)
     else:
         df = spark.read.format(format).load(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integral `div`, NOT `/`: float division of epoch-nanos exceeds
-        # double precision (2^53) and lands ±1 µs off
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integral `div`, NOT `/`: float division of epoch-nanos exceeds
+            # double precision (2^53) and lands ±1 µs off
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] parquet reads as NTZ; operators use LTZ-only
+            # functions (unix_micros, watermarks), so normalize. The cast
+            # reinterprets the wall clock in the session tz — exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

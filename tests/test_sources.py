@@ -22,6 +22,8 @@ def test_load_every_table_on_vanilla_session(spark, sf_dir):
         df = load_table(vanilla, sf_dir, name)
         assert df.limit(1).count() >= 0
     ev = load_table(vanilla, sf_dir, "events")
+    # whatever the file's physical type (NANOS-as-long or timestamp[us]
+    # NTZ), load_table normalizes ts to a session-tz timestamp
     assert dict(ev.dtypes)["ts"] == "timestamp"
 
 
