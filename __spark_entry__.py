@@ -862,26 +862,23 @@ def q_cube_revenue(spark, sf_dir):
 def q_median_by_group(spark, sf_dir):
     # EXACT per-group quantiles (interpolated, computed on integer cents
     # so the interpolation result is a dyadic rational — bit-exact in
-    # both engines)
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.withColumn(
-            "price_cents", F.round(F.col("l_extendedprice") * 100).cast("long")
-        )
-        .groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(price_cents, array(0.25, 0.5, 0.75))").alias("qs"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .select(
-            "l_returnflag",
-            F.col("qs")[0].alias("q25_cents"),
-            F.col("qs")[1].alias("q50_cents"),
-            F.col("qs")[2].alias("q75_cents"),
-            "n_rows",
-        )
-        .orderBy("l_returnflag")
+    # both engines). Histogram + cumulative-window shape: per-group state
+    # is O(distinct cents), not O(rows) — `percentile()` buffers every
+    # raw value in one task and was 20x slower at sf0.1.
+    from merchant_classification_spark.operators.relational import (
+        grouped_exact_quantiles,
     )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.withColumn(
+        "price_cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    return grouped_exact_quantiles(
+        cents,
+        ["l_returnflag"],
+        "price_cents",
+        [("q25_cents", 0.25), ("q50_cents", 0.5), ("q75_cents", 0.75)],
+    ).orderBy("l_returnflag")
 
 
 def q_conditional_agg(spark, sf_dir):

@@ -124,6 +124,67 @@ def histogram_bins(df: DataFrame, col: str, bin_width: float) -> DataFrame:
     )
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[tuple[str, float]],
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Exact interpolated per-group quantiles, scalably
+    (SURVEY.md §2.4 A4, grouped variant).
+
+    ``percentile(...)`` is an object aggregation: ONE task per group
+    buffers every raw value, so a 100 TB group is a straggler-OOM. For a
+    bounded-domain value column (integer cents, ages, sizes) the same
+    number comes from a two-stage shape whose per-group state is
+    O(distinct values), not O(rows):
+
+    1. histogram: groupBy (group, value) count — map-side combine,
+       fully parallel, the only pass over raw rows;
+    2. cumulative window per group over the distinct values;
+    3. for each quantile q, the two covering histogram rows (0-indexed
+       positions floor/ceil of (n-1)*q) are picked by a conditional
+       aggregate and interpolated exactly like `percentile` does:
+       lo + (hi - lo) * frac.
+
+    Bit-exact vs `percentile`/DuckDB `quantile_cont` when values are
+    integers (the interpolation is then a dyadic rational in doubles).
+
+    `quantiles` is a list of (output_column_name, q) pairs.
+    """
+    gcols = list(group_cols)
+    hist = df.groupBy(*gcols, F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gcols)
+    h = (
+        hist.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_n", F.sum("_c").over(w_all))
+        .withColumn("_prev", F.col("_cum") - F.col("_c"))
+    )
+    aggs = []
+    for name, q in quantiles:
+        pos = (F.col("_n") - 1) * F.lit(float(q))
+        lo_i = F.floor(pos)
+        hi_i = F.ceil(pos)
+        lo_val = F.max(
+            F.when((F.col("_prev") <= lo_i) & (lo_i < F.col("_cum")), F.col("_v"))
+        ).cast("double")
+        hi_val = F.max(
+            F.when((F.col("_prev") <= hi_i) & (hi_i < F.col("_cum")), F.col("_v"))
+        ).cast("double")
+        frac = F.max(pos - lo_i)
+        aggs.append((lo_val + (hi_val - lo_val) * frac).alias(name))
+    aggs.append(F.max("_n").alias(count_alias))
+    return h.groupBy(*gcols).agg(*aggs)
+
+
 def percentiles(
     df: DataFrame, col: str, quantiles: list[float], exact: bool = True
 ) -> DataFrame:

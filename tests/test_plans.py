@@ -59,6 +59,51 @@ def test_salted_topk_equals_plain(spark, sf_dir):
     )
 
 
+def test_grouped_exact_quantiles_matches_percentile(spark, sf_dir):
+    # histogram+window shape must reproduce `percentile`'s interpolated
+    # values bit-for-bit (integer inputs → dyadic-rational interpolation)
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.operators.relational import (
+        grouped_exact_quantiles,
+    )
+    from merchant_classification_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    fast = grouped_exact_quantiles(
+        li, ["l_returnflag"], "cents", [("q25", 0.25), ("q50", 0.5), ("q9", 0.9)]
+    )
+    ref = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(cents, array(0.25, 0.5, 0.9))").alias("qs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("q25"),
+            F.col("qs")[1].alias("q50"),
+            F.col("qs")[2].alias("q9"),
+            "n_rows",
+        )
+    )
+    cols = ["l_returnflag", "q25", "q50", "q9", "n_rows"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, ref.select(cols).collect())
+    )
+    # single-row group edge: quantile of one value is that value
+    one = spark.createDataFrame([("a", 7), ("b", 1), ("b", 3)], ["g", "v"])
+    got = {
+        r["g"]: (r["q50"], r["n"])
+        for r in grouped_exact_quantiles(
+            one, ["g"], "v", [("q50", 0.5)], count_alias="n"
+        ).collect()
+    }
+    assert got == {"a": (7.0, 1), "b": (2.0, 2)}
+
+
 def test_text_ops_no_shuffle(spark, sf_dir):
     # per-row text analysis must be a pure projection (no exchange at all
     # beyond the final sort)
