@@ -1,8 +1,10 @@
 """Benchmark harness: runs the engine's headline queries end-to-end.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>}
+Prints TWO JSON lines — the per-query map, then (LAST, alone, compact so
+tail-capture always gets it) the headline:
+  {"queries": {name: sec, ...}, "sf": <scale factor>}
+  {"metric": "headline_queries_total", "value": <total sec>, "unit": "sec",
+   "sf": <sf>, "n_queries": N}
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 parallelism from $SPARK_GRAFT_CPUS (default all cores). Each query is
@@ -61,14 +63,18 @@ def main() -> None:
         total += dt
         spark.catalog.clearCache()
 
+    # per-query map on its own line FIRST; the compact machine-readable
+    # headline is the FINAL line by itself (with many queries the combined
+    # line outgrew the driver's tail capture and the headline was lost)
+    print(json.dumps({"queries": timings, "sf": sf}))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
             }
         )
     )

@@ -133,33 +133,17 @@ def jaccard(a: Column | str, b: Column | str) -> Column:
     return F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_size: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+def _minhash_base(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int, num_hashes: int
 ) -> DataFrame:
-    """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash LSH,
-    carrying both shingle sets for the verify stage.
+    """(doc_id, shh: array<long>, sig: array<long>) projection.
 
-    Plan shape: map-side signature + band hashes → explode bands (b rows
-    per doc) → shuffle on band_hash → self-join within buckets → distinct
-    pairs. Band hashes are uniform, so the shuffle has no skew; the
-    explode factor is `bands`, constant.
+    Shingles are immediately hashed to longs: all downstream work
+    (signatures, verify-Jaccard) runs on 8-byte values instead of
+    strings — cheaper to hash, shuffle, and intersect. Collisions of
+    distinct shingles (~1e-11 at corpus scale) are the accepted epsilon.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    rows_per_band = num_hashes // bands
-    # shingles are immediately hashed to longs: all downstream work
-    # (signatures, verify-Jaccard) runs on 8-byte values instead of
-    # strings — cheaper to hash, shuffle, and intersect. Collisions of
-    # distinct shingles (~1e-11 at corpus scale) are the accepted epsilon.
-    # persisted: the projection feeds three DAG branches (banding, verify
-    # side A, verify side B) — without a persist Spark recomputes the
-    # tokenizer+hash work per branch
-    base = (
+    return (
         df.select(
             F.col(id_col).alias("doc_id"),
             shingles(text_col, shingle_size).alias("sh"),
@@ -177,12 +161,18 @@ def minhash_candidate_pairs(
                 ),
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # candidate generation moves ONLY (doc_id, band, band_hash) through the
-    # shuffle — carrying the shingle arrays through the banded self-join
-    # multiplies shuffle bytes by `bands` and dominates the runtime; the
-    # arrays are re-joined once per surviving pair side instead
+
+
+def _minhash_pair_ids(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Candidate (id_a < id_b) pairs from the banded LSH self-join.
+
+    Moves ONLY (doc_id, band, band_hash) through the shuffle — carrying
+    the shingle arrays through the banded self-join multiplies shuffle
+    bytes by `bands` and dominates the runtime; the arrays are re-joined
+    once per surviving pair side instead. Band hashes are uniform, so the
+    shuffle has no skew; the explode factor is `bands`, constant.
+    """
     banded = base.select(
         "doc_id",
         F.posexplode(lsh_band_hashes("sig", bands, rows_per_band)).alias(
@@ -191,17 +181,61 @@ def minhash_candidate_pairs(
     )
     left = banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
-    pair_ids = (
+    return (
         left.join(right, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _attach_shingles(pair_ids: DataFrame, base: DataFrame) -> DataFrame:
     sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("sh_a"))
     sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("sh_b"))
-    return pair_ids.join(sh_a, "id_a").join(sh_b, "id_b").select(
-        "id_a", "id_b", "sh_a", "sh_b"
-    )
+    return pair_ids.join(sh_a, "id_a").join(sh_b, "id_b")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    eager: bool = True,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash LSH,
+    carrying both shingle sets for the verify stage.
+
+    Plan shape: map-side signature + band hashes → explode bands (b rows
+    per doc) → shuffle on band_hash → self-join within buckets → distinct
+    pairs.
+
+    ``eager=True`` (default) persists the shared signature projection
+    (it feeds the banding plus both verify join sides — recomputing the
+    tokenizer+hash chain per branch measured ~3x the query), runs the
+    whole plan, snapshots the (small) pair output via
+    ``localCheckpoint(eager=True)``, and RELEASES the persisted input
+    before returning — composing pipelines never accumulate cached
+    blocks. ``eager=False`` returns the fully lazy plan (the shared
+    projection is recomputed per branch).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    base = _minhash_base(df, id_col, text_col, shingle_size, num_hashes)
+    if not eager:
+        return _attach_shingles(
+            _minhash_pair_ids(base, bands, rows_per_band), base
+        ).select("id_a", "id_b", "sh_a", "sh_b")
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = _attach_shingles(
+            _minhash_pair_ids(base, bands, rows_per_band), base
+        ).select("id_a", "id_b", "sh_a", "sh_b")
+        return out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist(blocking=False)
 
 
 def minhash_dedup_pairs(
@@ -212,17 +246,35 @@ def minhash_dedup_pairs(
     shingle_size: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    eager: bool = True,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by EXACT
-    n-gram Jaccard ≥ threshold → (id_a, id_b, jaccard_sim)."""
-    pairs = minhash_candidate_pairs(
-        df, id_col, text_col, shingle_size, num_hashes, bands
-    )
-    return (
-        pairs.withColumn("jaccard_sim", jaccard("sh_a", "sh_b"))
-        .where(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", "jaccard_sim")
-    )
+    n-gram Jaccard ≥ threshold → (id_a, id_b, jaccard_sim).
+
+    Same eager-materialize/release contract as ``minhash_candidate_pairs``
+    — with ``eager=True`` only the verified (id_a, id_b, jaccard_sim)
+    triples are snapshotted, and no cached block outlives the call.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    base = _minhash_base(df, id_col, text_col, shingle_size, num_hashes)
+
+    def verified(b: DataFrame) -> DataFrame:
+        pairs = _attach_shingles(_minhash_pair_ids(b, bands, rows_per_band), b)
+        return (
+            pairs.withColumn("jaccard_sim", jaccard("sh_a", "sh_b"))
+            .where(F.col("jaccard_sim") >= threshold)
+            .select("id_a", "id_b", "jaccard_sim")
+        )
+
+    if not eager:
+        return verified(base)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return verified(base).localCheckpoint(eager=True)
+    finally:
+        base.unpersist(blocking=False)
 
 
 def ngram_jaccard_pairs(
@@ -248,8 +300,13 @@ def ngram_jaccard_pairs(
 
     Scale: candidate generation and pair dedup shuffle (long, long) ids
     only; the full shingle arrays are re-joined once per surviving pair
-    for the exact verify.
+    for the exact verify. The prefix is selected with a window
+    ``row_number`` over (df_count, shingle) — constant memory per row, no
+    per-doc posting-array buffering, so a pathological multi-MB document
+    cannot blow an aggregation buffer. Internal persists are released
+    before returning (same eager contract as ``minhash_dedup_pairs``).
     """
+    from pyspark.sql.window import Window
     from pyspark.storagelevel import StorageLevel
 
     # shingles hashed to longs up front (see minhash_candidate_pairs);
@@ -263,65 +320,67 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    inv = base.select("doc_id", F.explode("shh").alias("shingle"))
-    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
-    if max_df is not None:
-        freq = freq.where(F.col("df_count") <= max_df)
-    inv = inv.join(freq, "shingle")
-    if prefix_filter:
-        # global canonical order = (df, shingle); keep each doc's first
-        # floor((1-t)*|sh|)+1 shingles in that order
-        ordered = (
-            inv.groupBy("doc_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("df_count", "shingle"))
-                ).alias("ordered")
-            )
-            .withColumn(
-                "prefix_len",
-                F.floor((1.0 - threshold) * F.size("ordered")).cast("int") + 1,
-            )
-        )
-        inv = ordered.select(
-            "doc_id",
-            F.explode(
-                F.slice(
-                    F.transform(F.col("ordered"), lambda x: x["shingle"]),
-                    F.lit(1),
-                    F.col("prefix_len"),
+    inv_full = None
+    try:
+        inv = base.select("doc_id", F.explode("shh").alias("shingle"))
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+        if max_df is not None:
+            freq = freq.where(F.col("df_count") <= max_df)
+        inv = inv.join(freq, "shingle")
+        if prefix_filter:
+            # global canonical order = (df, shingle); keep each doc's first
+            # floor((1-t)*n)+1 postings in that order, where n = the doc's
+            # post-max_df posting count. One shuffle on doc_id; streaming
+            # window evaluation, no collect_list buffer.
+            w_doc = Window.partitionBy("doc_id").orderBy("df_count", "shingle")
+            w_all = Window.partitionBy("doc_id")
+            inv = (
+                inv.withColumn("rn", F.row_number().over(w_doc))
+                .withColumn("n_post", F.count(F.lit(1)).over(w_all))
+                .where(
+                    F.col("rn")
+                    <= F.floor((1.0 - threshold) * F.col("n_post")).cast("int") + 1
                 )
-            ).alias("shingle"),
+                .select("doc_id", "shingle")
+            )
+        # persist the prefix postings: both sides of the candidate
+        # self-join consume them, and without this the whole
+        # shingle→df→window chain above executes twice (measured ~2x)
+        sizes = base.select("doc_id", F.size("shh").alias("sz"))
+        inv_full = inv.join(sizes, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+        # PPJoin length filter (lossless): Jaccard >= t forces
+        # t*|A| <= |B| and t*|B| <= |A|; TRUE set sizes from `base`, not the
+        # post-max_df sizes, so no qualifying pair can be pruned
+        l = inv_full.select(
+            F.col("doc_id").alias("id_a"), "shingle", F.col("sz").alias("sz_a")
         )
-    # persist the prefix postings: both sides of the candidate self-join
-    # consume them, and without this the whole shingle→df→collect→sort
-    # chain above executes twice (measured ~2x the query at sf0.1)
-    sizes = base.select("doc_id", F.size("shh").alias("sz"))
-    inv = inv.join(sizes, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
-    # PPJoin length filter (lossless): Jaccard >= t forces
-    # t*|A| <= |B| and t*|B| <= |A|; TRUE set sizes from `base`, not the
-    # post-max_df sizes, so no qualifying pair can be pruned
-    l = inv.select(F.col("doc_id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
-    r = inv.select(F.col("doc_id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
-    pair_ids = (
-        l.join(r, "shingle")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("sz_b") >= threshold * F.col("sz_a"))
-            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+        r = inv_full.select(
+            F.col("doc_id").alias("id_b"), "shingle", F.col("sz").alias("sz_b")
         )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("sh_a"))
-    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("sh_b"))
-    return (
-        pair_ids.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard_sim", jaccard("sh_a", "sh_b"))
-        .where(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", "jaccard_sim")
-    )
+        pair_ids = (
+            l.join(r, "shingle")
+            .where(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("sz_b") >= threshold * F.col("sz_a"))
+                & (F.col("sz_a") >= threshold * F.col("sz_b"))
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("sh_a"))
+        sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("sh_b"))
+        out = (
+            pair_ids.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .withColumn("jaccard_sim", jaccard("sh_a", "sh_b"))
+            .where(F.col("jaccard_sim") >= threshold)
+            .select("id_a", "id_b", "jaccard_sim")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist(blocking=False)
+        if inv_full is not None:
+            inv_full.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
@@ -464,9 +523,14 @@ def assign_representatives(
             .count()
         )
         if prev_persisted is not None:
-            prev_persisted.unpersist()
+            prev_persisted.unpersist(blocking=False)
         prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    # snapshot the final (small: one row per id) labels and release the
+    # last iteration's cache — no persisted block outlives the call
+    out = labels.localCheckpoint(eager=True)
+    if prev_persisted is not None:
+        prev_persisted.unpersist(blocking=False)
+    return out

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from merchant_classification_spark.operators.relational import group_topk
 
@@ -133,13 +132,14 @@ def class_percentile_split(
     (reference 01_merchcat_etl.py:176-201 — SURVEY.md §2.2 P4).
 
     Returns (train, test): train = percentile < 1 - test_fraction,
-    test = the complement. The ranked frame is persisted so both halves are
-    carved from ONE materialization — train ∪ test == input and
-    train ∩ test == ∅ by construction.
+    test = the complement. The ranked frame is snapshotted eagerly
+    (``localCheckpoint``) so both halves are carved from ONE
+    materialization — train ∪ test == input and train ∩ test == ∅ by
+    construction — and the snapshot blocks are released by the context
+    cleaner once the returned frames go out of scope (a bare ``persist``
+    here leaked cache into every composing pipeline).
     """
-    ranked = with_class_percentile(df, key, seed=seed).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ranked = with_class_percentile(df, key, seed=seed).localCheckpoint(eager=True)
     threshold = 1.0 - test_fraction
     train = ranked.where(F.col("class_percentile") < threshold)
     test = ranked.where(F.col("class_percentile") >= threshold)

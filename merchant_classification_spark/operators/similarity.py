@@ -172,6 +172,7 @@ def ivf_topk(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     fit_sample_rows: int = 100_000,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index: KMeans
     coarse quantizer assigns every row to a centroid cell; each query
@@ -184,6 +185,15 @@ def ivf_topk(
     join shuffles on cell id — cells are size-balanced by KMeans, and
     recall/cost is a dial (n_probe/n_centroids). Compared to SRP-LSH this
     adapts to the data's actual cluster structure.
+
+    Sampling never triggers its own full pass over ``data``: when the
+    caller knows the table size it passes ``n_rows_hint`` (catalog/file
+    statistics — free) and the fit set is a seeded uniform sample;
+    without a hint the fit set is ``limit(fit_sample_rows)``, which reads
+    only ~that many rows. The limit fallback is file-order biased — fine
+    for a coarse quantizer probed with n_probe > 1, but pass the hint for
+    clustered-layout data. The bounded fit set is persisted for KMeans's
+    iterations and released before returning.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -191,16 +201,19 @@ def ivf_topk(
     d = data.select(
         F.col(data_id).alias("vec_id"), to_double_array(data_vec).alias("dv")
     ).withColumn("features", array_to_vector("dv"))
-    # Bound the quantizer's training set: one cheap count (parquet row-group
-    # stats), then a seeded uniform sample. Assignment below still scans
-    # every row exactly once, which is the correct full-data pass.
-    n_rows = data.count()
     target = max(fit_sample_rows, 50 * n_centroids)
-    fit_df = d if n_rows <= target else d.sample(
-        fraction=min(1.0, 1.05 * target / n_rows), seed=seed
-    )
-    kmeans = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell")
-    model = kmeans.fit(fit_df)
+    if n_rows_hint is not None and n_rows_hint > target:
+        fit_df = d.sample(fraction=min(1.0, 1.05 * target / n_rows_hint), seed=seed)
+    else:
+        fit_df = d.limit(target)
+    fit_df = fit_df.persist()
+    try:
+        kmeans = KMeans(
+            k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell"
+        )
+        model = kmeans.fit(fit_df)
+    finally:
+        fit_df.unpersist(blocking=False)
     assigned = model.transform(d).select("vec_id", "dv", "cell")
 
     centroids = [

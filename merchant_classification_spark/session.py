@@ -51,6 +51,16 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # long-lived sessions compile one codegen class per stage; the JVM
+        # default 240m code cache can fill after a few hundred distinct
+        # plans, silently disabling the JIT (3-10x slowdown on expression-
+        # heavy plans). Sized for service-style sessions running thousands
+        # of distinct queries.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        # proactive driver GC so the context cleaner releases out-of-scope
+        # checkpoint/broadcast/shuffle blocks promptly — with a large heap,
+        # organic GCs can be tens of minutes apart and block cleanup stalls
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     if extra_conf:
         for k, v in extra_conf.items():

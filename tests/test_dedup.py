@@ -108,3 +108,31 @@ def test_minhash_on_documents_table(tables):
     pairs = minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
     n = pairs.count()
     assert n < docs.count() ** 2 / 10  # LSH actually prunes
+
+def test_ngram_jaccard_pathological_giant_doc(spark):
+    """A single 50k-shingle document must stream through the prefix stage.
+
+    The prefix is selected with a window row_number over (df_count,
+    shingle) — constant memory per posting row — instead of a per-doc
+    collect_list aggregation buffer, so one multi-MB outlier document
+    cannot OOM an executor. The giant doc shares no vocabulary with the
+    near-dup pair, so the verified output is exactly that pair.
+    """
+    import random
+
+    rng = random.Random(7)
+    giant = " ".join(f"w{rng.randrange(10**9)}" for _ in range(50_000 + 2))
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, giant)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_df=None
+        ).collect()
+    }
+    assert set(got) == {(0, 1)}
+    # 6 3-shingles each, 5 shared -> 5/7
+    assert abs(got[(0, 1)] - 5 / 7) < 1e-12
