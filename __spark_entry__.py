@@ -1784,7 +1784,7 @@ def q_argmin_per_group(spark, sf_dir):
     ).orderBy("p_type")
 
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
     "filter_project": q_filter_project,
@@ -1873,10 +1873,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q22_global_avg": q_tpch_q22_global_avg,
     "argmin_per_group": q_argmin_per_group,
 }
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
 
 
 ORACLES: dict[str, str] = {
@@ -2963,5 +2959,125 @@ ORACLES["argmin_per_group"] = """
 """
 
 
+# ---------------------------------------------------------------------------
+# driver registry: consolidated suites
+# ---------------------------------------------------------------------------
+# The external gate grades only the first 50 entries of ``queries()``; with
+# 87 single-operator entries, 37 ran ungraded. Related probes are therefore
+# consolidated into tagged union suites: each branch keeps its EXACT
+# original plan and oracle SQL — the suite unions the branch results by
+# column name with a ``part_tag`` discriminator (Spark ``unionByName(...,
+# allowMissingColumns=True)`` ↔ DuckDB ``UNION ALL BY NAME``), so a hash
+# mismatch in ANY branch fails the whole suite. Every declared query now
+# has a hard correctness row, and the genuinely non-SQL-expressible
+# queries (seeded hashes / sampling / approx sketches / ML training) sit
+# LAST so they can never crowd an oracle-backed query out of the window.
+# The per-branch callables stay importable for tests and ad-hoc use.
+
+SUITES: dict[str, list[str]] = {
+    "flagship_accuracy": ["flagship_accuracy"],
+    "basic_agg_suite": ["class_histogram", "group_sum_avg", "conditional_agg"],
+    "filter_sort_suite": ["filter_project", "sort_limit", "case_when_bands"],
+    "join_suite": ["join_left_counts", "join_dim_chain", "semi_anti_join"],
+    "window_order_suite": ["window_percent_rank", "window_rank_suite"],
+    "running_window_suite": ["running_totals", "rolling_range_frame"],
+    "extrema_per_group_suite": ["topk_per_group", "argmin_per_group"],
+    "quantile_suite": ["percentiles_quantity", "median_by_group", "iqr_outliers"],
+    "histogram_stats_suite": ["histogram_bins", "stats_suite"],
+    "set_membership_suite": ["set_ops", "distinct_counts", "subquery_suite"],
+    "json_suite": ["json_extract", "json_schema_parse"],
+    "doc_metrics_suite": [
+        "clean_narrative",
+        "token_stats",
+        "lang_profile",
+        "quality_scores",
+        "repetition_scores",
+        "pii_scrub",
+    ],
+    "etl_clean_format": ["etl_clean_format"],
+    "tpch_agg_suite": [
+        "tpch_q1_pricing",
+        "tpch_q17_small_qty",
+        "tpch_q19_disjunctive",
+        "tpch_q22_global_avg",
+    ],
+    "tpch_join_suite": ["tpch_q3_shipping", "tpch_q5_local_volume", "tpch_q7_volume"],
+    "tpch_topn_suite": [
+        "tpch_q13_custdist",
+        "tpch_q15_top_supplier",
+        "tpch_q18_large_orders",
+    ],
+    "sql_api": ["sql_api"],
+    "grouping_suite": ["rollup_revenue", "cube_revenue", "grouping_sets"],
+    "reshape_suite": ["pivot_counts", "unpivot_metrics"],
+    "dedup_suite": ["dedup_exact", "dedup_fingerprint", "dedup_rep_assign"],
+    "neardup_pairs_suite": ["ngram_jaccard_neardup", "embedding_neardup"],
+    "ann_exact_suite": ["ann_bruteforce", "ann_quantized"],
+    "embedding_suite": ["embedding_quantize", "embedding_stats"],
+    "multimodal_decode": ["multimodal_decode"],
+    "vocab_suite": ["ngram_top", "tfidf_vocab"],
+    "dates_suite": ["monthly_orders", "date_breadth", "gap_fill_daily"],
+    "temporal_join_suite": ["asof_last_click", "range_click_window"],
+    "sessions_suite": [
+        "event_time_windows",
+        "session_window_builtin",
+        "sessionize_batch",
+    ],
+    "behavioral_suite": ["funnel_steps", "cohort_retention", "time_weighted_avg"],
+    "scd_layout_suite": ["scd2_intervals", "zorder_cells"],
+    "overlap_suite": ["fuzzy_nation_pairs", "decontaminate_overlap"],
+}
+
+# rows-only (no SQL oracle can exist): declared LAST, after every graded
+# suite — seeded-hash LSH tiers, seeded sampling, approx sketches, ML
+ROWS_ONLY: list[str] = [
+    "minhash_neardup",
+    "simhash_neardup",
+    "embedding_neardup_lsh",
+    "ann_lsh",
+    "ann_ivf",
+    "stratified_sample",
+    "class_percentile_split",
+    "approx_sketches",
+    "hll_rollup",
+    "grouped_linear_fit",
+    "ml_train_score",
+]
+
+
+def _suite_query(names: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for n in names:
+            d = BRANCH_QUERIES[n](spark, sf_dir).withColumn("part_tag", F.lit(n))
+            out = d if out is None else out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    return q
+
+
+def _suite_sql(names: list[str]) -> str:
+    return "\nUNION ALL BY NAME\n".join(
+        f"SELECT '{n}' AS part_tag, * FROM (\n{ORACLES[n]}\n)" for n in names
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SUITE_ORACLES: dict[str, str] = {}
+for _suite, _members in SUITES.items():
+    if len(_members) == 1:
+        QUERIES[_suite] = BRANCH_QUERIES[_members[0]]
+        SUITE_ORACLES[_suite] = ORACLES[_members[0]]
+    else:
+        QUERIES[_suite] = _suite_query(_members)
+        SUITE_ORACLES[_suite] = _suite_sql(_members)
+for _name in ROWS_ONLY:
+    QUERIES[_name] = BRANCH_QUERIES[_name]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return dict(SUITE_ORACLES)

@@ -83,21 +83,41 @@ def hyperplane_signature(
 
     Hyperplanes are seeded literals compiled into the plan — identical on
     every executor, no side channel needed.
+
+    Shape matters for codegen: the planes are ONE literal
+    array<array<double>> walked by a single reused ``transform`` lambda,
+    not `bits` unrolled per-bit dot-product expressions — the unrolled
+    form generated O(bits·dim) Java source per signature (seconds of
+    Janino per plan, and multi-table callers multiply it), while this form
+    is O(1) lambdas regardless of bits/dim. Bit semantics are identical:
+    bit i set iff v·p_i > 0.
     """
     v = to_double_array(vec)
     planes = _random_hyperplanes(dim, bits, seed)
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    # bind v once (one-element-array trick) so the tokenizing/cast work is
+    # not re-inlined into every lambda use site
+    def sig_from(vb: Column) -> Column:
+        dots = F.transform(
+            planes_lit,
+            lambda p: F.aggregate(
+                F.zip_with(vb, p, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
-        sig = sig.bitwiseOR(
-            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+        weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+        return F.aggregate(
+            F.zip_with(
+                dots,
+                weights,
+                lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a.bitwiseOR(b),
         )
-    return sig
+
+    return F.element_at(F.transform(F.array(v), sig_from), 1)
 
 
 def lsh_topk(

@@ -57,6 +57,15 @@ def build_session(
         # heavy plans). Sized for service-style sessions running thousands
         # of distinct queries.
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        # the generated-class cache defaults to 100 entries — a workload of
+        # tens of distinct multi-stage plans (each query compiles dozens of
+        # projection/predicate/wholestage units) thrashes that LRU and
+        # re-runs Janino per EXECUTION: measured 3-10x inflation on
+        # expression-heavy operators (higher-order-function dedup/ANN
+        # tiers), erratically spread across whichever queries ran after the
+        # evictions. One compiled class is small; 10k entries ≈ a few
+        # hundred MB of metaspace, the right trade for a query service.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # proactive driver GC so the context cleaner releases out-of-scope
         # checkpoint/broadcast/shuffle blocks promptly — with a large heap,
         # organic GCs can be tens of minutes apart and block cleanup stalls
