@@ -42,7 +42,13 @@ class RunTracker:
         metrics: dict,
         model_path: str | None = None,
         tags: dict | None = None,
+        signature: dict[str, str] | None = None,
     ) -> str:
+        """``signature`` is the model's IO contract as {column: type} pairs
+        split into "inputs"/"outputs" keys (the reference signs its pyfunc
+        with a string→string ColSpec pair, 02_merchcat_ml.py:199-201); it
+        travels with the run so scorers can validate frames before
+        transform."""
         run_id = uuid.uuid4().hex
         if HAVE_MLFLOW:
             with mlflow.start_run(run_name=run_id):
@@ -50,6 +56,10 @@ class RunTracker:
                 mlflow.log_metrics(metrics)
                 if tags:
                     mlflow.set_tags(tags)
+                if signature:
+                    mlflow.set_tags(
+                        {"model_signature": json.dumps(signature, sort_keys=True)}
+                    )
             return run_id
         record = {
             "experiment": self.experiment,
@@ -59,17 +69,31 @@ class RunTracker:
             "metrics": metrics,
             "model_path": model_path,
             "tags": tags or {},
+            "signature": signature,
         }
         with open(os.path.join(self.directory, "runs.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
         return run_id
 
-    def register(self, model_path: str, name: str, stage: str = "production") -> None:
+    def register(
+        self,
+        model_path: str,
+        name: str,
+        stage: str = "production",
+        signature: dict[str, str] | None = None,
+    ) -> None:
         """Model registry: a named pointer to the current production model
-        (reference 02_merchcat_ml.py:467-478)."""
+        (reference 02_merchcat_ml.py:467-478), carrying the model's IO
+        signature so consumers can type-check without loading it."""
         if HAVE_MLFLOW:
             mlflow.register_model(f"file://{model_path}", name)
             return
-        pointer = {"name": name, "stage": stage, "path": model_path, "ts": time.time()}
+        pointer = {
+            "name": name,
+            "stage": stage,
+            "path": model_path,
+            "ts": time.time(),
+            "signature": signature,
+        }
         with open(os.path.join(self.directory, f"registry_{name}.json"), "w") as f:
             json.dump(pointer, f)

@@ -85,6 +85,12 @@ def train_merchant_classifier(
     tracker = RunTracker(cfg.model_name, directory=cfg.model_path)
     model_dir = os.path.join(cfg.model_path, f"{cfg.model_name}_model")
     model.save(model_dir)
+    # string→string contract, mirroring the reference's signed pyfunc
+    # (02_merchcat_ml.py:199-201): text narrative in, label string out
+    signature = {
+        "inputs": {clf.text_col: "string"},
+        "outputs": {clf.prediction_col: "string"},
+    }
     run_id = tracker.log_run(
         params={
             "ngram_max": clf.ngram_max,
@@ -96,9 +102,10 @@ def train_merchant_classifier(
         },
         metrics=metrics,
         model_path=model_dir,
+        signature=signature,
     )
     if register:
-        tracker.register(model_dir, cfg.model_name)
+        tracker.register(model_dir, cfg.model_name, signature=signature)
     return TrainResult(
         model=model,
         metrics=metrics,

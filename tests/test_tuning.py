@@ -98,9 +98,15 @@ def test_tune_classifier_tpe_gated(split_data):
 
 def test_run_tracker_local(tmp_path):
     tracker = RunTracker("exp1", directory=str(tmp_path))
-    rid = tracker.log_run({"lr": 0.1}, {"acc": 0.97}, model_path="/tmp/m")
-    tracker.register("/tmp/m", "merchant_model")
+    sig = {"inputs": {"tr_description": "string"}, "outputs": {"pr_merchant": "string"}}
+    rid = tracker.log_run(
+        {"lr": 0.1}, {"acc": 0.97}, model_path="/tmp/m", signature=sig
+    )
+    tracker.register("/tmp/m", "merchant_model", signature=sig)
     runs = [json.loads(l) for l in open(tmp_path / "runs.jsonl")]
     assert runs[0]["run_id"] == rid and runs[0]["metrics"]["acc"] == 0.97
+    # the string→string IO contract travels with BOTH the run record and
+    # the registry pointer (reference signs its pyfunc the same way)
+    assert runs[0]["signature"] == sig
     reg = json.load(open(tmp_path / "registry_merchant_model.json"))
-    assert reg["path"] == "/tmp/m"
+    assert reg["path"] == "/tmp/m" and reg["signature"] == sig
