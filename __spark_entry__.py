@@ -1784,6 +1784,357 @@ def q_argmin_per_group(spark, sf_dir):
     ).orderBy("p_type")
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 3): the remaining 12 query shapes, adapted to the
+# corpus schema (no partsupp / l_commitdate / l_shipmode here, so those
+# queries keep their SHAPE — scan-agg, correlated exists, scalar-subquery
+# share, decorrelated double-negation — on the available columns). All
+# money flows through the integer-cents discipline so the oracle hash is
+# bit-exact.
+# ---------------------------------------------------------------------------
+
+def _rev_cents():
+    # Column exprs need a live SparkContext, so build per call, not at import
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+
+
+def q_tpch_q6_forecast(spark, sf_dir):
+    # Q6: single-table scan-agg with tight band predicates — the shape
+    # must compile to one parquet scan with every filter pushed down.
+    li = _t(spark, sf_dir, "lineitem")
+    disc_cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+        "long"
+    )
+    return li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(disc_cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q12_latency(spark, sf_dir):
+    # Q12 shape (no l_shipmode/commitdate in corpus): ship-latency bands x
+    # priority-class counts. One join, one hash agg.
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    lat = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    band = F.when(lat > 60, F.lit("late")).otherwise(F.lit("timely"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(band.alias("latency_band"), high.alias("is_high"))
+        .groupBy("latency_band")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("latency_band")
+    )
+
+
+def q_tpch_q14_promo(spark, sf_dir):
+    # Q14: promo revenue share in one month — conditional agg over a join;
+    # the share divides two exact bigint sums so the double is bit-stable.
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.when(F.col("p_type") == "PROMO", _rev_cents()).otherwise(F.lit(0)).alias(
+            "promo_cents"
+        ),
+        _rev_cents().alias("cents"),
+    )
+    return joined.agg(
+        F.sum("promo_cents").alias("promo_revenue_cents"),
+        F.sum("cents").alias("total_revenue_cents"),
+    ).select(
+        "promo_revenue_cents",
+        "total_revenue_cents",
+        (F.col("promo_revenue_cents") / F.col("total_revenue_cents")).alias(
+            "promo_share"
+        ),
+    )
+
+
+def q_tpch_q8_market_share(spark, sf_dir):
+    # Q8: national market share — of ASIA-region customers' MEDIUM-part
+    # revenue, the fraction supplied by NATION_3, by order year.
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "MEDIUM")
+    supp = _t(spark, sf_dir, "supplier")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    # region restriction goes through the customer nation
+    cn_full = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn_full), cust.c_nationkey == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev_cents().alias("cents"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_cents"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            (F.col("nation_cents") / F.col("total_cents")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9_profit(spark, sf_dir):
+    # Q9 shape (profit sans supplycost): revenue on 'red' parts by
+    # supplier nation x order year.
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev_cents().alias("cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("cents").alias("profit_cents"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q10_returns(spark, sf_dir):
+    # Q10: top-20 customers by revenue lost to returns in a quarter.
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+            "n_name",
+        )
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q4_priority(spark, sf_dir):
+    # Q4: order-priority checking — EXISTS correlated on lineitem,
+    # expressed as a LEFT SEMI join (the decorrelation Catalyst would pick).
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    waiting = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        waiting.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q11_share(spark, sf_dir):
+    # Q11 shape: groups exceeding a fixed share of a global scalar —
+    # per-nation supplier balance > total/20, scalar joined by broadcast.
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    per_n = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("bal_cents")
+        )
+    )
+    total = per_n.agg(F.sum("bal_cents").alias("total_cents"))
+    return (
+        per_n.crossJoin(F.broadcast(total))
+        .where(F.col("bal_cents") > F.col("total_cents") / 20)
+        .select("n_name", "bal_cents")
+        .orderBy(F.col("bal_cents").desc(), "n_name")
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark, sf_dir):
+    # Q16 shape: distinct-supplier counts per part attribute, excluding a
+    # NOT-IN supplier set (anti join — null-safe by construction).
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#4") & F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    good_lines = li.join(
+        F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+    )
+    return (
+        good_lines.join(part, good_lines.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+def q_tpch_q2_min_cost(spark, sf_dir):
+    # Q2 shape (no partsupp): for size-5 parts, the EUROPE supplier(s)
+    # with the maximum account balance among those who shipped the part —
+    # correlated-max decorrelated into an agg + equality join-back.
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 5)
+    li = _t(spark, sf_dir, "lineitem")
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+    )
+    cand = shipped.join(eu_supp, shipped.l_suppkey == eu_supp.s_suppkey)
+    best = cand.groupBy(F.col("p_partkey").alias("bp_key")).agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(best),
+            (cand.p_partkey == F.col("bp_key"))
+            & (cand.s_acctbal == F.col("max_bal")),
+        )
+        .select(
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+        .orderBy(F.col("bal_cents").desc(), "p_partkey", "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q20_promotion(spark, sf_dir):
+    # Q20 shape: semi-join against an agg-derived supplier set — suppliers
+    # whose PROMO-part shipped quantity exceeds half the top supplier's.
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    per_supp = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("promo_qty"))
+    )
+    top = per_supp.agg(F.max("promo_qty").alias("max_qty"))
+    keep = per_supp.crossJoin(F.broadcast(top)).where(
+        F.col("promo_qty") > F.col("max_qty") / 2
+    )
+    return (
+        keep.join(supp, keep.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "promo_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21_waiting(spark, sf_dir):
+    # Q21: suppliers who kept F-status orders waiting — the only late
+    # supplier on a multi-supplier order. The EXISTS / NOT EXISTS pair is
+    # decorrelated into one per-order profile (distinct supplier count,
+    # distinct LATE supplier count) — two hash aggs instead of two
+    # correlated scans; the oracle keeps the textbook correlated form, so
+    # the gate proves the decorrelation equivalent.
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 30)
+        ).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    culprits = (
+        lines.where(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        culprits.join(supp, culprits.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -1872,6 +2223,18 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
     "tpch_q22_global_avg": q_tpch_q22_global_avg,
     "argmin_per_group": q_argmin_per_group,
+    "tpch_q6_forecast": q_tpch_q6_forecast,
+    "tpch_q12_latency": q_tpch_q12_latency,
+    "tpch_q14_promo": q_tpch_q14_promo,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q9_profit": q_tpch_q9_profit,
+    "tpch_q10_returns": q_tpch_q10_returns,
+    "tpch_q4_priority": q_tpch_q4_priority,
+    "tpch_q11_share": q_tpch_q11_share,
+    "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+    "tpch_q2_min_cost": q_tpch_q2_min_cost,
+    "tpch_q20_promotion": q_tpch_q20_promotion,
+    "tpch_q21_waiting": q_tpch_q21_waiting,
 }
 
 
@@ -2959,6 +3322,184 @@ ORACLES["argmin_per_group"] = """
 """
 
 
+ORACLES["tpch_q6_forecast"] = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+ORACLES["tpch_q12_latency"] = """
+    SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+                THEN 'late' ELSE 'timely' END AS latency_band,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["tpch_q14_promo"] = """
+    WITH j AS (
+        SELECT CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                    ELSE 0 END AS promo_cents,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    SELECT CAST(sum(promo_cents) AS BIGINT) AS promo_revenue_cents,
+           CAST(sum(cents) AS BIGINT) AS total_revenue_cents,
+           CAST(sum(promo_cents) AS BIGINT) / CAST(sum(cents) AS BIGINT) AS promo_share
+    FROM j
+"""
+
+ORACLES["tpch_q8_market_share"] = """
+    WITH base AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'MEDIUM'
+          AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT)
+               / CAST(sum(cents) AS BIGINT) AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+"""
+
+ORACLES["tpch_q9_profit"] = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+ORACLES["tpch_q10_returns"] = """
+    SELECT c_custkey, c_name,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+           n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-10-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+"""
+
+ORACLES["tpch_q4_priority"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["tpch_q11_share"] = """
+    WITH per_n AS (
+        SELECT n_name,
+               CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name, bal_cents FROM per_n
+    WHERE bal_cents > (SELECT CAST(sum(bal_cents) AS BIGINT) FROM per_n) / 20
+    ORDER BY bal_cents DESC, n_name
+"""
+
+ORACLES["tpch_q16_supplier_cnt"] = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#4' AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20
+"""
+
+ORACLES["tpch_q2_min_cost"] = """
+    WITH eu_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    shipped AS (
+        SELECT DISTINCT p_partkey, p_name, l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 5
+    ),
+    cand AS (
+        SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+        FROM shipped JOIN eu_supp ON l_suppkey = s_suppkey
+    )
+    SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+           s_name, n_name, p_partkey, p_name
+    FROM cand c
+    WHERE s_acctbal = (SELECT max(s_acctbal) FROM cand c2
+                       WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY bal_cents DESC, p_partkey, s_name LIMIT 20
+"""
+
+ORACLES["tpch_q20_promotion"] = """
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS promo_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, n_name, promo_qty
+    FROM per_supp
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE promo_qty > (SELECT CAST(max(promo_qty) AS BIGINT) FROM per_supp) / 2
+    ORDER BY s_suppkey
+"""
+
+ORACLES["tpch_q21_waiting"] = """
+    WITH fo AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait FROM (
+        SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        FROM lineitem l1 JOIN fo ON l1.l_orderkey = fo.o_orderkey
+        WHERE CAST(l1.l_shipdate AS DATE) > fo.od + 30
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN fo f3 ON l3.l_orderkey = f3.o_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND CAST(l3.l_shipdate AS DATE) > f3.od + 30)
+    ) w JOIN supplier ON w.l_suppkey = s_suppkey
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver registry: consolidated suites
 # ---------------------------------------------------------------------------
@@ -3007,6 +3548,14 @@ SUITES: dict[str, list[str]] = {
         "tpch_q15_top_supplier",
         "tpch_q18_large_orders",
     ],
+    "tpch_agg2_suite": ["tpch_q6_forecast", "tpch_q12_latency", "tpch_q14_promo"],
+    "tpch_join2_suite": [
+        "tpch_q8_market_share",
+        "tpch_q9_profit",
+        "tpch_q10_returns",
+    ],
+    "tpch_sub2_suite": ["tpch_q4_priority", "tpch_q11_share", "tpch_q16_supplier_cnt"],
+    "tpch_exists_suite": ["tpch_q2_min_cost", "tpch_q20_promotion", "tpch_q21_waiting"],
     "sql_api": ["sql_api"],
     "grouping_suite": ["rollup_revenue", "cube_revenue", "grouping_sets"],
     "reshape_suite": ["pivot_counts", "unpivot_metrics"],
