@@ -109,3 +109,25 @@ def test_text_ops_no_shuffle(spark, sf_dir):
     # beyond the final sort)
     df = entry.q_quality_scores(spark, sf_dir)
     assert count_exchanges(df) <= 1  # only the orderBy range partition
+
+def test_tpch_q6_all_filters_pushed(spark, sf_dir):
+    # Q6 is THE pushdown litmus: every band predicate must reach the scan
+    df = entry.q_tpch_q6_forecast(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_tpch_q8_dims_broadcast(spark, sf_dir):
+    # the nation/region sides of the market-share join must broadcast
+    assert has_broadcast_join(entry.q_tpch_q8_market_share(spark, sf_dir))
+
+
+def test_tpch_q21_two_aggs_no_correlated_rescan(spark, sf_dir):
+    # the decorrelated waiting-supplier plan stays JVM-side and keeps a
+    # bounded shuffle count (per-order profile + culprit dedup + final
+    # agg — NOT one scan per correlated subquery per row)
+    df = entry.q_tpch_q21_waiting(spark, sf_dir)
+    assert_no_python_eval(df)
+    assert count_exchanges(df) <= 10

@@ -24,8 +24,9 @@ from merchant_classification_spark.plans.explain import (  # noqa: E402
 from merchant_classification_spark.session import build_session  # noqa: E402
 
 # Python workers are expected ONLY where the operator is defined by a
-# Python library boundary (Arrow-batched): multimodal decode, ML fit.
-PYTHON_OK = {"multimodal_decode", "ml_train_score"}
+# Python library boundary (Arrow-batched): multimodal decode, ML fit,
+# grouped-map OLS (applyInPandas — per-group numerical fitting).
+PYTHON_OK = {"multimodal_decode", "ml_train_score", "grouped_linear_fit"}
 
 
 def main() -> None:
