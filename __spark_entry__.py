@@ -2135,6 +2135,40 @@ def q_tpch_q21_waiting(spark, sf_dir):
     )
 
 
+def q_edit_distance_neardup(spark, sf_dir):
+    # Ed-Join-shaped edit-distance near-dup join: q-gram rarity-prefix +
+    # length filters (both lossless) + exact levenshtein verify. The
+    # oracle is the NAIVE quadratic join, so the gate proves the pruning
+    # drops no pair.
+    from merchant_classification_spark.operators.dedup import edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return edit_distance_pairs(cust, "c_custkey", "c_name", max_distance=1)
+
+
+def q_array_hof(spark, sf_dir):
+    # array higher-order functions over the embedding column, kept
+    # bit-exact by milli-unit integerization (double-cast before scaling
+    # so Spark and the oracle do identical IEEE math): transform, filter,
+    # aggregate (fold), array_min/max, size.
+    emb = _t(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    bound = F.array(milli)  # bind once: HOFs below reuse, not re-derive
+    m = F.element_at(bound, 1)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter(m, lambda e: e > 0)).alias("n_pos"),
+        F.aggregate(m, F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "sum_milli"
+        ),
+        F.array_max(m).alias("max_milli"),
+        F.array_min(m).alias("min_milli"),
+    )
+
+
 BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -2235,6 +2269,8 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q2_min_cost": q_tpch_q2_min_cost,
     "tpch_q20_promotion": q_tpch_q20_promotion,
     "tpch_q21_waiting": q_tpch_q21_waiting,
+    "edit_distance_neardup": q_edit_distance_neardup,
+    "array_hof_suite": q_array_hof,
 }
 
 
@@ -3479,6 +3515,29 @@ ORACLES["tpch_q20_promotion"] = """
     ORDER BY s_suppkey
 """
 
+ORACLES["edit_distance_neardup"] = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+ORACLES["array_hof_suite"] = """
+    WITH m AS (
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS milli
+        FROM embeddings
+    )
+    SELECT vec_id, dim,
+           CAST(len(list_filter(milli, e -> e > 0)) AS INTEGER) AS n_pos,
+           CAST(list_aggregate(milli, 'sum') AS BIGINT) AS sum_milli,
+           CAST(list_aggregate(milli, 'max') AS BIGINT) AS max_milli,
+           CAST(list_aggregate(milli, 'min') AS BIGINT) AS min_milli
+    FROM m
+"""
+
 ORACLES["tpch_q21_waiting"] = """
     WITH fo AS (
         SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
@@ -3556,6 +3615,8 @@ SUITES: dict[str, list[str]] = {
     ],
     "tpch_sub2_suite": ["tpch_q4_priority", "tpch_q11_share", "tpch_q16_supplier_cnt"],
     "tpch_exists_suite": ["tpch_q2_min_cost", "tpch_q20_promotion", "tpch_q21_waiting"],
+    "edit_distance_neardup": ["edit_distance_neardup"],
+    "array_hof_suite": ["array_hof_suite"],
     "sql_api": ["sql_api"],
     "grouping_suite": ["rollup_revenue", "cube_revenue", "grouping_sets"],
     "reshape_suite": ["pivot_counts", "unpivot_metrics"],

@@ -384,6 +384,120 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# edit-distance near-dup join (Ed-Join-style q-gram prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT pairs (id_a < id_b) with levenshtein ≤ ``max_distance``,
+    without the naive n² comparison (Xiao/Wang/Lin's Ed-Join shape):
+
+      1. positional q-grams per string (native substring+sequence);
+      2. global rarity order (df_count, gram, pos) — one edit destroys at
+         most q grams, so two strings within distance k MUST share a gram
+         among their first ``q·k + 1`` rarest tokens (prefix filter,
+         lossless); rarity ordering keeps high-frequency grams (shared
+         constant prefixes like 'Customer#0000…') out of the join keys;
+      3. length filter |len_a − len_b| ≤ k (lossless);
+      4. exact ``levenshtein`` verify on the surviving candidates only.
+
+    Strings shorter than ``q·k + q`` have fewer than q·k+1 grams, so the
+    prefix argument doesn't hold — they take an all-pairs block against
+    the (tiny at corpus scale) ≤ ``q·k+q−1+k`` length band instead.
+
+    Scale shape: candidate generation shuffles (gram, id) tokens only —
+    q·k+1 per string regardless of string length; the rarity ordering is
+    one window over the gram shuffle; verify re-joins the strings once
+    per surviving pair. Internal persists release before returning (same
+    eager contract as ``minhash_dedup_pairs``).
+    """
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    k = max_distance
+    min_long = q * k + q
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("s"))
+        .where(F.col("s").isNotNull())
+        .withColumn("len", F.length("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefix = None
+    try:
+        longs = base.where(F.col("len") >= min_long)
+        toks = longs.select(
+            "doc_id",
+            "len",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("len") - (q - 1)),
+                    lambda i: F.col("s").substr(i, F.lit(q)),
+                )
+            ).alias("pos", "gram"),
+        )
+        freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df_count"))
+        w_doc = Window.partitionBy("doc_id").orderBy("df_count", "gram", "pos")
+        prefix = (
+            toks.join(freq, "gram")
+            .withColumn("rn", F.row_number().over(w_doc))
+            .where(F.col("rn") <= q * k + 1)
+            .select("doc_id", "len", "gram")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        l = prefix.select(
+            F.col("doc_id").alias("id_a"), F.col("len").alias("len_a"), "gram"
+        )
+        r = prefix.select(
+            F.col("doc_id").alias("id_b"), F.col("len").alias("len_b"), "gram"
+        )
+        long_cand = (
+            l.join(r, "gram")
+            .where(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("len_a") - F.col("len_b")) <= k)
+            )
+            .select("id_a", "id_b")
+        )
+        shorts_band = base.where(F.col("len") <= min_long - 1 + k)
+        sa = shorts_band.select(
+            F.col("doc_id").alias("id_a"), F.col("len").alias("len_a")
+        )
+        sb = shorts_band.select(
+            F.col("doc_id").alias("id_b"), F.col("len").alias("len_b")
+        )
+        short_cand = (
+            sa.join(
+                sb,
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("len_a") - F.col("len_b")) <= k),
+            )
+        ).select("id_a", "id_b")
+        cand = long_cand.union(short_cand).dropDuplicates(["id_a", "id_b"])
+        stra = base.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+        strb = base.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+        out = (
+            cand.join(stra, "id_a")
+            .join(strb, "id_b")
+            .withColumn(
+                "edit_dist", F.levenshtein("s_a", "s_b").cast("long")
+            )
+            .where(F.col("edit_dist") <= k)
+            .select("id_a", "id_b", "edit_dist")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist(blocking=False)
+        if prefix is not None:
+            prefix.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -136,3 +136,68 @@ def test_ngram_jaccard_pathological_giant_doc(spark):
     assert set(got) == {(0, 1)}
     # 6 3-shingles each, 5 shared -> 5/7
     assert abs(got[(0, 1)] - 5 / 7) < 1e-12
+
+def test_edit_distance_pairs_exact_vs_naive(spark):
+    """Prefix-filtered edit-distance join must equal the naive quadratic."""
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.operators.dedup import edit_distance_pairs
+
+    names = [
+        "Customer#000000017",
+        "Customer#000000018",  # sub of last digit: ed=1
+        "Customer#0000000017",  # one inserted zero: ed=1 vs doc 0
+        "Customer#000000999",
+        "ab",                  # short-string block
+        "b",                   # ed("ab","b")=1
+        "zz",
+        "Supplier#000000017",  # ed vs Customer twin > 1
+    ]
+    df = spark.createDataFrame(list(enumerate(names)), ["doc_id", "name"])
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in edit_distance_pairs(df, "doc_id", "name", max_distance=1).collect()
+    }
+    l = df.select(F.col("doc_id").alias("id_a"), F.col("name").alias("na"))
+    r_ = df.select(F.col("doc_id").alias("id_b"), F.col("name").alias("nb"))
+    naive = {
+        (row.id_a, row.id_b): row.d
+        for row in l.crossJoin(r_)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("d", F.levenshtein("na", "nb").cast("long"))
+        .where(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == naive
+    assert (0, 1) in got and (0, 2) in got and (4, 5) in got
+
+
+def test_edit_distance_pairs_k2_table(tables):
+    """k=2 on the real customer table still matches the naive join."""
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.operators.dedup import edit_distance_pairs
+
+    cust = tables["customer"].select("c_custkey", "c_name")
+    got = (
+        edit_distance_pairs(cust, "c_custkey", "c_name", max_distance=2)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("id_a") + F.col("id_b") + F.col("edit_dist")).alias("chk"),
+        )
+        .collect()[0]
+    )
+    l = cust.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na"))
+    r = cust.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("nb"))
+    naive = (
+        l.crossJoin(r)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("na", "nb").cast("long"))
+        .where(F.col("edit_dist") <= 2)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("id_a") + F.col("id_b") + F.col("edit_dist")).alias("chk"),
+        )
+        .collect()[0]
+    )
+    assert (got.n, got.chk) == (naive.n, naive.chk) and got.n > 0
