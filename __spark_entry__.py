@@ -2169,6 +2169,35 @@ def q_array_hof(spark, sf_dir):
     )
 
 
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 16
+PACK_BUDGET = 512
+
+
+def q_chunk_documents(spark, sf_dir):
+    # long-document → context-window preparation (overlapping token
+    # windows, map-only); oracle replays the slicing with DuckDB lists
+    from merchant_classification_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        window=CHUNK_WINDOW,
+        stride=CHUNK_STRIDE,
+    )
+
+
+def q_pack_documents(spark, sf_dir):
+    # deterministic sequence packing by start-offset rule — a prefix sum,
+    # so the oracle replays it exactly with window functions
+    from merchant_classification_spark.operators.chunking import pack_documents
+
+    return pack_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", budget=PACK_BUDGET
+    )
+
+
 BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -2271,6 +2300,8 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21_waiting": q_tpch_q21_waiting,
     "edit_distance_neardup": q_edit_distance_neardup,
     "array_hof_suite": q_array_hof,
+    "chunk_documents": q_chunk_documents,
+    "pack_documents": q_pack_documents,
 }
 
 
@@ -3515,6 +3546,54 @@ ORACLES["tpch_q20_promotion"] = """
     ORDER BY s_suppkey
 """
 
+ORACLES["chunk_documents"] = f"""
+    WITH tok AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, t, CAST(len(t) AS INTEGER) AS n_tokens
+        FROM tok WHERE len(t) > 0
+    ),
+    c AS (
+        SELECT doc_id, t, n_tokens,
+               CAST((greatest(n_tokens - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE - 1})
+                    // {CHUNK_STRIDE} AS INTEGER) + 1 AS n_chunks
+        FROM sized
+    ),
+    e AS (
+        SELECT doc_id, n_tokens, t,
+               unnest(range(0, n_chunks)) AS chunk_id
+        FROM c
+    )
+    SELECT doc_id, n_tokens,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INTEGER) AS start_token,
+           CAST(len(t[(chunk_id * {CHUNK_STRIDE} + 1):(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW})]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(t[(chunk_id * {CHUNK_STRIDE} + 1):(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW})], ' ') AS chunk_text
+    FROM e
+"""
+
+ORACLES["pack_documents"] = f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens
+        FROM documents WHERE len({_SQL_TOKENS}) > 0
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM sized
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(row_number() OVER (
+               PARTITION BY cum_before // {PACK_BUDGET} ORDER BY doc_id
+           ) AS INTEGER) AS pack_pos,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM c
+"""
+
 ORACLES["edit_distance_neardup"] = """
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
@@ -3617,6 +3696,7 @@ SUITES: dict[str, list[str]] = {
     "tpch_exists_suite": ["tpch_q2_min_cost", "tpch_q20_promotion", "tpch_q21_waiting"],
     "edit_distance_neardup": ["edit_distance_neardup"],
     "array_hof_suite": ["array_hof_suite"],
+    "chunk_pack_suite": ["chunk_documents", "pack_documents"],
     "sql_api": ["sql_api"],
     "grouping_suite": ["rollup_revenue", "cube_revenue", "grouping_sets"],
     "reshape_suite": ["pivot_counts", "unpivot_metrics"],

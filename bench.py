@@ -49,6 +49,7 @@ def main() -> None:
     force(entry_mod.q_class_histogram(spark, sf_dir))
 
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     total = 0.0
     for name, fn in entry_mod.queries().items():
         if warmup:
@@ -56,12 +57,17 @@ def main() -> None:
             # operators that persist() internally (dedup, ANN index
             # builds) must not leak cached input into the measured pass
             spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        spark.catalog.clearCache()
+        # min over `reps` measured passes: one ambient-load hiccup on a
+        # shared box otherwise lands verbatim in the recorded number
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        total += best
 
     # per-query map on its own line FIRST; the compact machine-readable
     # headline is the FINAL line by itself (with many queries the combined

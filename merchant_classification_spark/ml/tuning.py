@@ -232,3 +232,46 @@ def tune_classifier_tpe(
         best_accuracy=best_state["acc"],
         trials=trials_log,
     )
+
+
+def tune_with_spark_trials(
+    objective,
+    space: dict,
+    max_evals: int = 16,
+    parallelism: int = 2,
+    seed: int = 42,
+):
+    """Cluster-distributed TPE via hyperopt's ``SparkTrials`` (the
+    reference drives exactly this, 02_merchcat_ml.py:315): each trial is
+    shipped to an executor as one Spark task, which is the right shape for
+    SINGLE-NODE training libraries (fasttext/sklearn/xgboost-local — the
+    reference's fasttext case). Spark-native MLlib models must NOT nest
+    jobs inside executors, so the engine routes those through
+    ``tune_classifier_parallel`` (driver-side concurrent trials — the
+    same cluster utilization, legal job topology).
+
+    ``objective`` must be a self-contained picklable callable (no
+    DataFrame/SparkSession captures). Returns (best_params, trials).
+    Optional dependency: ImportError with guidance when hyperopt is
+    absent.
+    """
+    try:
+        import numpy as np
+        from hyperopt import SparkTrials, fmin, tpe
+    except ImportError as e:  # pragma: no cover - exercised when installed
+        raise ImportError(
+            "tune_with_spark_trials requires hyperopt; MLlib models tune "
+            "via tune_classifier / tune_classifier_parallel instead"
+        ) from e
+
+    trials = SparkTrials(parallelism=parallelism)
+    best = fmin(
+        fn=objective,
+        space=space,
+        algo=tpe.suggest,
+        max_evals=max_evals,
+        trials=trials,
+        rstate=np.random.default_rng(seed),
+        show_progressbar=False,
+    )
+    return best, trials

@@ -1,0 +1,130 @@
+"""Document chunking and sequence packing for LLM training pipelines.
+
+Two map-only operators (no shuffle except packing's one window):
+
+  * ``chunk_documents`` — split each document's token sequence into
+    overlapping windows (window/stride), the standard long-document →
+    context-window preparation. Pure per-row HOFs: tokenize once, build
+    chunk starts with ``sequence``, slice per chunk — no explode-join, no
+    Python.
+  * ``pack_documents`` — deterministic sequence packing: documents are
+    laid end-to-end in id order and cut into fixed token budgets; a doc's
+    pack is decided by its START offset, so assignment is a prefix-sum
+    (one window over a single global ordering), not a sequential greedy
+    loop — the property that makes it both distributable and exactly
+    SQL-expressible (the driver oracle replays it as window sums).
+
+Scale: chunking is embarrassingly parallel. Packing's single global
+window is the honest cost of a globally-deterministic layout; for 100 TB
+run it per partition-sized shard (e.g. per date bucket) — the operator
+takes an optional ``shard_cols`` for exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.functions.text_analysis import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """One row per (doc, chunk): overlapping token windows.
+
+    Chunk i covers tokens [i·stride+1, i·stride+window] (1-based); the
+    chunk count is the smallest c with (c−1)·stride + window ≥ n, so the
+    final chunk always reaches the end of the document. Zero-token
+    documents produce no chunks.
+
+    Returns (doc_id, n_tokens, chunk_id, start_token, n_chunk_tokens,
+    chunk_text).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    t = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.element_at(F.array(t), 1).alias("t"),
+    ).withColumn("n_tokens", F.size("t"))
+    base = base.where(F.col("n_tokens") > 0).withColumn(
+        "n_chunks",
+        F.expr(
+            f"CAST((greatest(n_tokens - {window}, 0) + {stride - 1}) "
+            f"DIV {stride} AS INT) + 1"
+        ),
+    )
+    chunk = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: F.slice(F.col("t"), i * stride + 1, window),
+            )
+        ).alias("chunk_id", "chunk_tokens"),
+    )
+    return chunk.select(
+        "doc_id",
+        "n_tokens",
+        "chunk_id",
+        (F.col("chunk_id") * stride + 1).alias("start_token"),
+        F.size("chunk_tokens").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "chunk_tokens").alias("chunk_text"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 256,
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget pack.
+
+    Documents are ordered by id (within each shard when ``shard_cols`` is
+    given), laid end-to-end, and a document belongs to the pack its FIRST
+    token lands in: pack_id = (prefix tokens before it) div budget. The
+    offset rule (instead of best-fit greedy) keeps assignment a pure
+    prefix sum — order-deterministic, one window, replayable in any
+    engine.
+
+    Returns (doc_id, n_tokens, pack_id, pack_pos, pack_offset) where
+    pack_pos is the document's rank inside its pack and pack_offset its
+    token offset from the pack start.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *(shard_cols or []),
+        F.size(F.element_at(F.array(tokens(text_col)), 1)).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    part = list(shard_cols) if shard_cols else []
+    w = (
+        Window.partitionBy(*part).orderBy("doc_id")
+        if part
+        else Window.partitionBy().orderBy("doc_id")
+    )
+    before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    packed = base.withColumn("cum_before", before).withColumn(
+        "pack_id", F.expr(f"cum_before DIV {budget}")
+    )
+    w_pack = Window.partitionBy(*part, "pack_id").orderBy("doc_id")
+    return packed.select(
+        "doc_id",
+        *(part),
+        "n_tokens",
+        "pack_id",
+        F.row_number().over(w_pack).alias("pack_pos"),
+        F.expr(f"cum_before % {budget}").alias("pack_offset"),
+    )
