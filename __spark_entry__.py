@@ -3556,8 +3556,8 @@ ORACLES["chunk_documents"] = f"""
     ),
     c AS (
         SELECT doc_id, t, n_tokens,
-               CAST((greatest(n_tokens - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE - 1})
-                    // {CHUNK_STRIDE} AS INTEGER) + 1 AS n_chunks
+               CAST(least((greatest(n_tokens - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE - 1})
+                    // {CHUNK_STRIDE}, (n_tokens - 1) // {CHUNK_STRIDE}) AS INTEGER) + 1 AS n_chunks
         FROM sized
     ),
     e AS (

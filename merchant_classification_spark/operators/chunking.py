@@ -38,9 +38,11 @@ def chunk_documents(
     """One row per (doc, chunk): overlapping token windows.
 
     Chunk i covers tokens [i·stride+1, i·stride+window] (1-based); the
-    chunk count is the smallest c with (c−1)·stride + window ≥ n, so the
-    final chunk always reaches the end of the document. Zero-token
-    documents produce no chunks.
+    chunk count is the smallest c with (c−1)·stride + window ≥ n, capped
+    so every chunk start lies within the document (with stride > window
+    the grid can step past the end — those empty chunks are dropped).
+    When stride ≤ window the final chunk always reaches the end of the
+    document. Zero-token documents produce no chunks.
 
     Returns (doc_id, n_tokens, chunk_id, start_token, n_chunk_tokens,
     chunk_text).
@@ -55,8 +57,8 @@ def chunk_documents(
     base = base.where(F.col("n_tokens") > 0).withColumn(
         "n_chunks",
         F.expr(
-            f"CAST((greatest(n_tokens - {window}, 0) + {stride - 1}) "
-            f"DIV {stride} AS INT) + 1"
+            f"CAST(least((greatest(n_tokens - {window}, 0) + {stride - 1}) "
+            f"DIV {stride}, (n_tokens - 1) DIV {stride}) AS INT) + 1"
         ),
     )
     chunk = base.select(

@@ -1,0 +1,90 @@
+"""Property-based fuzzing (hypothesis) for the lossless-pruning operators.
+
+Each property compares the pruned operator against its naive definition on
+randomized inputs — the strongest possible check that the blocking filters
+(q-gram prefix, length band; chunk arithmetic) never drop or invent rows.
+One Spark job per example is slow, so each property runs a small number of
+maximally-nasty examples (short strings, repeated grams, shared prefixes).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# alphabets chosen to force gram collisions and shared prefixes
+_word = st.text(alphabet="ab0", min_size=0, max_size=6)
+_doc = st.lists(_word, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(names=st.lists(st.text(alphabet="ab01", min_size=0, max_size=7), min_size=2, max_size=8))
+def test_edit_distance_pairs_always_matches_naive(spark, names):
+    from merchant_classification_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(list(enumerate(names)), ["doc_id", "s"])
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in edit_distance_pairs(df, "doc_id", "s", max_distance=1).collect()
+    }
+    l = df.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    r_ = df.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    naive = {
+        (row.id_a, row.id_b, row.d)
+        for row in l.crossJoin(r_)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("d", F.levenshtein("sa", "sb").cast("long"))
+        .where(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == naive
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=5),
+    window=st.integers(min_value=1, max_value=5),
+    stride=st.integers(min_value=1, max_value=5),
+)
+def test_chunking_invariants(spark, docs, window, stride):
+    from merchant_classification_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    rows = chunk_documents(df, "doc_id", "text", window=window, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = chunks[0].n_tokens
+        # chunk ids contiguous from 0; starts follow the stride grid
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_token == c.chunk_id * stride + 1
+            assert c.start_token <= n  # never an empty chunk past the end
+            assert 1 <= c.n_chunk_tokens <= window
+            # each chunk is as long as the document allows
+            assert c.start_token + c.n_chunk_tokens - 1 == min(
+                c.start_token + window - 1, n
+            )
+            # re-splitting the chunk text yields exactly its token count
+            assert len(c.chunk_text.split(" ")) == c.n_chunk_tokens
+        # chunk count is minimal: one more stride step would start past
+        # the end OR the last chunk already reaches the end
+        last = chunks[-1]
+        assert (
+            last.start_token + last.n_chunk_tokens - 1 == n
+            or last.start_token + stride > n
+        )
+        # overlapping/contiguous strides must cover the whole document
+        if stride <= window:
+            assert last.start_token + last.n_chunk_tokens - 1 == n
