@@ -607,44 +607,49 @@ def assign_representatives(
     short chains in practice; `max_iterations` bounds pathological chains,
     and convergence is checked each round so typical data stops early.
     """
-    edges = (
-        pairs.select("id_a", "id_b")
-        .union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-        .distinct()
+    # materialize the edge list once (WITH self-loops): every iteration's
+    # action would otherwise replay the (possibly expensive)
+    # pair-generation lineage — at scale that is a full re-hash +
+    # self-join per round. The self-loop rows make each round a single
+    # join + aggregate: min(rep) over neighbors∪self is the new label,
+    # and the self-loop row carries the node's own old label out of the
+    # same aggregate, so neither the isolated-node fill-in nor the
+    # convergence probe needs a second join.
+    sym = pairs.select("id_a", "id_b").union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
+    self_loops = ids.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    edges = sym.union(self_loops).distinct().persist()
     labels = ids.select("doc_id", F.col("doc_id").alias("rep"))
     prev_persisted = None
     for _ in range(max_iterations):
-        neighbor_min = (
+        new_labels = (
             edges.join(labels, edges.id_b == labels.doc_id)
             .groupBy("id_a")
-            .agg(F.min("rep").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.id_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))
-                ).alias("rep"),
+            .agg(
+                F.min("rep").alias("rep"),
+                F.min(F.when(F.col("id_b") == F.col("id_a"), F.col("rep"))).alias(
+                    "old_rep"
+                ),
             )
+            .withColumnRenamed("id_a", "doc_id")
+            .persist()
         )
-        new_labels = new_labels.persist()
         changed = (
-            new_labels.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
-            .where(F.col("rep") != F.col("old_rep"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("rep") != F.col("old_rep")).limit(1).count()
         )
         if prev_persisted is not None:
             prev_persisted.unpersist(blocking=False)
         prev_persisted = new_labels
-        labels = new_labels
+        labels = new_labels.select("doc_id", "rep")
         if changed == 0:
             break
     # snapshot the final (small: one row per id) labels and release the
-    # last iteration's cache — no persisted block outlives the call
+    # loop's caches — no persisted block outlives the call
     out = labels.localCheckpoint(eager=True)
     if prev_persisted is not None:
         prev_persisted.unpersist(blocking=False)
+    edges.unpersist(blocking=False)
     return out

@@ -46,6 +46,90 @@ def test_edit_distance_pairs_always_matches_naive(spark, names):
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=7),
+    threshold=st.sampled_from([0.34, 0.5, 0.75]),
+)
+def test_ngram_jaccard_pairs_always_matches_naive(spark, docs, threshold):
+    """PPJoin prefix + length pruning is lossless: output pairs equal the
+    naive all-pairs exact Jaccard over the same shingle sets."""
+    from merchant_classification_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=threshold, shingle_size=2, max_df=None
+        ).collect()
+    }
+    sets = {
+        r.doc_id: set(r.sh)
+        for r in df.select(
+            "doc_id", shingles(F.col("text"), 2).alias("sh")
+        ).collect()
+    }
+    naive = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = sets[a] | sets[b]
+            j = len(sets[a] & sets[b]) / len(u) if u else 0.0
+            if j >= threshold:
+                naive[(a, b)] = j
+    assert got == naive
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=8),
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=0, max_size=10
+    ),
+)
+def test_assign_representatives_matches_union_find(spark, n, edges):
+    """Min-label propagation converges to the connected-component minimum
+    for arbitrary graphs (chains, stars, cycles, self-loops)."""
+    from merchant_classification_spark.operators.dedup import (
+        assign_representatives,
+    )
+
+    edges = [(a % n, b % n) for a, b in edges]
+    ids_df = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], ["id_a", "id_b"]
+    )  # (0,0) self-loop = no-op edge for the empty case
+    got = {
+        r.doc_id: r.rep
+        for r in assign_representatives(ids_df, pairs_df, max_iterations=16).collect()
+    }
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+    assert got == want
+
+
+@settings(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
