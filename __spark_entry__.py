@@ -2198,6 +2198,104 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_salted_join_agg(spark, sf_dir):
+    # skew-robust salted equi-join (operators/skew.py): left rows scatter
+    # over salt sub-keys, dim replicates — the oracle is the PLAIN join,
+    # so the gate proves the physical rewrite preserves semantics
+    from merchant_classification_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 10)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    return (
+        salted_join(li, part, "l_partkey", salt=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_semi_prefilter_agg(spark, sf_dir):
+    # broadcast semi-join prefilter (operators/join_strategies.py): fact
+    # rows without a dim match die before the join shuffle; oracle is the
+    # plain inner join
+    from merchant_classification_spark.operators.join_strategies import (
+        semi_prefilter_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type").startswith("PROMO"))
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    return (
+        semi_prefilter_join(li, dim, "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_pushdown_keys_agg(spark, sf_dir):
+    # bounded key-set pushdown join (operators/join_strategies.py): the
+    # dim's keys are inlined as an isin predicate that reaches the
+    # parquet scan (PushedFilters), pruning row groups before any join
+    from merchant_classification_spark.operators.join_strategies import (
+        pushdown_keys_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        pushdown_keys_join(li, dim, "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def q_salted_topk(spark, sf_dir):
+    # two-phase salted per-group top-k (operators/relational.py): partial
+    # top-k per (group, salt) then re-rank — equivalent to the plain
+    # window whenever the order is total, which the oracle enforces
+    from merchant_classification_spark.operators.relational import (
+        group_topk_salted,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    out = group_topk_salted(
+        orders,
+        ["o_orderpriority"],
+        [F.col("price_cents").desc(), F.col("o_orderkey")],
+        3,
+        salt_buckets=8,
+    )
+    return out.select("o_orderpriority", "o_orderkey", "price_cents").orderBy(
+        "o_orderpriority", F.col("price_cents").desc(), "o_orderkey"
+    )
+
+
 BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -2302,6 +2400,10 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_hof_suite": q_array_hof,
     "chunk_documents": q_chunk_documents,
     "pack_documents": q_pack_documents,
+    "salted_join_agg": q_salted_join_agg,
+    "semi_prefilter_agg": q_semi_prefilter_agg,
+    "pushdown_keys_agg": q_pushdown_keys_agg,
+    "salted_topk": q_salted_topk,
 }
 
 
@@ -3594,6 +3696,48 @@ ORACLES["pack_documents"] = f"""
     FROM c
 """
 
+ORACLES["salted_join_agg"] = """
+    SELECT p_brand, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+ORACLES["semi_prefilter_agg"] = """
+    SELECT p_brand, count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type LIKE 'PROMO%'
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+ORACLES["pushdown_keys_agg"] = """
+    SELECT l_suppkey, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey = 3
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+"""
+
+ORACLES["salted_topk"] = """
+    SELECT o_orderpriority, o_orderkey, price_cents FROM (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                            o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_orderpriority, price_cents DESC, o_orderkey
+"""
+
 ORACLES["edit_distance_neardup"] = """
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
@@ -3716,6 +3860,12 @@ SUITES: dict[str, list[str]] = {
     "behavioral_suite": ["funnel_steps", "cohort_retention", "time_weighted_avg"],
     "scd_layout_suite": ["scd2_intervals", "zorder_cells"],
     "overlap_suite": ["fuzzy_nation_pairs", "decontaminate_overlap"],
+    "join_strategies_suite": [
+        "salted_join_agg",
+        "semi_prefilter_agg",
+        "pushdown_keys_agg",
+        "salted_topk",
+    ],
 }
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
