@@ -94,7 +94,18 @@ def hyperplane_signature(
     """
     v = to_double_array(vec)
     planes = _random_hyperplanes(dim, bits, seed)
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    # one parsed SQL literal instead of bits*dim F.lit() Column objects:
+    # the per-element form costs ~0.25 s of py4j round-trips PER CALL at
+    # bits=8/dim=64 (multi-table callers build 16 signatures -> seconds
+    # of driver time before any work), the parsed string ~5 ms. repr()
+    # doubles round-trip bit-exact through the SQL parser.
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in planes
+        )
+        + ")"
+    )
     # bind v once (one-element-array trick) so the tokenizing/cast work is
     # not re-inlined into every lambda use site
     def sig_from(vb: Column) -> Column:
@@ -118,6 +129,58 @@ def hyperplane_signature(
         )
 
     return F.element_at(F.transform(F.array(v), sig_from), 1)
+
+
+def _multi_table_signatures(
+    vec: Column | str, dim: int, bits: int, tables: int, seed: int
+) -> Column:
+    """array<long> of SRP signatures, one per hash table — bit-identical
+    to ``tables`` separate ``hyperplane_signature`` calls (same seeded
+    planes, same bit weights) but built as ONE parsed literal walked by
+    ONE nested-transform expression, so driver-side plan construction is
+    O(1) py4j calls instead of O(tables)."""
+    v = to_double_array(vec)
+    all_planes = [
+        _random_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)
+    ]
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in tbl
+            )
+            + ")"
+            for tbl in all_planes
+        )
+        + ")"
+    )
+    weights = F.expr(
+        "array(" + ",".join(f"{1 << i}L" for i in range(bits)) + ")"
+    )
+
+    def sigs_from(vb: Column) -> Column:
+        return F.transform(
+            planes_lit,
+            lambda tbl: F.aggregate(
+                F.zip_with(
+                    F.transform(
+                        tbl,
+                        lambda p: F.aggregate(
+                            F.zip_with(vb, p, lambda a, b: a * b),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                    ),
+                    weights,
+                    lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, b: a.bitwiseOR(b),
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(v), sigs_from), 1)
 
 
 def lsh_topk(
@@ -147,12 +210,7 @@ def lsh_topk(
     """
 
     def signed(df, idc, vecc, out_id, out_vec):
-        sigs = F.array(
-            *[
-                hyperplane_signature(vecc, dim, bits, seed + 1000 * t)
-                for t in range(tables)
-            ]
-        )
+        sigs = _multi_table_signatures(vecc, dim, bits, tables, seed)
         return df.select(
             F.col(idc).alias(out_id),
             to_double_array(vecc).alias(out_vec),
