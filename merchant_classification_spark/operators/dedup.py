@@ -529,9 +529,14 @@ def simhash64(col: Column | str) -> Column:
         )
 
     counters = F.aggregate(toks, zero, add_token)
-    # bit j weight as a literal lookup (1<<63 wraps to long min)
-    pow2 = F.array(
-        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
+    # bit j weight as a literal lookup (1<<63 wraps to long min); one
+    # parsed literal, not 64 py4j F.lit() round-trips
+    pow2 = F.expr(
+        "array("
+        + ",".join(
+            f"{(1 << j) if j < 63 else -(1 << 63)}L" for j in range(64)
+        )
+        + ")"
     )
     bits = F.zip_with(
         counters,
