@@ -2296,6 +2296,148 @@ def q_salted_topk(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    # batch MERGE semantics (operators/maintenance.py): every 10th
+    # customer gets an updated balance; a shifted-key copy of nation-3
+    # customers inserts as new rows; everyone else passes through.
+    # Integer-cents discipline keeps the value hash exact.
+    from merchant_classification_spark.operators.maintenance import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    updates = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", (F.col("bal_cents") + 5000).alias("bal_cents")
+    )
+    inserts = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 3)
+        .select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+            F.lit(0).cast("long").alias("bal_cents"),
+        )
+    )
+    source = updates.unionByName(inserts)
+    merged = merge_upsert(cust, source, "c_custkey", broadcast_source=True)
+    return merged.orderBy("c_custkey")
+
+
+def q_incremental_agg(spark, sf_dir):
+    # materialized-aggregate maintenance (operators/maintenance.py):
+    # merge(state(old), state(delta)) must equal state(all) — the probe
+    # RETURNS the merged state; the oracle recomputes from scratch, so
+    # any merge drift is a hash mismatch
+    from merchant_classification_spark.operators.maintenance import (
+        incremental_agg_state,
+        merge_agg_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    old = orders.where(F.col("o_orderkey") % 4 != 0)
+    delta = orders.where(F.col("o_orderkey") % 4 == 0)
+    merged = merge_agg_state(
+        incremental_agg_state(old, "o_orderpriority", ["cents"]),
+        incremental_agg_state(delta, "o_orderpriority", ["cents"]),
+    )
+    return merged.select("o_orderpriority", "n_rows", "sum_cents").orderBy(
+        "o_orderpriority"
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    # k-anonymity suppression (operators/governance.py): drop every row
+    # whose (nation, segment) quasi-identifier combination has < k peers;
+    # broadcast semi-join, fact side never shuffles
+    from merchant_classification_spark.operators.governance import (
+        k_anonymity_filter,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    kept = k_anonymity_filter(cust, ["c_nationkey", "c_mktsegment"], k=8)
+    return (
+        kept.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+def q_pseudonymize_export(spark, sf_dir):
+    # deterministic pseudonymization + partial masking for exports
+    # (operators/governance.py): salted SHA-256 of the name (joinable
+    # across tables, irreversible without the salt) + tail-masked name
+    from merchant_classification_spark.operators.governance import (
+        mask_tail,
+        pseudonym,
+    )
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 20 == 0)
+    return cust.select(
+        "c_custkey",
+        pseudonym("c_name", salt="mcs-export-v1").alias("name_token"),
+        mask_tail("c_name", keep=3).alias("name_masked"),
+    ).orderBy("c_custkey")
+
+
+def q_udtf_words(spark, sf_dir):
+    # Python UDTF surface (operators/py_udtf.py): Arrow-batched lateral
+    # row generator splits each doc into (pos, word) rows; re-aggregated
+    # per doc so the oracle can replay with list functions. The UDTF's
+    # contract (== posexplode(split)) is what makes this SQL-checkable.
+    from merchant_classification_spark.operators.py_udtf import words_udtf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    words = words_udtf(docs, "doc_id", "text")
+    return (
+        words.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.min_by("word", "pos").alias("first_word"),
+            F.max_by("word", "pos").alias("last_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_variant_extract(spark, sf_dir):
+    # VARIANT ingestion (Spark 4): parse_json once into the binary
+    # variant encoding, typed variant_get per field — the
+    # open-schema path when fields aren't known at write time
+    # (vs from_json's declared struct in q_json_schema_parse)
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_sampling_suite(spark, sf_dir):
+    # rows-only union of the two seeded sampling queries (same orders
+    # schema): per-class invariants live in tests/test_sampling.py
+    a = q_stratified_sample(spark, sf_dir).withColumn(
+        "part_tag", F.lit("stratified_sample")
+    )
+    b = q_class_percentile_split(spark, sf_dir).withColumn(
+        "part_tag", F.lit("class_percentile_split")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_accuracy": q_flagship_accuracy,
     "class_histogram": q_class_histogram,
@@ -2404,6 +2546,13 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_prefilter_agg": q_semi_prefilter_agg,
     "pushdown_keys_agg": q_pushdown_keys_agg,
     "salted_topk": q_salted_topk,
+    "merge_upsert": q_merge_upsert,
+    "incremental_agg": q_incremental_agg,
+    "k_anonymity": q_k_anonymity,
+    "pseudonymize_export": q_pseudonymize_export,
+    "udtf_words": q_udtf_words,
+    "variant_extract": q_variant_extract,
+    "sampling_suite": q_sampling_suite,
 }
 
 
@@ -3781,6 +3930,70 @@ ORACLES["tpch_q21_waiting"] = """
     GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 """
 
+ORACLES["merge_upsert"] = """
+    WITH cust AS (
+        SELECT c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ), src AS (
+        SELECT c_custkey, c_name, bal_cents + 5000 AS bal_cents
+        FROM cust WHERE c_custkey % 10 = 0
+        UNION ALL BY NAME
+        SELECT c_custkey + 10000000 AS c_custkey,
+               'NEW-' || c_name AS c_name,
+               CAST(0 AS BIGINT) AS bal_cents
+        FROM customer WHERE c_nationkey = 3
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           COALESCE(s.bal_cents, t.bal_cents) AS bal_cents
+    FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    ORDER BY c_custkey
+"""
+
+ORACLES["incremental_agg"] = """
+    SELECT o_orderpriority, count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["k_anonymity"] = """
+    SELECT c_nationkey, c_mktsegment, count(*) AS n_kept
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) >= 8
+    ORDER BY c_nationkey, c_mktsegment
+"""
+
+ORACLES["pseudonymize_export"] = """
+    SELECT c_custkey,
+           sha256('mcs-export-v1' || c_name) AS name_token,
+           CASE WHEN c_name IS NULL THEN NULL
+                ELSE repeat('*', greatest(length(c_name) - 3, 0))
+                     || right(c_name, 3) END AS name_masked
+    FROM customer WHERE c_custkey % 20 = 0 ORDER BY c_custkey
+"""
+
+ORACLES["udtf_words"] = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS arr
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_words,
+           arr[1] AS first_word, arr[len(arr)] AS last_word
+    FROM w ORDER BY doc_id
+"""
+
+ORACLES["variant_extract"] = """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver registry: consolidated suites
@@ -3808,7 +4021,7 @@ SUITES: dict[str, list[str]] = {
     "quantile_suite": ["percentiles_quantity", "median_by_group", "iqr_outliers"],
     "histogram_stats_suite": ["histogram_bins", "stats_suite"],
     "set_membership_suite": ["set_ops", "distinct_counts", "subquery_suite"],
-    "json_suite": ["json_extract", "json_schema_parse"],
+    "json_suite": ["json_extract", "json_schema_parse", "variant_extract"],
     "doc_metrics_suite": [
         "clean_narrative",
         "token_stats",
@@ -3838,14 +4051,17 @@ SUITES: dict[str, list[str]] = {
     ],
     "tpch_sub2_suite": ["tpch_q4_priority", "tpch_q11_share", "tpch_q16_supplier_cnt"],
     "tpch_exists_suite": ["tpch_q2_min_cost", "tpch_q20_promotion", "tpch_q21_waiting"],
-    "edit_distance_neardup": ["edit_distance_neardup"],
     "array_hof_suite": ["array_hof_suite"],
-    "chunk_pack_suite": ["chunk_documents", "pack_documents"],
+    "chunk_pack_suite": ["chunk_documents", "pack_documents", "udtf_words"],
     "sql_api": ["sql_api"],
     "grouping_suite": ["rollup_revenue", "cube_revenue", "grouping_sets"],
     "reshape_suite": ["pivot_counts", "unpivot_metrics"],
     "dedup_suite": ["dedup_exact", "dedup_fingerprint", "dedup_rep_assign"],
-    "neardup_pairs_suite": ["ngram_jaccard_neardup", "embedding_neardup"],
+    "neardup_pairs_suite": [
+        "ngram_jaccard_neardup",
+        "embedding_neardup",
+        "edit_distance_neardup",
+    ],
     "ann_exact_suite": ["ann_bruteforce", "ann_quantized"],
     "embedding_suite": ["embedding_quantize", "embedding_stats"],
     "multimodal_decode": ["multimodal_decode"],
@@ -3866,6 +4082,8 @@ SUITES: dict[str, list[str]] = {
         "pushdown_keys_agg",
         "salted_topk",
     ],
+    "maintenance_suite": ["merge_upsert", "incremental_agg"],
+    "governance_suite": ["k_anonymity", "pseudonymize_export"],
 }
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
@@ -3876,8 +4094,7 @@ ROWS_ONLY: list[str] = [
     "embedding_neardup_lsh",
     "ann_lsh",
     "ann_ivf",
-    "stratified_sample",
-    "class_percentile_split",
+    "sampling_suite",
     "approx_sketches",
     "hll_rollup",
     "grouped_linear_fit",
