@@ -2426,6 +2426,32 @@ def q_variant_extract(spark, sf_dir):
     )
 
 
+def q_recursive_cte(spark, sf_dir):
+    # recursive CTE (Spark 4): transitive closure over a synthetic
+    # doubling-chain edge set (c -> 2c while 2c exists) — the iterative
+    # DataFrame twin of this shape is assign_representatives
+    # (operators/dedup.py); here the engine's own fixpoint operator runs
+    # it. Chains are O(log n) deep, each step one equi-join.
+    from merchant_classification_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(root, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0
+            FROM customer WHERE c_custkey % 2 = 1
+            UNION ALL
+            SELECT chain.root, c.c_custkey, chain.depth + 1
+            FROM chain JOIN customer c ON c.c_custkey = chain.node * 2
+        )
+        SELECT CAST(depth AS INT) AS depth,
+               count(*) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS sum_node
+        FROM chain GROUP BY depth ORDER BY depth
+        """
+    )
+
+
 def q_sampling_suite(spark, sf_dir):
     # rows-only union of the two seeded sampling queries (same orders
     # schema): per-class invariants live in tests/test_sampling.py
@@ -2552,6 +2578,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pseudonymize_export": q_pseudonymize_export,
     "udtf_words": q_udtf_words,
     "variant_extract": q_variant_extract,
+    "recursive_cte": q_recursive_cte,
     "sampling_suite": q_sampling_suite,
 }
 
@@ -3985,6 +4012,20 @@ ORACLES["udtf_words"] = """
     FROM w ORDER BY doc_id
 """
 
+ORACLES["recursive_cte"] = """
+    WITH RECURSIVE chain(root, node, depth) AS (
+        SELECT c_custkey, c_custkey, 0
+        FROM customer WHERE c_custkey % 2 = 1
+        UNION ALL
+        SELECT chain.root, c.c_custkey, chain.depth + 1
+        FROM chain JOIN customer c ON c.c_custkey = chain.node * 2
+    )
+    SELECT CAST(depth AS INTEGER) AS depth,
+           count(*) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS sum_node
+    FROM chain GROUP BY depth ORDER BY depth
+"""
+
 ORACLES["variant_extract"] = """
     SELECT event_type, count(*) AS n_events,
            CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
@@ -4020,7 +4061,12 @@ SUITES: dict[str, list[str]] = {
     "extrema_per_group_suite": ["topk_per_group", "argmin_per_group"],
     "quantile_suite": ["percentiles_quantity", "median_by_group", "iqr_outliers"],
     "histogram_stats_suite": ["histogram_bins", "stats_suite"],
-    "set_membership_suite": ["set_ops", "distinct_counts", "subquery_suite"],
+    "set_membership_suite": [
+        "set_ops",
+        "distinct_counts",
+        "subquery_suite",
+        "recursive_cte",
+    ],
     "json_suite": ["json_extract", "json_schema_parse", "variant_extract"],
     "doc_metrics_suite": [
         "clean_narrative",
