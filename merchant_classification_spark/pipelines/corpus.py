@@ -50,6 +50,9 @@ def prepare_corpus(
     near_dup_threshold: float = 0.8,
     val_fraction_pct: int = 5,
     seed: int = 13,
+    k_anonymity_quasi: list[str] | None = None,
+    k_anonymity_k: int = 8,
+    export_token_salt: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full corpus-prep funnel; returns (clean_docs, report).
 
@@ -80,6 +83,15 @@ def prepare_corpus(
     ).drop("top_token_share")
     kept = kept.withColumn("text", scrub_pii("text"))
     report["after_filters"] = kept.count()
+
+    # --- optional record-level governance (operators/governance.py) ----
+    if k_anonymity_quasi:
+        from merchant_classification_spark.operators.governance import (
+            k_anonymity_filter,
+        )
+
+        kept = k_anonymity_filter(kept, k_anonymity_quasi, k_anonymity_k)
+        report["after_k_anonymity"] = kept.count()
 
     # --- dedup ladder: exact → fingerprint → MinHash near-dup ----------
     from pyspark.sql import Window
@@ -123,4 +135,13 @@ def prepare_corpus(
     )
     report["val"] = out.where(F.col("split") == "val").count()
     report["train"] = report["after_near_dedup"] - report["val"]
+
+    # --- optional export token: salted one-way id for cross-table joins
+    # on the exported corpus without exposing the internal id space
+    if export_token_salt is not None:
+        from merchant_classification_spark.operators.governance import pseudonym
+
+        out = out.withColumn(
+            "export_id", pseudonym(F.col("id"), export_token_salt)
+        )
     return out, report

@@ -82,3 +82,28 @@ def test_tfidf_scores(spark):
     assert abs(r.tfidf - 2 * want_idf) < 1e-12
     assert rows[(2, "banana")].df == 2
     assert rows[(3, "cherry")].tf == 2 and rows[(3, "cherry")].df == 2
+
+
+def test_prepare_corpus_governance_stages(spark, raw_docs):
+    out, report = prepare_corpus(
+        raw_docs,
+        near_dup_threshold=0.6,
+        k_anonymity_quasi=["lang"],
+        k_anonymity_k=2,
+        export_token_salt="corp-v1",
+    )
+    assert "after_k_anonymity" in report
+    assert report["after_k_anonymity"] <= report["after_filters"]
+    rows = out.select("id", "export_id").collect()
+    assert all(r["export_id"] is not None and len(r["export_id"]) == 64 for r in rows)
+    # deterministic across reruns
+    out2, _ = prepare_corpus(
+        raw_docs,
+        near_dup_threshold=0.6,
+        k_anonymity_quasi=["lang"],
+        k_anonymity_k=2,
+        export_token_salt="corp-v1",
+    )
+    assert {tuple(r) for r in rows} == {
+        tuple(r) for r in out2.select("id", "export_id").collect()
+    }
