@@ -2452,6 +2452,18 @@ def q_recursive_cte(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    # exact heavy hitters (operators/sketches.py): one hash aggregate +
+    # scalar total; the graded exact tier for the freqItems/CMS
+    # approximate paths (pytest-checked against it)
+    from merchant_classification_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters_exact(ev, "event_type", support=0.05)
+
+
 def q_sampling_suite(spark, sf_dir):
     # rows-only union of the two seeded sampling queries (same orders
     # schema): per-class invariants live in tests/test_sampling.py
@@ -2579,6 +2591,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_words": q_udtf_words,
     "variant_extract": q_variant_extract,
     "recursive_cte": q_recursive_cte,
+    "heavy_hitters": q_heavy_hitters,
     "sampling_suite": q_sampling_suite,
 }
 
@@ -4012,6 +4025,14 @@ ORACLES["udtf_words"] = """
     FROM w ORDER BY doc_id
 """
 
+ORACLES["heavy_hitters"] = """
+    SELECT event_type AS item, count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+    FROM events GROUP BY event_type
+    HAVING count(*) > 0.05 * (SELECT count(*) FROM events)
+    ORDER BY cnt DESC, item
+"""
+
 ORACLES["recursive_cte"] = """
     WITH RECURSIVE chain(root, node, depth) AS (
         SELECT c_custkey, c_custkey, 0
@@ -4060,7 +4081,7 @@ SUITES: dict[str, list[str]] = {
     "running_window_suite": ["running_totals", "rolling_range_frame"],
     "extrema_per_group_suite": ["topk_per_group", "argmin_per_group"],
     "quantile_suite": ["percentiles_quantity", "median_by_group", "iqr_outliers"],
-    "histogram_stats_suite": ["histogram_bins", "stats_suite"],
+    "histogram_stats_suite": ["histogram_bins", "stats_suite", "heavy_hitters"],
     "set_membership_suite": [
         "set_ops",
         "distinct_counts",

@@ -55,3 +55,88 @@ def sketch_rollup(
         F.sum("rows").alias("rows"),
         F.count(F.lit(1)).alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: mergeable frequency estimates + heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def cms_partials(
+    df: DataFrame,
+    value_col: str,
+    epoch_col: Column | str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """One count-min sketch of ``value_col`` per epoch (binary column).
+
+    Same incremental pattern as the HLL partials: the raw column crosses
+    the shuffle once, as map-side-reduced sketches (~w·d longs each,
+    w = ceil(2/eps)); any later frequency question over any epoch range
+    is answered from the persisted partials. The seed must be shared by
+    every partial that will ever merge (CMS rows must hash identically).
+    """
+    epoch = F.col(epoch_col) if isinstance(epoch_col, str) else epoch_col
+    return df.groupBy(epoch.alias("epoch")).agg(
+        F.count_min_sketch(
+            value_col, F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("cms"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+
+
+def cms_estimate(spark, partials: DataFrame, items: list[str]) -> dict[str, int]:
+    """Merge epoch sketches and point-estimate the given items.
+
+    Driver boundary by design: the partials are one small binary per
+    epoch (bounded count), merged via the engine's own CountMinSketch
+    implementation so estimates are identical to a single whole-data
+    sketch. CMS never underestimates; overestimate ≤ eps·N at the given
+    confidence.
+    """
+    rows = partials.select("cms").collect()
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for r in rows:
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(r["cms"])
+        )
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    if merged is None:
+        return {i: 0 for i in items}
+    return {i: merged.estimateCount(i) for i in items}
+
+
+def heavy_hitters_exact(
+    df: DataFrame, value_col: str, support: float = 0.01
+) -> DataFrame:
+    """Items occurring in > support fraction of rows, with exact counts.
+
+    One hash aggregate + a scalar total — the honest exact tier the
+    approximate paths are graded against (same stance as ann_bruteforce
+    vs ann_lsh). Output: (item, cnt, share) ordered by cnt desc.
+    """
+    counts = df.groupBy(F.col(value_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.count()
+    return (
+        counts.where(F.col("cnt") > support * total)
+        .withColumn("share", F.col("cnt") / F.lit(total))
+        .orderBy(F.col("cnt").desc(), "item")
+    )
+
+
+def heavy_hitters_approx(
+    df: DataFrame, cols: list[str], support: float = 0.01
+) -> DataFrame:
+    """One-pass approximate heavy hitters (Karp/Shenker/Papadimitriou via
+    ``df.stat.freqItems``): guaranteed to CONTAIN every item above
+    support (no false negatives), may include items below it. Use when
+    the distinct-item space is too large for the exact aggregate."""
+    return df.stat.freqItems(cols, support)

@@ -95,3 +95,57 @@ def test_hll_partial_subset_rollup(spark):
     )
     est = sketch_rollup(partials, ["key"]).collect()[0].distinct_est
     assert abs(est - exact) / exact < 0.05
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch + heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_merges(spark, tables):
+    from merchant_classification_spark.operators.sketches import (
+        cms_estimate,
+        cms_partials,
+    )
+    from pyspark.sql import functions as F
+
+    ev = tables["events"].select(
+        "event_type", (F.col("event_id") % 5).alias("epoch")
+    )
+    partials = cms_partials(ev, "event_type", "epoch")
+    assert partials.count() == 5
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    est = cms_estimate(spark, partials, list(exact))
+    for k, true_cnt in exact.items():
+        assert est[k] >= true_cnt  # CMS overestimates only
+        assert est[k] <= true_cnt + 0.01 * sum(exact.values())  # eps bound
+    # merged epochs must equal a single whole-data sketch (same seed)
+    whole = cms_partials(ev.withColumn("epoch", F.lit(0)), "event_type", "epoch")
+    est_whole = cms_estimate(spark, whole, list(exact))
+    assert est == est_whole
+
+
+def test_heavy_hitters_exact_and_approx(spark, tables):
+    from merchant_classification_spark.operators.sketches import (
+        heavy_hitters_approx,
+        heavy_hitters_exact,
+    )
+
+    ev = tables["events"]
+    total = ev.count()
+    hh = heavy_hitters_exact(ev, "event_type", support=0.05).collect()
+    manual = {
+        r["event_type"]: r["count"]
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] > 0.05 * total
+    }
+    assert {r["item"]: r["cnt"] for r in hh} == manual
+    assert all(abs(r["share"] - r["cnt"] / total) < 1e-15 for r in hh)
+    # approx tier: no false negatives vs the exact tier
+    approx = set(
+        heavy_hitters_approx(ev, ["event_type"], 0.05).collect()[0][0]
+    )
+    assert set(manual) <= approx
