@@ -275,3 +275,84 @@ def tune_with_spark_trials(
         show_progressbar=False,
     )
     return best, trials
+
+
+def tune_with_crossvalidator(
+    train: DataFrame,
+    base: NarrativeClassifier,
+    reg_params: list[float] = (0.0, 0.01),
+    max_iters: list[int] = (20, 50),
+    num_folds: int = 3,
+    parallelism: int = 4,
+    seed: int = 42,
+) -> tuple[NarrativeClassifierModel, TuningResult]:
+    """MLlib-native k-fold tuning: ``CrossValidator`` over the engine's
+    classification pipeline with ``parallelism`` concurrent fits.
+
+    Complements the engine's other tuning shapes (grid / driver-parallel
+    / TPE / SparkTrials): CV re-uses folds instead of a held-out split —
+    the right call when labeled data is scarce (the reference's rare
+    merchant classes, 01_merchcat_etl.py:138-153). The evaluator scores
+    the INDEX-space prediction so no decode stage runs inside the k×|grid|
+    inner fits; the decode transformer is attached once to the winner.
+    """
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import IndexToString
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    tokenizer, grams, concat, tf, indexer, lr = base._stages()
+    pipeline = Pipeline(stages=[tokenizer, *grams, concat, tf, indexer, lr])
+    param_grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, list(reg_params))
+        .addGrid(lr.maxIter, list(max_iters))
+        .build()
+    )
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="_label_idx", predictionCol="_pred_idx", metricName="accuracy"
+    )
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=param_grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    cv_model = cv.fit(train)
+    best_pm = cv_model.bestModel
+    indexer_model = next(
+        s for s in best_pm.stages if s.__class__.__name__ == "StringIndexerModel"
+    )
+    decode = IndexToString(
+        inputCol="_pred_idx",
+        outputCol=base.prediction_col,
+        labels=indexer_model.labels,
+    )
+    full = PipelineModel(stages=list(best_pm.stages) + [decode])
+    best_lr = next(
+        s for s in best_pm.stages
+        if s.__class__.__name__ == "LogisticRegressionModel"
+    )
+    best_params = {
+        "reg_param": best_lr.getRegParam(),
+        "max_iter": best_lr.getMaxIter(),
+    }
+    best_idx = max(range(len(param_grid)), key=lambda i: cv_model.avgMetrics[i])
+    result = TuningResult(
+        best_params=best_params,
+        best_accuracy=float(cv_model.avgMetrics[best_idx]),
+        trials=[
+            {
+                "params": {
+                    "reg_param": pm[lr.regParam],
+                    "max_iter": pm[lr.maxIter],
+                },
+                "accuracy": float(m),
+            }
+            for pm, m in zip(param_grid, cv_model.avgMetrics)
+        ],
+    )
+    spec = NarrativeClassifier(**{**base.__dict__, **best_params})
+    return NarrativeClassifierModel(full, spec), result

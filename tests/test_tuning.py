@@ -110,3 +110,25 @@ def test_run_tracker_local(tmp_path):
     assert runs[0]["signature"] == sig
     reg = json.load(open(tmp_path / "registry_merchant_model.json"))
     assert reg["path"] == "/tmp/m" and reg["signature"] == sig
+
+
+def test_crossvalidator_tuning(split_data):
+    from merchant_classification_spark.ml.tuning import tune_with_crossvalidator
+
+    train, _ = split_data
+    base = NarrativeClassifier(ngram_max=1, num_features=1 << 12, max_iter=10)
+    model, result = tune_with_crossvalidator(
+        train, base, reg_params=[0.0, 0.5], max_iters=[10], num_folds=2,
+        parallelism=2,
+    )
+    # 2x1 grid, each scored over 2 folds
+    assert len(result.trials) == 2
+    assert result.best_params["reg_param"] in (0.0, 0.5)
+    assert result.best_accuracy == max(t["accuracy"] for t in result.trials)
+    # the returned model scores in LABEL space (decode stage attached)
+    scored = model.transform(train)
+    acc = (
+        scored.where(F.col("pr_merchant") == F.col("tr_merchant")).count()
+        / train.count()
+    )
+    assert acc > 0.8
