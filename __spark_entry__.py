@@ -2452,6 +2452,27 @@ def q_recursive_cte(spark, sf_dir):
     )
 
 
+def q_data_quality(spark, sf_dir):
+    # declarative expectations (operators/expectations.py): every rule is
+    # a conditional count inside ONE aggregate pass; report as rows
+    from merchant_classification_spark.operators.expectations import (
+        check_df,
+        in_range,
+        matches,
+        not_null,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return check_df(
+        orders,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0.0, 600000.0),
+            matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+        ],
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     # exact heavy hitters (operators/sketches.py): one hash aggregate +
     # scalar total; the graded exact tier for the freqItems/CMS
@@ -2592,6 +2613,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_extract": q_variant_extract,
     "recursive_cte": q_recursive_cte,
     "heavy_hitters": q_heavy_hitters,
+    "data_quality": q_data_quality,
     "sampling_suite": q_sampling_suite,
 }
 
@@ -4025,6 +4047,30 @@ ORACLES["udtf_words"] = """
     FROM w ORDER BY doc_id
 """
 
+ORACLES["data_quality"] = """
+    SELECT rule, "column", violations, rows FROM (
+        SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS violations,
+               count(*) AS rows, 1 AS ord
+        FROM orders
+        UNION ALL
+        SELECT 'in_range', 'o_totalprice',
+               CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0 OR o_totalprice > 600000.0)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               count(*), 2
+        FROM orders
+        UNION ALL
+        SELECT 'matches', 'o_orderpriority',
+               CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '[1-5]-[A-Z ]+')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               count(*), 3
+        FROM orders
+    ) ORDER BY ord
+"""
+
 ORACLES["heavy_hitters"] = """
     SELECT event_type AS item, count(*) AS cnt,
            CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
@@ -4150,7 +4196,7 @@ SUITES: dict[str, list[str]] = {
         "salted_topk",
     ],
     "maintenance_suite": ["merge_upsert", "incremental_agg"],
-    "governance_suite": ["k_anonymity", "pseudonymize_export"],
+    "governance_suite": ["k_anonymity", "pseudonymize_export", "data_quality"],
 }
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
