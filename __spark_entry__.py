@@ -2452,6 +2452,16 @@ def q_recursive_cte(spark, sf_dir):
     )
 
 
+def q_dense_ids(spark, sf_dir):
+    # scalable surrogate keys (operators/ids.py): bit-equal to the
+    # single-partition row_number() OVER (ORDER BY key) the oracle runs,
+    # computed with bucket-partitioned windows only
+    from merchant_classification_spark.operators.ids import dense_ids
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return dense_ids(orders, ["o_orderkey"], buckets=256).orderBy("o_orderkey")
+
+
 def q_data_quality(spark, sf_dir):
     # declarative expectations (operators/expectations.py): every rule is
     # a conditional count inside ONE aggregate pass; report as rows
@@ -2614,6 +2624,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_cte": q_recursive_cte,
     "heavy_hitters": q_heavy_hitters,
     "data_quality": q_data_quality,
+    "dense_ids": q_dense_ids,
     "sampling_suite": q_sampling_suite,
 }
 
@@ -4047,6 +4058,13 @@ ORACLES["udtf_words"] = """
     FROM w ORDER BY doc_id
 """
 
+ORACLES["dense_ids"] = """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+               AS dense_id
+    FROM orders ORDER BY o_orderkey
+"""
+
 ORACLES["data_quality"] = """
     SELECT rule, "column", violations, rows FROM (
         SELECT 'not_null' AS rule, 'o_custkey' AS "column",
@@ -4195,7 +4213,7 @@ SUITES: dict[str, list[str]] = {
         "pushdown_keys_agg",
         "salted_topk",
     ],
-    "maintenance_suite": ["merge_upsert", "incremental_agg"],
+    "maintenance_suite": ["merge_upsert", "incremental_agg", "dense_ids"],
     "governance_suite": ["k_anonymity", "pseudonymize_export", "data_quality"],
 }
 

@@ -1,0 +1,71 @@
+"""Scalable surrogate-key assignment: dense contiguous ids in key order.
+
+The naive formulation — ``row_number() OVER (ORDER BY key)`` — collapses
+the whole table into ONE partition for the un-partitioned window; at
+100 TB that is the canonical driver-shaped bottleneck. The classic
+distributed shape used here:
+
+  1. bucket rows by key range (``width_bucket`` over the observed
+     min/max — one cheap agg pass for the two scalars);
+  2. count rows per bucket (shuffle carries (bucket, 1) partials only)
+     and prefix-sum the counts into per-bucket OFFSETS — a window over
+     ≤ `buckets` rows, trivially small;
+  3. broadcast the offsets back and number rows WITHIN each bucket
+     (partitioned window — parallel), adding the bucket's offset.
+
+Result is bit-identical to the global ``row_number() - 1`` whenever the
+ordering (order_cols) is total — which the oracle enforces — while every
+stage stays parallel. Monotonically-increasing-id (gaps allowed) remains
+the zero-shuffle alternative when density is not required; this operator
+is for the contract "ids are exactly 0..N-1 in key order".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BUCKET = "_dense_bucket__"
+_OFFSET = "_dense_offset__"
+
+
+def dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "dense_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Append ``id_col`` = 0..N-1 following the total order of
+    ``order_cols``. The FIRST order column drives the range bucketing
+    (must be numeric); remaining columns only break ties inside buckets.
+    """
+    lead = order_cols[0]
+    mm = df.agg(
+        F.min(lead).alias("lo"), F.max(lead).alias("hi")
+    ).collect()[0]
+    if mm["lo"] is None:
+        return df.withColumn(id_col, F.lit(None).cast("long"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    bucket = F.width_bucket(
+        F.col(lead).cast("double"), F.lit(lo), F.lit(hi + 1.0), F.lit(buckets)
+    )
+    bucketed = df.withColumn(_BUCKET, bucket)
+    counts = bucketed.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("_n"))
+    # prefix sum over <= `buckets` rows: the single-partition window is
+    # bounded by the bucket count, not the data size
+    w_off = Window.orderBy(_BUCKET).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        _BUCKET, F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias(_OFFSET)
+    )
+    w_in = Window.partitionBy(_BUCKET).orderBy(*order_cols)
+    return (
+        bucketed.join(F.broadcast(offsets), _BUCKET)
+        .withColumn(
+            id_col,
+            (F.col(_OFFSET) + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .drop(_BUCKET, _OFFSET)
+    )
