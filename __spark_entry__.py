@@ -2462,6 +2462,27 @@ def q_dense_ids(spark, sf_dir):
     return dense_ids(orders, ["o_orderkey"], buckets=256).orderBy("o_orderkey")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    # CDC extraction (operators/maintenance.py): diff two snapshots into
+    # insert/update/delete rows; the inverse of merge_upsert (round-trip
+    # proven in tests). Cents discipline keeps the hash exact.
+    from merchant_classification_spark.operators.maintenance import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    old = cust.where(F.col("c_custkey") % 7 != 0)
+    new = cust.withColumn(
+        "bal_cents",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("bal_cents") + 100
+        ).otherwise(F.col("bal_cents")),
+    ).where(F.col("c_custkey") % 11 != 0)
+    return snapshot_diff(old, new, "c_custkey").orderBy("c_custkey")
+
+
 def q_data_quality(spark, sf_dir):
     # declarative expectations (operators/expectations.py): every rule is
     # a conditional count inside ONE aggregate pass; report as rows
@@ -2625,6 +2646,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "data_quality": q_data_quality,
     "dense_ids": q_dense_ids,
+    "snapshot_diff": q_snapshot_diff,
     "sampling_suite": q_sampling_suite,
 }
 
@@ -4058,6 +4080,35 @@ ORACLES["udtf_words"] = """
     FROM w ORDER BY doc_id
 """
 
+ORACLES["snapshot_diff"] = """
+    WITH cust AS (
+        SELECT c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ), old AS (
+        SELECT * FROM cust WHERE c_custkey % 7 <> 0
+    ), new AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN bal_cents + 100
+                    ELSE bal_cents END AS bal_cents
+        FROM cust WHERE c_custkey % 11 <> 0
+    )
+    SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN o.c_name IS DISTINCT FROM n.c_name
+                  OR o.bal_cents IS DISTINCT FROM n.bal_cents THEN 'update'
+           END AS change_type,
+           n.c_name AS c_name, n.bal_cents AS bal_cents
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE CASE WHEN o.c_custkey IS NULL THEN 'insert'
+               WHEN n.c_custkey IS NULL THEN 'delete'
+               WHEN o.c_name IS DISTINCT FROM n.c_name
+                 OR o.bal_cents IS DISTINCT FROM n.bal_cents THEN 'update'
+          END IS NOT NULL
+    ORDER BY c_custkey
+"""
+
 ORACLES["dense_ids"] = """
     SELECT o_orderkey,
            CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
@@ -4213,7 +4264,12 @@ SUITES: dict[str, list[str]] = {
         "pushdown_keys_agg",
         "salted_topk",
     ],
-    "maintenance_suite": ["merge_upsert", "incremental_agg", "dense_ids"],
+    "maintenance_suite": [
+        "merge_upsert",
+        "incremental_agg",
+        "dense_ids",
+        "snapshot_diff",
+    ],
     "governance_suite": ["k_anonymity", "pseudonymize_export", "data_quality"],
 }
 

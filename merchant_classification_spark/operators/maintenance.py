@@ -112,3 +112,53 @@ def merge_agg_state(state: DataFrame, delta_state: DataFrame) -> DataFrame:
         .groupBy(*key_list)
         .agg(*[F.sum(c).alias(c) for c in metric_cols])
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data capture from two full snapshots: one row per changed
+    key with ``change_type`` ∈ {'insert', 'update', 'delete'} and the NEW
+    row's values (NULLs for deletes). The inverse of ``merge_upsert``:
+    applying the diff to `old` reproduces `new`.
+
+    One shuffle per side on the keys (full outer join); change detection
+    is a null-safe column comparison (<=>) so NULL→value and value→NULL
+    transitions count as updates, not misses. Unchanged keys are dropped
+    before anything else materializes, so the output is delta-sized.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_list]
+
+    o = old.select(
+        *key_list,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_list,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, key_list, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change_type)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *key_list,
+            "change_type",
+            *[F.col(f"_new_{c}").alias(c) for c in compare_cols],
+        )
+    )

@@ -175,3 +175,53 @@ def test_udtf_null_and_empty(spark):
     n = words_native(df, "id", "text").collect()
     # split('') yields one empty token; NULL yields nothing — both paths
     assert sorted(tuple(r) for r in u) == sorted(tuple(r) for r in n) == [(2, 0, "")]
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (CDC extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_types(spark):
+    from merchant_classification_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+        "k: long, s: string, v: double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0), (5, "e", 5.0)],
+        "k: long, s: string, v: double",
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert set(out) == {2, 3, 4, 5}  # k=1 unchanged → absent
+    assert out[2]["change_type"] == "update" and out[2]["s"] == "B"
+    assert out[3]["change_type"] == "update"  # NULL -> 'c' detected
+    assert out[4]["change_type"] == "delete" and out[4]["s"] is None
+    assert out[5]["change_type"] == "insert" and out[5]["s"] == "e"
+
+
+def test_snapshot_diff_roundtrip_with_merge(spark, tables):
+    # applying the diff's upserts+deletes to `old` reproduces `new`
+    from merchant_classification_spark.operators.maintenance import (
+        merge_upsert,
+        snapshot_diff,
+    )
+    from pyspark.sql import functions as F
+
+    cust = tables["customer"].select("c_custkey", "c_name", "c_acctbal")
+    old = cust.where(F.col("c_custkey") % 7 != 0)  # some keys missing
+    new = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    ).where(F.col("c_custkey") % 11 != 0)  # and some deleted
+    diff = snapshot_diff(old, new, "c_custkey")
+    upserts = diff.where(F.col("change_type") != "delete").drop("change_type")
+    deletes = diff.where(F.col("change_type") == "delete").select("c_custkey")
+    rebuilt = merge_upsert(old, upserts, "c_custkey").join(
+        deletes, "c_custkey", "left_anti"
+    )
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
