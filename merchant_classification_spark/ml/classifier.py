@@ -107,7 +107,33 @@ class NarrativeClassifier:
             stages=[tokenizer, *grams, concat, tf, indexer_model, lr, decode]
         )
         model = pipeline.fit(train)
+        _strip_training_summaries(model)
         return NarrativeClassifierModel(model, self)
+
+
+def _strip_training_summaries(pipeline_model: PipelineModel) -> None:
+    """Drop fitted stages' training summaries before the model is used.
+
+    A training summary (e.g. LogisticRegression's) holds a SparkSession
+    reference; any task closure capturing the model then serializes the
+    session — which fails outright once the session's lazily-created
+    ObservationManager exists (not Serializable in Spark 4.1), and would
+    ship driver state to executors even when it doesn't. Scoring never
+    reads the summary, so the engine clears it at fit time; callers who
+    want training diagnostics use ml/evaluate.py, which recomputes them
+    from DataFrames.
+    """
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    for stage in pipeline_model.stages:
+        jobj = getattr(stage, "_java_obj", None)
+        if (
+            jobj is not None
+            and hasattr(jobj, "setSummary")
+            and getattr(stage, "hasSummary", False)
+        ):
+            jobj.setSummary(jvm.scala.Option.empty())
 
 
 _INTERNAL_COLS = ("_tokens", "_all_grams", "_features", "_label_idx", "_pred_idx")
