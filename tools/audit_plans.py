@@ -25,8 +25,15 @@ from merchant_classification_spark.session import build_session  # noqa: E402
 
 # Python workers are expected ONLY where the operator is defined by a
 # Python library boundary (Arrow-batched): multimodal decode, ML fit,
-# grouped-map OLS (applyInPandas — per-group numerical fitting).
-PYTHON_OK = {"multimodal_decode", "ml_train_score", "grouped_linear_fit"}
+# grouped-map OLS (applyInPandas — per-group numerical fitting), and the
+# Python UDTF probe inside chunk_pack_suite (udtf_words — the surface
+# under test IS the Python row generator; its native twin pins parity).
+PYTHON_OK = {
+    "multimodal_decode",
+    "ml_train_score",
+    "grouped_linear_fit",
+    "chunk_pack_suite",
+}
 
 
 def main() -> None:
