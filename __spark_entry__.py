@@ -2516,6 +2516,56 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters_exact(ev, "event_type", support=0.05)
 
 
+def q_string_funcs(spark, sf_dir):
+    # scalar string-function breadth: the everyday kernel surface a
+    # migrating user hits first; every expression dialect-portable and
+    # graded against DuckDB's implementations
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 25 == 0)
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.translate(name, "Cust", "Kost").alias("t_translate"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("t_lpad"),
+        F.rpad(F.substring(name, 1, 4), 8, ".").alias("t_rpad"),
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("t_split_part"),
+        F.reverse(name).alias("t_reverse"),
+        F.repeat(F.substring(name, 1, 2), 3).alias("t_repeat"),
+        F.left(name, F.lit(6)).alias("t_left"),
+        F.right(name, F.lit(4)).alias("t_right"),
+        F.ascii(name).alias("t_ascii"),
+        F.instr(name, "er#").cast("long").alias("t_instr"),
+        F.replace(name, F.lit("0"), F.lit("o")).alias("t_replace"),
+        F.md5(name).alias("t_md5"),
+        F.concat_ws("-", F.lit("ck"), F.col("c_custkey").cast("string")).alias(
+            "t_concat_ws"
+        ),
+        F.length(F.trim(F.concat(F.lit("  "), name, F.lit("  ")))).cast(
+            "long"
+        ).alias("t_trim_len"),
+    ).orderBy("c_custkey")
+
+
+def q_null_handling(spark, sf_dir):
+    # NULL-semantics breadth: nullif/coalesce/nvl/CASE-nvl2 plus
+    # null-safe equality, graded against the oracle's identical chain
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 25 == 0)
+    seg = F.col("c_mktsegment")
+    maybe = F.nullif(seg, F.lit("BUILDING"))
+    return cust.select(
+        "c_custkey",
+        maybe.alias("t_nullif"),
+        F.coalesce(maybe, F.lit("suppressed")).alias("t_coalesce"),
+        F.nvl(maybe, seg).alias("t_nvl"),
+        F.when(maybe.isNotNull(), F.lit("kept"))
+        .otherwise(F.lit("was_building"))
+        .alias("t_nvl2"),
+        maybe.eqNullSafe(F.lit("MACHINERY")).alias("t_null_safe_eq"),
+        F.count(maybe).over(Window.partitionBy(F.lit(1))).alias(
+            "t_count_skips_nulls"
+        ),
+    ).orderBy("c_custkey")
+
+
 def q_sampling_suite(spark, sf_dir):
     # rows-only union of the two seeded sampling queries (same orders
     # schema): per-class invariants live in tests/test_sampling.py
@@ -2647,6 +2697,8 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality": q_data_quality,
     "dense_ids": q_dense_ids,
     "snapshot_diff": q_snapshot_diff,
+    "string_funcs": q_string_funcs,
+    "null_handling": q_null_handling,
     "sampling_suite": q_sampling_suite,
 }
 
@@ -4025,6 +4077,40 @@ ORACLES["tpch_q21_waiting"] = """
     GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 """
 
+ORACLES["string_funcs"] = """
+    SELECT c_custkey,
+           translate(c_name, 'Cust', 'Kost') AS t_translate,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS t_lpad,
+           rpad(substr(c_name, 1, 4), 8, '.') AS t_rpad,
+           split_part(c_name, '#', 2) AS t_split_part,
+           reverse(c_name) AS t_reverse,
+           repeat(substr(c_name, 1, 2), 3) AS t_repeat,
+           left(c_name, 6) AS t_left,
+           right(c_name, 4) AS t_right,
+           ascii(c_name) AS t_ascii,
+           CAST(strpos(c_name, 'er#') AS BIGINT) AS t_instr,
+           replace(c_name, '0', 'o') AS t_replace,
+           md5(c_name) AS t_md5,
+           concat_ws('-', 'ck', CAST(c_custkey AS VARCHAR)) AS t_concat_ws,
+           CAST(length(trim('  ' || c_name || '  ')) AS BIGINT) AS t_trim_len
+    FROM customer WHERE c_custkey % 25 = 0 ORDER BY c_custkey
+"""
+
+ORACLES["null_handling"] = """
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS t_nullif,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed')
+               AS t_coalesce,
+           ifnull(nullif(c_mktsegment, 'BUILDING'), c_mktsegment) AS t_nvl,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                THEN 'kept' ELSE 'was_building' END AS t_nvl2,
+           nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY'
+               AS t_null_safe_eq,
+           (SELECT count(nullif(c_mktsegment, 'BUILDING'))
+            FROM customer WHERE c_custkey % 25 = 0) AS t_count_skips_nulls
+    FROM customer WHERE c_custkey % 25 = 0 ORDER BY c_custkey
+"""
+
 ORACLES["merge_upsert"] = """
     WITH cust AS (
         SELECT c_custkey, c_name,
@@ -4190,7 +4276,13 @@ ORACLES["variant_extract"] = """
 SUITES: dict[str, list[str]] = {
     "flagship_accuracy": ["flagship_accuracy"],
     "basic_agg_suite": ["class_histogram", "group_sum_avg", "conditional_agg"],
-    "filter_sort_suite": ["filter_project", "sort_limit", "case_when_bands"],
+    "filter_sort_suite": [
+        "filter_project",
+        "sort_limit",
+        "case_when_bands",
+        "string_funcs",
+        "null_handling",
+    ],
     "join_suite": ["join_left_counts", "join_dim_chain", "semi_anti_join"],
     "window_order_suite": ["window_percent_rank", "window_rank_suite"],
     "running_window_suite": ["running_totals", "rolling_range_frame"],
