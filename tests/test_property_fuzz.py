@@ -172,3 +172,71 @@ def test_chunking_invariants(spark, docs, window, stride):
         # overlapping/contiguous strides must cover the whole document
         if stride <= window:
             assert last.start_token + last.n_chunk_tokens - 1 == n
+
+
+# ---------------------------------------------------------------------------
+# maintenance operators: diff/merge round-trip and dense-id fuzz
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(st.none(), st.text(alphabet="xyz", min_size=0, max_size=2))
+_table = st.dictionaries(
+    st.integers(min_value=0, max_value=9), _cell, min_size=0, max_size=8
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=_table, new=_table)
+def test_snapshot_diff_merge_roundtrip_fuzz(spark, old, new):
+    """For ANY pair of snapshots (nullable values, disjoint/overlapping
+    keys): applying diff's upserts+deletes to `old` reproduces `new`."""
+    from merchant_classification_spark.operators.maintenance import (
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    schema = "k: long, v: string"
+    old_df = spark.createDataFrame(sorted(old.items()), schema)
+    new_df = spark.createDataFrame(sorted(new.items()), schema)
+    diff = snapshot_diff(old_df, new_df, "k")
+    # merge_upsert's coalesce keeps the target value on NULL updates, so
+    # value→NULL transitions must apply as delete+insert; the general
+    # rebuild therefore replaces every changed key outright:
+    changed = diff.select("k")
+    survivors = old_df.join(changed, "k", "left_anti")
+    replacements = diff.where(F.col("change_type") != "delete").select("k", "v")
+    rebuilt = survivors.unionByName(replacements)
+    assert {(r.k, r.v) for r in rebuilt.collect()} == set(new.items())
+    # and the classifications themselves are definitionally right
+    for row in diff.collect():
+        if row.change_type == "insert":
+            assert row.k not in old and row.k in new
+        elif row.change_type == "delete":
+            assert row.k in old and row.k not in new
+        else:
+            assert old[row.k] != new[row.k]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=30
+    )
+)
+def test_dense_ids_fuzz_matches_sort_order(spark, vals):
+    """Dense ids equal the position in the sorted (val, tiebreak) order
+    for ANY distribution — duplicates, negatives, single bucket."""
+    from merchant_classification_spark.operators.ids import dense_ids
+
+    rows = list(enumerate(vals))  # (tiebreak, val)
+    df = spark.createDataFrame([(v, i) for i, v in rows], "v: long, t: long")
+    out = dense_ids(df, ["v", "t"], buckets=4)
+    got = [(r.v, r.t) for r in out.orderBy("dense_id").collect()]
+    assert got == sorted((v, i) for i, v in rows)
