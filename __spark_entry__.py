@@ -2566,6 +2566,27 @@ def q_null_handling(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing (rolling k-gram hash + window-min) document
+    fingerprints — MOSS-style local sampling. Per-doc stats over the
+    exact fingerprint set; the oracle replays the identical md5-hex
+    chain, so the whole kernel (k-gram enumeration, window minima,
+    distinct) is value-checked bit-for-bit.
+    """
+    from merchant_classification_spark.operators.dedup import winnow_fingerprints
+
+    # deterministic 1-in-5 slice: the kernel check is per-doc, so a
+    # pushed-down sample grades identically while keeping the md5-gram
+    # pass (interpreted HOF, no codegen) a bounded share of the bench
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return docs.withColumn("fps", winnow_fingerprints("text", 8, 4)).select(
+        "doc_id",
+        F.size("fps").cast("integer").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
 def q_sampling_suite(spark, sf_dir):
     # rows-only union of the two seeded sampling queries (same orders
     # schema): per-class invariants live in tests/test_sampling.py
@@ -2642,6 +2663,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subquery_suite": q_subquery_suite,
     "grouping_sets": q_grouping_sets,
     "dedup_rep_assign": q_dedup_rep_assign,
+    "doc_winnow": q_doc_winnow,
     "pii_scrub": q_pii_scrub,
     "json_schema_parse": q_json_schema_parse,
     "rolling_range_frame": q_rolling_range_frame,
@@ -3329,6 +3351,31 @@ ORACLES.update(
                    FROM t)
             SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep
             FROM fp ORDER BY doc_id
+        """,
+        # replays winnow_fingerprints (operators/dedup.py) exactly:
+        # md5-hex k-gram rolling hashes (k=8), w=4 window minima,
+        # distinct — portable because md5 and lexicographic hex order
+        # agree across engines
+        "doc_winnow": """
+            WITH g AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) >= 8
+                            THEN list_transform(
+                                     range(1, length(text) - 8 + 2),
+                                     i -> substr(md5(substr(text, i::INT, 8)), 1, 16))
+                            ELSE [substr(md5(text), 1, 16)] END AS hs
+                FROM documents WHERE doc_id % 5 = 0),
+            w AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) >= 4
+                            THEN list_distinct(list_transform(
+                                     range(1, len(hs) - 4 + 2),
+                                     j -> list_min(hs[j:j+3])))
+                            ELSE [list_min(hs)] END AS fps
+                FROM g)
+            SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+                   list_min(fps) AS min_fp, list_max(fps) AS max_fp
+            FROM w
         """,
     }
 )
@@ -4330,7 +4377,12 @@ SUITES: dict[str, list[str]] = {
     "sql_api": ["sql_api"],
     "grouping_suite": ["rollup_revenue", "cube_revenue", "grouping_sets"],
     "reshape_suite": ["pivot_counts", "unpivot_metrics"],
-    "dedup_suite": ["dedup_exact", "dedup_fingerprint", "dedup_rep_assign"],
+    "dedup_suite": [
+        "dedup_exact",
+        "dedup_fingerprint",
+        "dedup_rep_assign",
+        "doc_winnow",
+    ],
     "neardup_pairs_suite": [
         "ngram_jaccard_neardup",
         "embedding_neardup",

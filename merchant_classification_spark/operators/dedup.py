@@ -384,6 +384,98 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# winnowing document fingerprints (rolling k-gram hash + window minima)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set of the text (array<string>), per
+    Schleimer/Wilkerson/Aiken's MOSS algorithm: hash every character
+    k-gram (a rolling window over the raw text, robust to token-boundary
+    edits), then keep the minimum hash of every w-consecutive-hash
+    window. Guarantees: any shared substring of length >= k + w - 1
+    yields at least one shared fingerprint, and no gap between selected
+    positions exceeds w — the standard local sampling bound.
+
+    Fully native (whole-stage codegen): the k-gram hashes are the first
+    16 hex chars of md5 — engine-portable (md5 is md5, hex compares
+    lexicographically the same everywhere), so an external SQL engine
+    can replay the exact fingerprint set for verification. The hash
+    array is bound through a one-element-array lambda so the k-gram
+    pass runs ONCE per row, not once per window position.
+
+    Texts shorter than k chars contribute md5(text) as their single
+    fingerprint; texts with fewer than w k-grams contribute the min of
+    what they have. Map-only — no shuffle; at 100 TB the cost is one
+    scan and the output is a bounded ~n/w sample of each doc's grams.
+    """
+    s = F.col(col) if isinstance(col, str) else col
+
+    def hashes(t: Column) -> Column:
+        n = F.length(t)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 16),
+            ),
+        ).otherwise(F.array(F.substring(F.md5(t), 1, 16)))
+
+    def minima(hs: Column) -> Column:
+        m = F.size(hs)
+        return F.when(
+            m >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - (w - 1)),
+                    lambda j: F.array_min(F.slice(hs, j, w)),
+                )
+            ),
+        ).otherwise(F.array(F.array_min(hs)))
+
+    hs = F.element_at(F.transform(F.array(s), hashes), 1)
+    return F.element_at(F.transform(F.array(hs), minima), 1)
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Document pairs (id_a < id_b, shared_fps) sharing at least
+    ``min_shared`` winnowing fingerprints — the MOSS plagiarism-
+    detection join, distributable: explode fingerprints, self-join on
+    the fingerprint value (ids-only through the shuffle), count shared.
+
+    ``max_df`` drops fingerprints appearing in more than that many docs
+    (boilerplate) before the join — the posting-list cap that keeps a
+    100 TB self-join from quadratic blowup on common headers/footers.
+    """
+    fps = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_fingerprints(text_col, k, w)).alias("fp"),
+    )
+    if max_df is not None:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_count"))
+        fps = fps.join(freq.where(F.col("df_count") <= max_df), "fp").select(
+            "doc_id", "fp"
+        )
+    l = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    r = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        l.join(r, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # edit-distance near-dup join (Ed-Join-style q-gram prefix filtering)
 # ---------------------------------------------------------------------------
 

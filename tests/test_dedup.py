@@ -201,3 +201,87 @@ def test_edit_distance_pairs_k2_table(tables):
         .collect()[0]
     )
     assert (got.n, got.chk) == (naive.n, naive.chk) and got.n > 0
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(text: str, k: int = 8, w: int = 4) -> set[str]:
+    """Independent pure-Python replay of winnow_fingerprints."""
+    import hashlib
+
+    if len(text) >= k:
+        hs = [
+            hashlib.md5(text[i : i + k].encode()).hexdigest()[:16]
+            for i in range(len(text) - k + 1)
+        ]
+    else:
+        hs = [hashlib.md5(text.encode()).hexdigest()[:16]]
+    if len(hs) >= w:
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+    return {min(hs)}
+
+
+def test_winnow_matches_python_replay(tables):
+    from merchant_classification_spark.operators.dedup import winnow_fingerprints
+
+    docs = tables["documents"].limit(50)
+    got = {
+        r.doc_id: set(r.fps)
+        for r in docs.select(
+            "doc_id", winnow_fingerprints("text", 8, 4).alias("fps")
+        ).collect()
+    }
+    want = {r.doc_id: _winnow_py(r.text) for r in docs.collect()}
+    assert got == want
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # any shared substring of length >= k + w - 1 (= 11) must yield at
+    # least one shared fingerprint (the winnowing local-sampling bound)
+    from merchant_classification_spark.operators.dedup import winnow_fingerprints
+
+    shared = "identical-run-of-text-long-enough-to-fingerprint"
+    df = spark.createDataFrame(
+        [(0, "PREFIX AAA " + shared), (1, shared + " ZZZ OTHER SUFFIX")],
+        ["doc_id", "text"],
+    )
+    rows = df.select(
+        "doc_id", winnow_fingerprints("text", 8, 4).alias("fps")
+    ).collect()
+    fps = {r.doc_id: set(r.fps) for r in rows}
+    assert fps[0] & fps[1]
+
+
+def test_winnow_short_text_edge(spark):
+    from merchant_classification_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(0, "ab"), (1, "abcdefgh"), (2, "")], ["doc_id", "t"])
+    rows = df.select(
+        "doc_id", winnow_fingerprints("t", 8, 4).alias("fps")
+    ).collect()
+    by_id = {r.doc_id: r.fps for r in rows}
+    assert len(by_id[0]) == 1 and len(by_id[1]) == 1 and len(by_id[2]) == 1
+    assert by_id[0] == [_winnow_py("ab").pop()]
+
+
+def test_winnow_pairs_moss_join(spark):
+    from merchant_classification_spark.operators.dedup import winnow_pairs
+
+    plag = (
+        "students often copy this exact paragraph verbatim into their "
+        "submissions hoping nobody runs a fingerprint join over the corpus"
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "intro words. " + plag + " closing words."),
+            (1, "different opener; " + plag),
+            (2, "entirely unrelated essay about distributed joins and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = winnow_pairs(df, "doc_id", "text", min_shared=2).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+    assert got[0].shared_fps >= 2
