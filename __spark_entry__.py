@@ -589,21 +589,37 @@ def q_embedding_neardup(spark, sf_dir):
     # exact bounded variant (oracle-checkable); the LSH variant that scales
     # to the full table is q_embedding_neardup_lsh (rows-only)
     from merchant_classification_spark.functions.vectors import (
-        cosine_similarity,
+        dot,
+        norm,
         to_double_array,
     )
 
-    emb = (
-        _t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < NEARDUP_MAX_ID)
-        .select(F.col("vec_id"), to_double_array("embedding").alias("v"))
+    # norms are computed ONCE per row below the join (bit-identical to
+    # recomputing them per pair, since it is the same arithmetic on the
+    # same input — and exactly how the oracle's CTE does it); the n²/2
+    # pair stage then folds each vector pair once (dot), not three times
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < NEARDUP_MAX_ID)
+    emb = emb.select(
+        F.col("vec_id"),
+        to_double_array("embedding").alias("v"),
+        norm("embedding").alias("nv"),
     )
-    l = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    r = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    l = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    r = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
+    denom = F.col("na") * F.col("nb")
     return (
         l.crossJoin(r)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine_sim",
+            F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                dot(F.col("va"), F.col("vb")) / denom
+            ),
+        )
         .where(F.col("cosine_sim") >= NEARDUP_TAU)
         .select("id_a", "id_b", "cosine_sim")
         .orderBy("id_a", "id_b")
@@ -4435,9 +4451,19 @@ ROWS_ONLY: list[str] = [
 
 def _suite_query(names: list[str]) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # members build concurrently: operators that eagerly materialize
+        # (the checkpoint-and-release dedup joins) overlap their jobs on
+        # the idle cores each leaves during its serial tail. Union order
+        # stays the declared member order, so output is deterministic.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(names)) as ex:
+            parts = list(
+                ex.map(lambda n: BRANCH_QUERIES[n](spark, sf_dir), names)
+            )
         out = None
-        for n in names:
-            d = BRANCH_QUERIES[n](spark, sf_dir).withColumn("part_tag", F.lit(n))
+        for n, d in zip(names, parts):
+            d = d.withColumn("part_tag", F.lit(n))
             out = d if out is None else out.unionByName(d, allowMissingColumns=True)
         return out
 
