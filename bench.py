@@ -21,6 +21,7 @@ Set $SPARK_GRAFT_BENCH_WARMUP=0 to record cold first-run times instead.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -68,6 +69,15 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         total += best
+        # clearCache() does NOT free localCheckpoint blocks — those are
+        # released by the ContextCleaner only after the driver-side
+        # DataFrame refs are garbage-collected. The eager dedup/rep-assign
+        # operators checkpoint per invocation, so ~150 invocations per
+        # bench run accumulate blocks and degrade late queries (this was
+        # the round-2 "approx_sketches anomaly"). Collect both heaps
+        # between queries so each starts from a clean BlockManager.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # per-query map on its own line FIRST; the compact machine-readable
     # headline is the FINAL line by itself (with many queries the combined

@@ -46,6 +46,7 @@ PROBES = [
     ("ngram_jaccard_neardup", "exact Jaccard PPJoin"),
     ("edit_distance_neardup", "Ed-Join edit-distance pairs"),
     ("dedup_rep_assign", "iterative label propagation"),
+    ("doc_winnow", "winnowing rolling-hash fingerprints"),
     ("ann_bruteforce", "exact ANN top-k (broadcast queries)"),
     ("ann_lsh", "SRP-LSH ANN"),
     ("ann_ivf", "IVF ANN (sampled KMeans fit)"),
