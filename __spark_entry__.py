@@ -2603,6 +2603,17 @@ def q_doc_winnow(spark, sf_dir):
     )
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS shared-fingerprint pair join over winnowing fingerprints:
+    docs sharing >= 3 rare (document frequency <= 5) fingerprints. The
+    oracle replays the identical md5-hex kernel + posting-cap + join.
+    """
+    from merchant_classification_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(docs, "doc_id", "text", min_shared=3, max_df=5)
+
+
 def q_sampling_suite(spark, sf_dir):
     # rows-only union of the two seeded sampling queries (same orders
     # schema): per-class invariants live in tests/test_sampling.py
@@ -2680,6 +2691,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets": q_grouping_sets,
     "dedup_rep_assign": q_dedup_rep_assign,
     "doc_winnow": q_doc_winnow,
+    "winnow_pairs": q_winnow_pairs,
     "pii_scrub": q_pii_scrub,
     "json_schema_parse": q_json_schema_parse,
     "rolling_range_frame": q_rolling_range_frame,
@@ -3392,6 +3404,34 @@ ORACLES.update(
             SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
                    list_min(fps) AS min_fp, list_max(fps) AS max_fp
             FROM w
+        """,
+        # same kernel as doc_winnow (full table, no slice) + the MOSS
+        # posting-capped shared-fingerprint join
+        "winnow_pairs": """
+            WITH g AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) >= 8
+                            THEN list_transform(
+                                     range(1, length(text) - 8 + 2),
+                                     i -> substr(md5(substr(text, i::INT, 8)), 1, 16))
+                            ELSE [substr(md5(text), 1, 16)] END AS hs
+                FROM documents),
+            w AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) >= 4
+                            THEN list_distinct(list_transform(
+                                     range(1, len(hs) - 4 + 2),
+                                     j -> list_min(hs[j:j+3])))
+                            ELSE [list_min(hs)] END AS fps
+                FROM g),
+            fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+            capped AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 5),
+            posts AS (SELECT doc_id, fp.fp FROM fp JOIN capped USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM posts a JOIN posts b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3
         """,
     }
 )
@@ -4403,6 +4443,7 @@ SUITES: dict[str, list[str]] = {
         "ngram_jaccard_neardup",
         "embedding_neardup",
         "edit_distance_neardup",
+        "winnow_pairs",
     ],
     "ann_exact_suite": ["ann_bruteforce", "ann_quantized"],
     "embedding_suite": ["embedding_quantize", "embedding_stats"],

@@ -454,25 +454,38 @@ def winnow_pairs(
     ``max_df`` drops fingerprints appearing in more than that many docs
     (boilerplate) before the join — the posting-list cap that keeps a
     100 TB self-join from quadratic blowup on common headers/footers.
+
+    The exploded posting list feeds four plan branches (the df-frequency
+    aggregate, its join back, and both self-join sides); it is persisted
+    so the md5-gram kernel runs ONCE, and released before returning with
+    the (small) pair output snapshotted — the module's standard
+    eager-materialize/release contract.
     """
+    from pyspark.storagelevel import StorageLevel
+
     fps = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(winnow_fingerprints(text_col, k, w)).alias("fp"),
-    )
-    if max_df is not None:
-        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_count"))
-        fps = fps.join(freq.where(F.col("df_count") <= max_df), "fp").select(
-            "doc_id", "fp"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        posts = fps
+        if max_df is not None:
+            freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_count"))
+            posts = fps.join(freq.where(F.col("df_count") <= max_df), "fp").select(
+                "doc_id", "fp"
+            )
+        l = posts.select(F.col("doc_id").alias("id_a"), "fp")
+        r = posts.select(F.col("doc_id").alias("id_b"), "fp")
+        out = (
+            l.join(r, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .where(F.col("shared_fps") >= min_shared)
         )
-    l = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    r = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        l.join(r, "fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .where(F.col("shared_fps") >= min_shared)
-    )
+        return out.localCheckpoint(eager=True)
+    finally:
+        fps.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
