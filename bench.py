@@ -1,8 +1,10 @@
 """Benchmark harness: runs the engine's headline queries end-to-end.
 
-Prints TWO JSON lines — the per-query map, then (LAST, alone, compact so
+Prints JSON lines — a streaming-throughput metric, the per-query map
+(with per-suite-member timings), then (LAST, alone, compact so
 tail-capture always gets it) the headline:
-  {"queries": {name: sec, ...}, "sf": <scale factor>}
+  {"metric": "streaming_throughput_rps", "value": N, "unit": "rows/sec"}
+  {"queries": {name: sec, ...}, "members": {suite: {member: sec}}, "sf": ...}
   {"metric": "headline_queries_total", "value": <total sec>, "unit": "sec",
    "sf": <sf>, "n_queries": N}
 
@@ -36,6 +38,67 @@ from merchant_classification_spark.session import build_session
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _streaming_throughput(spark, rows: int = 200_000) -> float:
+    """Rows/sec through the streaming ingest path: rate-micro-batch
+    source → enrich_stream (regex cleaning chain) →
+    dedup_stream_by_fingerprint (watermarked stateful dedup) → noop
+    sink, a single deterministic micro-batch of `rows` rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.streaming.dedup import (
+        dedup_stream_by_fingerprint,
+    )
+    from merchant_classification_spark.streaming.enrichment import enrich_stream
+
+    ckpt = tempfile.mkdtemp(prefix="bench-stream-ckpt-")
+    try:
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows)
+            .option("startTimestamp", 0)
+            .load()
+        )
+        docs = src.select(
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("doc_id"),
+            F.concat(
+                F.lit("Order 14sep19 12.34 gbp (ref) item nr "),
+                # ~25% duplicate fingerprints exercise the dedup state path
+                (F.col("value") % (rows * 3 // 4)).cast("string"),
+            ).alias("tr_description"),
+        )
+        out = dedup_stream_by_fingerprint(
+            enrich_stream(docs),
+            text_col="tr_description_clean",
+            ts_col="ts",
+            watermark="10 minutes",
+        )
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        return round(rows / dt, 1)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _jvm_gc(spark) -> None:
+    # clearCache() does NOT free localCheckpoint blocks — those need the
+    # driver refs GC'd. Only the classic py4j gateway exposes _jvm; under
+    # Spark Connect this degrades to the Python-side gc alone.
+    jvm = getattr(spark.sparkContext, "_jvm", None)
+    if jvm is not None:
+        jvm.System.gc()
 
 
 def main() -> None:
@@ -75,14 +138,53 @@ def main() -> None:
         # operators checkpoint per invocation, so ~150 invocations per
         # bench run accumulate blocks and degrade late queries (this was
         # the round-2 "approx_sketches anomaly"). Collect both heaps
-        # between queries so each starts from a clean BlockManager.
+        # between queries so each starts from a clean BlockManager
+        # (localCheckpoint rationale — see _jvm_gc).
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        _jvm_gc(spark)
+
+    # per-member timings: suite totals alone cannot attribute a
+    # member-level regression (the suite unions 2-6 probes built
+    # concurrently), so time each member probe individually once.
+    # SPARK_GRAFT_BENCH_MEMBERS=0 skips the pass.
+    members: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_MEMBERS", "1") != "0":
+        for suite, names in entry_mod.SUITES.items():
+            if len(names) < 2:
+                continue
+            members[suite] = {}
+            for name in names:
+                t0 = time.perf_counter()
+                force(entry_mod.BRANCH_QUERIES[name](spark, sf_dir))
+                members[suite][name] = round(time.perf_counter() - t0, 3)
+                spark.catalog.clearCache()
+            gc.collect()
+            _jvm_gc(spark)
+
+    # streaming tier probe: records/sec through the ingest path
+    # (enrich_stream cleaning + fingerprint dedup-on-ingest), one
+    # micro-batch of a deterministic rate source. Its own JSON line so
+    # the batch headline stays comparable across rounds.
+    stream_rps = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        try:
+            stream_rps = _streaming_throughput(spark)
+            print(
+                json.dumps(
+                    {
+                        "metric": "streaming_throughput_rps",
+                        "value": stream_rps,
+                        "unit": "rows/sec",
+                    }
+                )
+            )
+        except Exception as e:  # never let the probe sink the batch bench
+            print(json.dumps({"metric": "streaming_throughput_rps", "error": str(e)[:200]}))
 
     # per-query map on its own line FIRST; the compact machine-readable
     # headline is the FINAL line by itself (with many queries the combined
     # line outgrew the driver's tail capture and the headline was lost)
-    print(json.dumps({"queries": timings, "sf": sf}))
+    print(json.dumps({"queries": timings, "members": members, "sf": sf}))
     print(
         json.dumps(
             {

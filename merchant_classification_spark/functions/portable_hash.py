@@ -1,0 +1,104 @@
+"""Engine-portable hash primitives for oracle-replayable dedup tiers.
+
+The seeded-hash dedup operators (MinHash, SimHash) historically used
+``xxhash64``, which no external SQL engine can replay — their outputs
+could only be verified by a pure-Python re-implementation of Spark's
+XXH64. This module provides a portable alternative built on md5, which
+IS replayable everywhere (md5 is md5):
+
+  * ``md5_long60`` — the first 15 hex chars of ``md5(s)`` parsed base-16
+    into a 60-bit non-negative long. Bit-identical in Spark
+    (``conv(substr(md5(s),1,15),16,10)``), DuckDB
+    (``('0x'||substr(md5(s),1,15))::BIGINT``), and Python
+    (``int(hashlib.md5(b).hexdigest()[:15], 16)``) — verified over
+    unicode inputs in ``tests/test_hash_crosscheck.py``.
+  * ``minhash_perms`` — deterministic universal-hash constants
+    ``(a_i, b_i)`` over the Mersenne prime 2^31−1. Permutation i of a
+    base hash h is ``(a_i · (h mod P) + b_i) mod P``: every
+    intermediate stays below 2^62, so the arithmetic is exact in any
+    engine's signed 64-bit integers (no overflow, no ANSI trap).
+
+Cost note: one md5 per shingle/token plus O(k) exact integer ops —
+cheaper than the k-seeded-xxhash64 chain it replaces, at the price of
+md5 being a heavier base hash than xxh64. Both schemes stay in
+whole-stage codegen; the xxh64 scheme remains available on every
+operator (``scheme="xxh64"``) as the cheapest-hash option.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, functions as F
+
+#: Mersenne prime 2^31 − 1 — the universal-hash modulus. With
+#: a, b, (h mod P) all < 2^31, a·h+b < 2^62: exact in signed 64-bit.
+MERSENNE31 = (1 << 31) - 1
+
+#: PRNG seed for the permutation constants (fixed forever: changing it
+#: changes every MinHash signature and breaks replay tests).
+_PERM_SEED = 0xC0FFEE
+
+
+def md5_long60(col: Column | str) -> Column:
+    """60-bit non-negative long from the first 15 hex chars of md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_perms(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash constants: (a list, b list), each of
+    length ``num_hashes``, with a_i ∈ [1, P−1], b_i ∈ [0, P−1].
+
+    Same-prefix property: ``minhash_perms(n)[0] == minhash_perms(m)[0][:n]``
+    for n ≤ m, so shrinking/growing k keeps existing signature prefixes.
+    """
+    # draws interleaved per permutation so the prefix property holds
+    rng = random.Random(_PERM_SEED)
+    a: list[int] = []
+    b: list[int] = []
+    for _ in range(num_hashes):
+        a.append(rng.randrange(1, MERSENNE31))
+        b.append(rng.randrange(0, MERSENNE31))
+    return a, b
+
+
+def _long_array_literal(vals: list[int]) -> Column:
+    """One parsed array<long> literal (not N py4j F.lit round-trips)."""
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
+def minhash_sig_md5(hash_col: Column, num_hashes: int) -> Column:
+    """MinHash signature (array<long>, length ``num_hashes``) over an
+    array<long> of ``md5_long60`` base hashes.
+
+    sig[i] = min over hashes h of (a_i · (h mod P) + b_i) mod P — the
+    classic Carter–Wegman universal family over the Mersenne prime; the
+    permutation constants come from :func:`minhash_perms` so an external
+    SQL oracle or a pure-Python replay reproduces the signature exactly.
+    The residue array (h mod P) is bound through a one-element-array
+    lambda so it is computed once per row, not once per permutation.
+    """
+    a_lit = _long_array_literal(minhash_perms(num_hashes)[0])
+    b_lit = _long_array_literal(minhash_perms(num_hashes)[1])
+    p = F.lit(MERSENNE31).cast("long")
+    residues = F.transform(hash_col, lambda h: h % p)
+    return F.element_at(
+        F.transform(
+            F.array(residues),
+            lambda hm: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(
+                        hm,
+                        lambda r: (
+                            F.element_at(a_lit, i + 1) * r
+                            + F.element_at(b_lit, i + 1)
+                        )
+                        % p,
+                    )
+                ),
+            ),
+        ),
+        1,
+    )

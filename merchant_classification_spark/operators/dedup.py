@@ -9,11 +9,17 @@ Four families, cheapest to most semantic:
   * SimHash      — 64-bit sign-of-weighted-bit-sums signature; Hamming-ball
                    candidates via band buckets
 
-Everything is native DataFrame code (higher-order functions + xxhash64);
+Everything is native DataFrame code (higher-order functions + hashing);
 there is no Python in any hot path. Scale shape: signatures are computed
 map-side (no shuffle); candidate generation shuffles only (band_hash) keys,
 which are near-uniform by construction — LSH is self-salting. The verify
 stage re-joins shingle sets only for candidate pairs (tiny vs n²).
+
+MinHash and SimHash offer two hash schemes: ``scheme="md5"`` (default) is
+engine-portable — an external SQL oracle replays signatures, banding, and
+verify bit-for-bit (see ``functions/portable_hash.py``); ``scheme="xxh64"``
+is the cheapest-hash option with 8-byte band keys, verified instead by the
+pure-Python XXH64 replay in ``tests/test_hash_crosscheck.py``.
 """
 
 from __future__ import annotations
@@ -85,17 +91,32 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), grams), 1)
 
 
-def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column:
+def minhash_signature(
+    shingle_col: Column | str, num_hashes: int = 64, scheme: str = "md5"
+) -> Column:
     """MinHash signature: array<long> of length `num_hashes`.
 
     Broder construction, two-level hashing: each shingle is string-hashed
-    ONCE (xxhash64 over the characters), then the k "permutations" re-hash
-    that 64-bit value with the permutation index as seed material
-    (xxhash64 over 16 fixed bytes) — k× cheaper than re-hashing strings
-    per permutation, overflow-free under ANSI mode, and every op stays in
-    whole-stage codegen. min per index approximates the permutation min.
+    ONCE, then the k "permutations" transform that base value — k× cheaper
+    than re-hashing strings per permutation, overflow-free under ANSI
+    mode, and every op stays in whole-stage codegen. min per index
+    approximates the permutation min.
+
+    ``scheme="md5"`` (default) is the engine-portable construction
+    (``functions/portable_hash.py``): base = 60-bit md5 prefix,
+    permutations = exact universal hashing mod 2^31−1 — an external SQL
+    oracle replays the signature bit-for-bit. ``scheme="xxh64"`` is the
+    cheapest-base-hash option (seeded xxhash64 chain), verifiable only by
+    the pure-Python XXH64 replay in ``tests/test_hash_crosscheck.py``.
     """
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    if scheme == "md5":
+        from merchant_classification_spark.functions.portable_hash import (
+            md5_long60,
+            minhash_sig_md5,
+        )
+
+        return minhash_sig_md5(F.transform(col, md5_long60), num_hashes)
     # bind the string-hash array once (lambda var), else Catalyst inlines
     # the whole string-hash transform into each of the k permutations
     return F.element_at(
@@ -112,12 +133,30 @@ def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column
     )
 
 
-def lsh_band_hashes(sig_col: Column | str, bands: int, rows_per_band: int) -> Column:
-    """Hash each band (contiguous rows_per_band slice) of the signature:
-    array<long> of length `bands`. Two docs sharing ANY band hash are
-    candidates; P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+def lsh_band_hashes(
+    sig_col: Column | str, bands: int, rows_per_band: int, scheme: str = "md5"
+) -> Column:
+    """Per-band join key over the signature (array of length `bands`).
+    Two docs sharing ANY band key are candidates;
+    P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+
+    ``scheme="md5"``: the key is the ':'-joined decimal band slice — no
+    further hashing, so an external SQL engine reproduces it exactly and
+    bucket collisions are impossible. ``scheme="xxh64"``: the slice is
+    folded to one long (8-byte join keys — the cheapest-shuffle option).
     """
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    if scheme == "md5":
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.concat_ws(
+                ":",
+                F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            ),
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(b, F.slice(sig, b * rows_per_band + 1, rows_per_band)),
@@ -134,37 +173,53 @@ def jaccard(a: Column | str, b: Column | str) -> Column:
 
 
 def _minhash_base(
-    df: DataFrame, id_col: str, text_col: str, shingle_size: int, num_hashes: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+    num_hashes: int,
+    scheme: str = "md5",
 ) -> DataFrame:
     """(doc_id, shh: array<long>, sig: array<long>) projection.
 
     Shingles are immediately hashed to longs: all downstream work
     (signatures, verify-Jaccard) runs on 8-byte values instead of
     strings — cheaper to hash, shuffle, and intersect. Collisions of
-    distinct shingles (~1e-11 at corpus scale) are the accepted epsilon.
+    distinct shingles (~1e-11 at corpus scale for xxh64, ~1e-10 for the
+    60-bit md5 prefix) are the accepted epsilon — and with the md5
+    scheme the oracle hashes identically, so they cannot cause a
+    verification mismatch.
     """
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            shingles(text_col, shingle_size).alias("sh"),
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(text_col, shingle_size).alias("sh"),
+    )
+    if scheme == "md5":
+        from merchant_classification_spark.functions.portable_hash import (
+            md5_long60,
+            minhash_sig_md5,
         )
-        .select(
-            "doc_id",
-            F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
-        )
-        .withColumn(
-            "sig",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.array_min(
-                    F.transform(F.col("shh"), lambda h: F.xxhash64(i, h))
-                ),
+
+        return base.select(
+            "doc_id", F.transform("sh", md5_long60).alias("shh")
+        ).withColumn("sig", minhash_sig_md5(F.col("shh"), num_hashes))
+    return base.select(
+        "doc_id",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
+    ).withColumn(
+        "sig",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("shh"), lambda h: F.xxhash64(i, h))
             ),
-        )
+        ),
     )
 
 
-def _minhash_pair_ids(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+def _minhash_pair_ids(
+    base: DataFrame, bands: int, rows_per_band: int, scheme: str = "md5"
+) -> DataFrame:
     """Candidate (id_a < id_b) pairs from the banded LSH self-join.
 
     Moves ONLY (doc_id, band, band_hash) through the shuffle — carrying
@@ -175,7 +230,7 @@ def _minhash_pair_ids(base: DataFrame, bands: int, rows_per_band: int) -> DataFr
     """
     banded = base.select(
         "doc_id",
-        F.posexplode(lsh_band_hashes("sig", bands, rows_per_band)).alias(
+        F.posexplode(lsh_band_hashes("sig", bands, rows_per_band, scheme)).alias(
             "band", "band_hash"
         ),
     )
@@ -203,6 +258,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     eager: bool = True,
+    scheme: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash LSH,
     carrying both shingle sets for the verify stage.
@@ -223,15 +279,15 @@ def minhash_candidate_pairs(
     from pyspark.storagelevel import StorageLevel
 
     rows_per_band = num_hashes // bands
-    base = _minhash_base(df, id_col, text_col, shingle_size, num_hashes)
+    base = _minhash_base(df, id_col, text_col, shingle_size, num_hashes, scheme)
     if not eager:
         return _attach_shingles(
-            _minhash_pair_ids(base, bands, rows_per_band), base
+            _minhash_pair_ids(base, bands, rows_per_band, scheme), base
         ).select("id_a", "id_b", "sh_a", "sh_b")
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         out = _attach_shingles(
-            _minhash_pair_ids(base, bands, rows_per_band), base
+            _minhash_pair_ids(base, bands, rows_per_band, scheme), base
         ).select("id_a", "id_b", "sh_a", "sh_b")
         return out.localCheckpoint(eager=True)
     finally:
@@ -247,6 +303,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     eager: bool = True,
+    scheme: str = "md5",
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by EXACT
     n-gram Jaccard ≥ threshold → (id_a, id_b, jaccard_sim).
@@ -258,10 +315,10 @@ def minhash_dedup_pairs(
     from pyspark.storagelevel import StorageLevel
 
     rows_per_band = num_hashes // bands
-    base = _minhash_base(df, id_col, text_col, shingle_size, num_hashes)
+    base = _minhash_base(df, id_col, text_col, shingle_size, num_hashes, scheme)
 
     def verified(b: DataFrame) -> DataFrame:
-        pairs = _attach_shingles(_minhash_pair_ids(b, bands, rows_per_band), b)
+        pairs = _attach_shingles(_minhash_pair_ids(b, bands, rows_per_band, scheme), b)
         return (
             pairs.withColumn("jaccard_sim", jaccard("sh_a", "sh_b"))
             .where(F.col("jaccard_sim") >= threshold)
@@ -658,6 +715,46 @@ def simhash64(col: Column | str) -> Column:
     return F.element_at(F.transform(F.array(hs), build), 1)
 
 
+def simhash_portable(col: Column | str) -> Column:
+    """60-bit engine-portable SimHash of the token multiset (long).
+
+    Identical construction to :func:`simhash64` (same branch-free
+    bit-count fold — see that docstring for why the expression shape is
+    3× faster than the textbook counter array), but the per-token hash
+    is the 60-bit md5 prefix (``functions/portable_hash.md5_long60``)
+    instead of xxhash64, and only bits 0..59 are folded, so the value
+    stays non-negative and every step — md5, shift, popcount — has an
+    exact twin in any SQL engine. An external oracle replays the full
+    signature, banding, and Hamming verify bit-for-bit
+    (``__spark_entry__.py`` simhash_neardup oracle).
+    """
+    from merchant_classification_spark.functions.portable_hash import md5_long60
+
+    hs = F.transform(tokens(col), lambda t: md5_long60(t))
+
+    def build(h: Column) -> Column:
+        n = F.size(h)
+        ones = F.transform(
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda j: F.aggregate(
+                h, F.lit(0).cast("long"), lambda a, x: a + F.getbit(x, j)
+            ),
+        )
+        pow2 = F.expr(
+            "array(" + ",".join(f"{1 << j}L" for j in range(60)) + ")"
+        )
+        bits = F.zip_with(
+            ones,
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda o, j: F.when(o * 2 > n, F.element_at(pow2, j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
+
+    return F.element_at(F.transform(F.array(hs), build), 1)
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
@@ -669,22 +766,31 @@ def simhash_dedup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    scheme: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Candidates come from 4×16-bit band buckets (pigeonhole: distance ≤ 3
-    guarantees at least one identical band), verified by exact bit_count.
+    Candidates come from 4 band buckets (16 bits each for the xxh64
+    scheme's 64-bit signature, 15 bits for the portable 60-bit one);
+    pigeonhole: distance ≤ 3 guarantees at least one identical band.
+    Candidates are verified by exact bit_count. ``scheme="md5"``
+    (default) uses the oracle-replayable :func:`simhash_portable`
+    signature; ``scheme="xxh64"`` the cheaper :func:`simhash64`.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"), simhash64(text_col).alias("sim")
-    )
+    if scheme == "md5":
+        sig, band_bits, band_mask = simhash_portable(text_col), 15, 0x7FFF
+    else:
+        sig, band_bits, band_mask = simhash64(text_col), 16, 0xFFFF
+    base = df.select(F.col(id_col).alias("doc_id"), sig.alias("sim"))
     banded = base.select(
         "doc_id",
         "sim",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sim"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("sim"), b * band_bits).bitwiseAND(
+                        F.lit(band_mask)
+                    )
                     for b in range(4)
                 ]
             )

@@ -1,14 +1,19 @@
-"""Independent full-output cross-checks for the seeded-hash dedup queries.
+"""Independent full-output cross-checks for the hash-based dedup tiers.
 
-`minhash_neardup` and `simhash_neardup` cannot be oracle-checked in DuckDB
-(no xxhash64 equivalent), so the driver records them rows-only. This module
-closes that gap with an EXACT independent recomputation: a pure-Python
-implementation of Spark's XXH64 primitives (seed semantics included),
-verified against Spark's own ``xxhash64`` on fuzz samples, then used to
-replay the complete MinHash-LSH and SimHash pipelines over the sf test
-corpus — candidate generation, banding, and verify — and compare the FULL
-output pair sets (ids and similarity values, bit-exact) against the Spark
-operators. See COVERAGE.md.
+Since round 4 the driver-graded `minhash_neardup` / `simhash_neardup`
+queries run the engine-portable md5 scheme (functions/portable_hash.py) and
+are oracle-checked end-to-end in DuckDB. This module keeps BOTH schemes
+honest with exact independent recomputations in pure Python:
+
+  * xxh64 scheme (the compact-key scale option, no SQL twin): a
+    pure-Python implementation of Spark's XXH64 primitives (seed
+    semantics included), verified against Spark's own ``xxhash64`` on
+    fuzz samples, then used to replay the complete pipelines.
+  * md5 scheme: hashlib-based replay of the 60-bit md5-prefix hashes,
+    universal-hash permutations, banding, and verify.
+
+Each test compares the FULL output pair set (ids and similarity values,
+bit-exact) against the Spark operator. See COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -261,6 +266,7 @@ def test_minhash_neardup_full_output_crosscheck(spark, sf_dir):
             shingle_size=shingle_size,
             num_hashes=num_hashes,
             bands=bands,
+            scheme="xxh64",
         ).collect()
     }
     assert got == expected
@@ -297,6 +303,126 @@ def test_simhash_neardup_full_output_crosscheck(spark, sf_dir):
             "doc_id",
             "text",
             max_hamming=max_hamming,
+            scheme="xxh64",
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "corpus must actually contain near-duplicates"
+
+
+# ---------------------------------------------------------------------------
+# md5 (portable) scheme: hashlib-based replays
+# ---------------------------------------------------------------------------
+
+
+def py_md5_long60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def test_md5_minhash_neardup_full_output_crosscheck(spark, sf_dir):
+    """Replay the portable md5-scheme MinHash-LSH pipeline — 60-bit md5
+    prefixes, universal-hash permutations mod 2^31-1 with the module's
+    constants, ':'-joined band keys, exact-Jaccard verify — in pure
+    Python; compare the full pair set bit-exact with the operator."""
+    from merchant_classification_spark.functions.portable_hash import (
+        MERSENNE31,
+        minhash_perms,
+    )
+
+    threshold, shingle_size, num_hashes, bands = 0.6, 3, 64, 16
+    r_per_band = num_hashes // bands
+    pa, pb = minhash_perms(num_hashes)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    shh = {
+        r.doc_id: [py_md5_long60(s) for s in py_shingles(r.text, shingle_size)]
+        for r in docs
+    }
+    sigs = {
+        d: [
+            min((pa[i] * (h % MERSENNE31) + pb[i]) % MERSENNE31 for h in hs)
+            for i in range(num_hashes)
+        ]
+        for d, hs in shh.items()
+    }
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(bands):
+            key = ":".join(str(v) for v in sig[b * r_per_band : (b + 1) * r_per_band])
+            buckets.setdefault((b, key), []).append(d)
+    expected = set()
+    for ids in buckets.values():
+        for i, a in enumerate(ids):
+            for b_ in ids[i + 1 :]:
+                lo, hi = min(a, b_), max(a, b_)
+                sa, sb = set(shh[lo]), set(shh[hi])
+                union = len(sa | sb)
+                j = len(sa & sb) / union if union else 0.0
+                if j >= threshold:
+                    expected.add((lo, hi, j))
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in minhash_dedup_pairs(
+            spark.createDataFrame(
+                [(r.doc_id, r.text) for r in docs], ["doc_id", "text"]
+            ),
+            "doc_id",
+            "text",
+            threshold=threshold,
+            shingle_size=shingle_size,
+            num_hashes=num_hashes,
+            bands=bands,
+            scheme="md5",
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "corpus must actually contain near-duplicates"
+
+
+def py_simhash_portable(text: str | None) -> int:
+    hs = [py_md5_long60(t) for t in py_tokens(text)]
+    n = len(hs)
+    u = 0
+    for j in range(60):
+        ones = sum((h >> j) & 1 for h in hs)
+        if 2 * ones > n:
+            u |= 1 << j
+    return u
+
+
+def test_md5_simhash_neardup_full_output_crosscheck(spark, sf_dir):
+    """Replay the portable 60-bit SimHash + 4x15-bit banding + Hamming
+    verify in pure Python; compare the full pair set with distances."""
+    max_hamming = 6
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sims = {r.doc_id: py_simhash_portable(r.text) for r in docs}
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, s in sims.items():
+        for b in range(4):
+            buckets.setdefault((b, (s >> (b * 15)) & 0x7FFF), []).append(d)
+    expected = set()
+    for ids in buckets.values():
+        for i, a in enumerate(ids):
+            for b_ in ids[i + 1 :]:
+                lo, hi = min(a, b_), max(a, b_)
+                ham = bin(sims[lo] ^ sims[hi]).count("1")
+                if ham <= max_hamming:
+                    expected.add((lo, hi, ham))
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dedup_pairs(
+            spark.createDataFrame(
+                [(r.doc_id, r.text) for r in docs], ["doc_id", "text"]
+            ),
+            "doc_id",
+            "text",
+            max_hamming=max_hamming,
+            scheme="md5",
         ).collect()
     }
     assert got == expected
