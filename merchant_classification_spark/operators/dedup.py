@@ -202,7 +202,7 @@ def _minhash_base(
 
         return base.select(
             "doc_id", F.transform("sh", md5_long60).alias("shh")
-        ).withColumn("sig", minhash_sig_md5(F.col("shh"), num_hashes))
+        ).withColumn("sig", minhash_sig_md5("shh", num_hashes))
     return base.select(
         "doc_id",
         F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
