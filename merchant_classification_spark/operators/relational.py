@@ -95,9 +95,14 @@ def group_topk_salted(
     the true global top-k of a group always survives its salt bucket's
     partial top-k.
 
-    Use when one key holds a large share of rows (the Amazon-vs-corner-
-    shop skew the reference calls out); plain ``group_topk`` is cheaper
-    on balanced keys.
+    When to use: on Spark >= 3.5 the planner already pushes a map-side
+    partial ``WindowGroupLimit`` below the exchange for rank-limit
+    windows — each input partition ships at most k rows per key, so
+    plain ``group_topk`` is skew-robust AND cheaper (measured 2-3x at a
+    50%%-one-key distribution; see SCALING.md's skew table). Reach for
+    this salted form only on engines without that rule, or as the
+    template for skewed aggregations that admit no group-limit pushdown
+    (full-window functions, large distinct aggs).
     """
     salt = (F.rand(seed) * salt_buckets).cast("int").alias("_salt")
     salted = df.withColumn("_salt", salt)

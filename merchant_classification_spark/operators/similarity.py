@@ -365,6 +365,39 @@ def embedding_neardup_pairs(
     )
 
 
+def with_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    group_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Annotate an approximate top-k result with a per-query
+    ``recall_at_k`` column: the fraction of the EXACT top-k ids the
+    approximate search retrieved for that query.
+
+    Purpose: recall evidence travels WITH the result rows (the driver's
+    captured output carries it), instead of living only in a test. Cost:
+    one exact-twin computation plus two tiny aggregates over ~q·k rows —
+    the per-query recall frame is broadcast back onto the result. At
+    production scale run it on a sampled query subset; the join shape is
+    unchanged.
+    """
+    hits = (
+        approx.select(group_col, id_col)
+        .join(exact.select(group_col, id_col), [group_col, id_col])
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    totals = exact.groupBy(group_col).agg(F.count(F.lit(1)).alias("k_total"))
+    rec = totals.join(hits, group_col, "left").select(
+        group_col,
+        (
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.col("k_total")
+        ).alias("recall_at_k"),
+    )
+    return approx.join(F.broadcast(rec), group_col)
+
+
 def brute_force_topk_int8(
     data: DataFrame,
     queries: DataFrame,

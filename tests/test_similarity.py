@@ -121,3 +121,28 @@ def test_int8_bruteforce_recall(spark, sf_dir):
     # int8 quantization on 64-dim unit-ish vectors barely moves cosine:
     # demand near-perfect agreement with the fp64 exact scan
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_with_recall_at_k_annotation(emb, queries):
+    """recall_at_k rides on the approx output: exact-vs-exact recall is
+    1.0 everywhere; LSH recall matches a hand computation per query and
+    clears the driver queries' evidence floor on average."""
+    from merchant_classification_spark.operators.similarity import with_recall_at_k
+
+    exact = brute_force_topk(emb, queries, k=K)
+    self_rec = with_recall_at_k(exact, exact).collect()
+    assert self_rec and all(r.recall_at_k == 1.0 for r in self_rec)
+
+    approx = lsh_topk(emb, queries, dim=64, k=K, bits=4, tables=16)
+    got = with_recall_at_k(approx, exact).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets: dict[int, set] = {}
+    for r in got:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in got:
+        hand = len(approx_sets[r.query_id] & exact_sets[r.query_id]) / K
+        assert r.recall_at_k == pytest.approx(hand)
+    per_q = {r.query_id: r.recall_at_k for r in got}
+    assert sum(per_q.values()) / len(per_q) >= 0.8
