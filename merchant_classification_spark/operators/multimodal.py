@@ -5,13 +5,24 @@ typed metadata struct; per-item decode/feature work runs in Arrow batches
 via ``mapInPandas`` so the Spark-side contract (schema, partitioning,
 batch shape) is identical whether the decoder is a real codec or a stub.
 
-THE DECODERS HERE ARE STUBS: the container has no image/audio libraries,
-so ``decode_image_meta``/``extract_frames`` first try the real library
-(PIL) and otherwise fall back to a clearly-marked DETERMINISTIC FAKE
-derived from the bytes' hash. The distributed plumbing — what actually
-matters at 100 TB — is real and tested: schemas are explicit, decode is
-batched, partition counts are preserved, and failures yield NULL metadata
-instead of killing the task.
+Decoder tiers, most-real first:
+
+  1. full pixel decode — needs PIL; used when importable (env-gated
+     tests cover it), absent in this container;
+  2. container-header parse — PURE PYTHON, always available:
+     :func:`parse_image_header` reads real width/height/channels from
+     PNG/GIF/BMP/JPEG headers, and :func:`decode_audio_meta` decodes WAV
+     via the stdlib ``wave`` module. These are REAL decoders (they read
+     actual file structure, and tests feed them actual media bytes);
+  3. deterministic FAKE derived from the bytes' hash — the
+     clearly-marked stand-in, reached only for content no header parser
+     recognizes in a PIL-less environment (e.g. the text-as-blob corpus
+     the driver query uses).
+
+The distributed plumbing — what actually matters at 100 TB — is real and
+tested at every tier: schemas are explicit, decode is batched, partition
+counts are preserved, and failures yield NULL metadata instead of
+killing the task.
 """
 
 from __future__ import annotations
@@ -55,6 +66,53 @@ def _fake_image_meta(content: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # IHDR color type → bands
+
+
+def parse_image_header(content: bytes) -> tuple[int, int, int] | None:
+    """REAL pure-Python metadata decode: (width, height, channels) read
+    from the container header of PNG / GIF / BMP / JPEG bytes, or None
+    if the format is unrecognized. No image library required — this is
+    actual file-structure parsing (big-endian IHDR for PNG, the logical
+    screen descriptor for GIF, BITMAPINFOHEADER for BMP, the first SOF
+    marker for JPEG), so with real media bytes the values are the true
+    pixel dimensions, verified against hand-crafted files in
+    ``tests/test_multimodal.py`` (and against PIL where installed).
+    """
+    if len(content) >= 33 and content[:8] == b"\x89PNG\r\n\x1a\n":
+        width = int.from_bytes(content[16:20], "big")
+        height = int.from_bytes(content[20:24], "big")
+        channels = _PNG_CHANNELS.get(content[25])
+        if channels is not None:
+            return width, height, channels
+        return None
+    if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+        width = int.from_bytes(content[6:8], "little")
+        height = int.from_bytes(content[8:10], "little")
+        return width, height, 3  # palette-indexed RGB
+    if len(content) >= 30 and content[:2] == b"BM":
+        width = int.from_bytes(content[18:22], "little", signed=True)
+        height = abs(int.from_bytes(content[22:26], "little", signed=True))
+        bits = int.from_bytes(content[28:30], "little")
+        return width, height, max(1, bits // 8)
+    if len(content) >= 4 and content[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                return None
+            marker = content[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                height = int.from_bytes(content[i + 5 : i + 7], "big")
+                width = int.from_bytes(content[i + 7 : i + 9], "big")
+                return width, height, content[i + 9]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            i += 2 + int.from_bytes(content[i + 2 : i + 4], "big")
+        return None
+    return None
+
+
 def _decode_one(content: bytes | None):
     if content is None:
         return None, None, None, None, False
@@ -64,8 +122,14 @@ def _decode_one(content: bytes | None):
 
         from PIL import Image  # noqa: F401
     except ImportError:
-        # No codec in this environment → clearly-marked deterministic FAKE.
-        w, h, ch = _fake_image_meta(content)
+        # No pixel codec in this environment: the REAL header parser
+        # handles recognized containers; only unrecognized bytes fall to
+        # the clearly-marked deterministic FAKE.
+        header = parse_image_header(content)
+        if header is not None:
+            w, h, ch = header
+        else:
+            w, h, ch = _fake_image_meta(content)
         return w, h, ch, sha, True
     try:  # real decoder available: genuinely corrupt bytes must surface
         img = Image.open(io.BytesIO(content))
@@ -282,6 +346,64 @@ def extract_audio_features(
     return df.select(id_col, content_col).mapInPandas(
         featurize, AUDIO_FEATURE_SCHEMA
     )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """audio binary → WAV metadata rows (AUDIO_META_SCHEMA), Arrow-batched.
+
+    A fully REAL decode path with zero external dependencies: the stdlib
+    ``wave`` module parses the RIFF/WAVE container (sample rate, channel
+    count, frame count — duration derives from the two). Non-WAV or
+    corrupt bytes surface as decode_ok=False with NULL metadata, never
+    as task failures — the same failure contract as the image tier.
+    """
+    import io
+    import wave
+
+    def _one(content: bytes | None):
+        if content is None:
+            return None, None, None, None, None, False
+        sha = hashlib.sha256(content).hexdigest()
+        try:
+            with wave.open(io.BytesIO(content)) as w:
+                rate = w.getframerate()
+                ch = w.getnchannels()
+                n = w.getnframes()
+            dur = n / rate if rate else None
+            return rate, ch, n, dur, sha, True
+        except Exception:
+            return None, None, None, None, sha, False
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_META_SCHEMA.fields}
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                rate, ch, n, dur, sha, ok = _one(content)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_frames"].append(n)
+                out["duration_s"].append(dur)
+                out["sha256"].append(sha)
+                out["decode_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(decode, AUDIO_META_SCHEMA)
 
 
 def decode_image_meta_arrow(
