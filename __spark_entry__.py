@@ -685,7 +685,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), dim=EMB_DIM, threshold=NEARDUP_TAU, bits=6
-    )
+    ).orderBy("id_a", "id_b")
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -3553,6 +3553,141 @@ ORACLES["simhash_neardup"] = f"""
 """
 
 
+def _sql_srp_dots(vec: str, planes: list[list[float]]) -> list[str]:
+    """Left-associated v·p sums with the plane coordinates inlined as
+    repr() literals — the same repr() strings the Spark plan bakes in
+    (operators/similarity.py hyperplane_signature), so both engines
+    parse the identical IEEE double and fold in the identical order."""
+    return [
+        "0.0 + " + " + ".join(f"{vec}[{k + 1}]*{p[k]!r}" for k in range(len(p)))
+        for p in planes
+    ]
+
+
+def _sql_srp_bucket(vec: str, dim: int, bits: int, seed: int) -> str:
+    """DuckDB twin of hyperplane_signature: bit i set iff v·p_i > 0."""
+    from merchant_classification_spark.operators.similarity import (
+        _random_hyperplanes,
+    )
+
+    dots = _sql_srp_dots(vec, _random_hyperplanes(dim, bits, seed))
+    terms = [
+        f"CASE WHEN ({d}) > 0 THEN {1 << i} ELSE 0 END" for i, d in enumerate(dots)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _embedding_neardup_lsh_oracle_sql() -> str:
+    """Full replay of embedding_neardup_pairs (SRP bucket self-join +
+    exact cosine verify), bucket collisions included — the lossy LSH
+    bucketing itself is graded, like the minhash oracle."""
+    bucket = _sql_srp_bucket("v", EMB_DIM, 6, 42)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+            FROM s a JOIN s b USING (bucket)
+            WHERE a.vec_id < b.vec_id),
+        scored AS (
+            SELECT id_a, id_b,
+                   CASE WHEN sqrt({_sql_dot('va', 'va')}) * sqrt({_sql_dot('vb', 'vb')}) = 0.0
+                        THEN 0.0
+                        ELSE ({_sql_dot('va', 'vb')})
+                             / (sqrt({_sql_dot('va', 'va')}) * sqrt({_sql_dot('vb', 'vb')}))
+                   END AS cosine_sim
+            FROM cand)
+        SELECT DISTINCT id_a, id_b, cosine_sim FROM scored
+        WHERE cosine_sim >= {NEARDUP_TAU}
+        ORDER BY id_a, id_b
+    """
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Full replay of the multi-table SRP ANN (lsh_topk: 16 tables x 4
+    bits, seeds 42+1000t) PLUS the recall_at_k annotation against the
+    exact brute-force top-k — every stage of the driver query."""
+    from merchant_classification_spark.operators.similarity import (
+        _random_hyperplanes,
+    )
+
+    tables, bits = 16, 4
+    buckets = []
+    for t in range(tables):
+        dots = _sql_srp_dots(
+            "v", _random_hyperplanes(EMB_DIM, bits, 42 + 1000 * t)
+        )
+        terms = [
+            f"CASE WHEN ({d}) > 0 THEN {1 << i} ELSE 0 END"
+            for i, d in enumerate(dots)
+        ]
+        buckets.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    bucket_list = "[" + ", ".join(buckets) + "]"
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sigs AS (SELECT vec_id, v, {bucket_list} AS bks FROM e),
+        banded AS (
+            SELECT vec_id, v,
+                   unnest(range(0, {tables})) AS tbl,
+                   unnest(bks) AS bucket
+            FROM sigs),
+        qb AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket
+               FROM banded WHERE vec_id < {N_ANN_QUERIES}),
+        cand AS (
+            SELECT DISTINCT d.vec_id, q.query_id
+            FROM banded d JOIN qb q USING (tbl, bucket)
+            WHERE d.vec_id <> q.query_id),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   CASE WHEN sqrt({_sql_dot('dv.v', 'dv.v')}) * sqrt({_sql_dot('qe.v', 'qe.v')}) = 0.0
+                        THEN 0.0
+                        ELSE ({_sql_dot('dv.v', 'qe.v')})
+                             / (sqrt({_sql_dot('dv.v', 'dv.v')}) * sqrt({_sql_dot('qe.v', 'qe.v')}))
+                   END AS cosine_sim
+            FROM cand c
+            JOIN e dv ON c.vec_id = dv.vec_id
+            JOIN e qe ON c.query_id = qe.vec_id),
+        approx AS (
+            SELECT query_id, vec_id, cosine_sim, rank FROM (
+                SELECT query_id, vec_id, cosine_sim,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+                FROM scored
+            ) WHERE rank <= {ANN_K}),
+        nrm AS (SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nv FROM e),
+        qn AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM nrm WHERE vec_id < {N_ANN_QUERIES}),
+        ex_scored AS (
+            SELECT q.query_id, n.vec_id,
+                   CASE WHEN n.nv * q.nq = 0.0 THEN 0.0
+                        ELSE ({_sql_dot('n.v', 'q.qv')}) / (n.nv * q.nq) END AS cosine_sim
+            FROM nrm n, qn q WHERE n.vec_id <> q.query_id),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_sim DESC, vec_id) AS rank
+                FROM ex_scored
+            ) WHERE rank <= {ANN_K}),
+        hits AS (
+            SELECT a.query_id, count(*) AS h
+            FROM approx a JOIN exact x
+              ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+            GROUP BY a.query_id),
+        totals AS (SELECT query_id, count(*) AS k_total FROM exact GROUP BY query_id),
+        rec AS (
+            SELECT t.query_id,
+                   CAST(coalesce(h.h, 0) AS DOUBLE) / t.k_total AS recall_at_k
+            FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id)
+        SELECT a.query_id, a.vec_id, a.cosine_sim, a.rank, r.recall_at_k
+        FROM approx a JOIN rec r ON a.query_id = r.query_id
+        ORDER BY a.query_id, a.rank
+    """
+
+
+ORACLES["embedding_neardup_lsh"] = _embedding_neardup_lsh_oracle_sql()
+ORACLES["ann_lsh"] = _ann_lsh_oracle_sql()
+
+
 def _pii_oracle_sql() -> str:
     """Progressive scrub chain mirroring functions/pii.py exactly: same
     patterns (dialect-portable, so the literal strings are reused), same
@@ -4593,13 +4728,13 @@ SUITES: dict[str, list[str]] = {
     # have exact DuckDB replays including candidate generation
     "minhash_neardup": ["minhash_neardup"],
     "simhash_neardup": ["simhash_neardup"],
+    "embedding_neardup_lsh": ["embedding_neardup_lsh"],
+    "ann_lsh": ["ann_lsh"],
 }
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
-# suite — seeded-hash LSH tiers, seeded sampling, approx sketches, ML
+# suite — KMeans/seeded-rand/sketch/ML ops
 ROWS_ONLY: list[str] = [
-    "embedding_neardup_lsh",
-    "ann_lsh",
     "ann_ivf",
     "sampling_suite",
     "approx_sketches",

@@ -226,7 +226,7 @@ def main() -> None:
         )
 
         f.write(
-            "\n## Skewed-key stress (50%% of lineitem rows on ONE key)\n\n"
+            "\n## Skewed-key stress (50% of lineitem rows on ONE key)\n\n"
             "Same methodology; the key distribution is pathological by\n"
             "construction, so these rows measure straggler behavior the\n"
             "uniform probes cannot.\n\n"
