@@ -767,6 +767,7 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 3,
     scheme: str = "md5",
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -776,40 +777,64 @@ def simhash_dedup_pairs(
     Candidates are verified by exact bit_count. ``scheme="md5"``
     (default) uses the oracle-replayable :func:`simhash_portable`
     signature; ``scheme="xxh64"`` the cheaper :func:`simhash64`.
+
+    ``eager=True`` (default) is the module's standard materialize/release
+    contract: the signature projection is persisted (BOTH self-join
+    sides consume it — lazily it is computed twice, measured 1.65x the
+    query at sf0.1), the small verified-pair output is snapshotted via
+    ``localCheckpoint``, and the persist is released before returning.
     """
+    from pyspark.storagelevel import StorageLevel
+
     if scheme == "md5":
         sig, band_bits, band_mask = simhash_portable(text_col), 15, 0x7FFF
     else:
         sig, band_bits, band_mask = simhash64(text_col), 16, 0xFFFF
     base = df.select(F.col(id_col).alias("doc_id"), sig.alias("sim"))
-    banded = base.select(
-        "doc_id",
-        "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sim"), b * band_bits).bitwiseAND(
-                        F.lit(band_mask)
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
-    l = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"), "band", "band_val"
-    )
-    r = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"), "band", "band_val"
-    )
-    return (
-        l.join(r, ["band", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming64("sim_a", "sim_b"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+
+    def pairs(b: DataFrame) -> DataFrame:
+        banded = b.select(
+            "doc_id",
+            "sim",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("sim"), i * band_bits).bitwiseAND(
+                            F.lit(band_mask)
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("band", "band_val"),
+        )
+        l = banded.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sim").alias("sim_a"),
+            "band",
+            "band_val",
+        )
+        r = banded.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sim").alias("sim_b"),
+            "band",
+            "band_val",
+        )
+        return (
+            l.join(r, ["band", "band_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming", hamming64("sim_a", "sim_b"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+
+    if not eager:
+        return pairs(base)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return pairs(base).localCheckpoint(eager=True)
+    finally:
+        base.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
