@@ -2612,8 +2612,8 @@ def q_null_handling(spark, sf_dir):
 def q_doc_winnow(spark, sf_dir):
     """Winnowing (rolling k-gram hash + window-min) document
     fingerprints — MOSS-style local sampling. The oracle replays the
-    identical md5-hex chain and grades per-doc count/min/max over the
-    exact fingerprint set; FULL-set exactness is carried by the
+    identical Rabin-Karp code-point fold and grades per-doc
+    count/min/max over the exact fingerprint set; FULL-set exactness is carried by the
     tests/test_dedup.py replay and the winnow_pairs oracle (which joins
     on the complete fingerprint sets).
     """
@@ -2634,7 +2634,7 @@ def q_doc_winnow(spark, sf_dir):
 def q_winnow_pairs(spark, sf_dir):
     """MOSS shared-fingerprint pair join over winnowing fingerprints:
     docs sharing >= 3 rare (document frequency <= 5) fingerprints. The
-    oracle replays the identical md5-hex kernel + posting-cap + join.
+    oracle replays the identical rolling-hash kernel + posting-cap + join.
     """
     from merchant_classification_spark.operators.dedup import winnow_pairs
 
@@ -3418,8 +3418,8 @@ ORACLES.update(
                        CASE WHEN length(text) >= 8
                             THEN list_transform(
                                      range(1, length(text) - 8 + 2),
-                                     i -> substr(md5(substr(text, i::INT, 8)), 1, 16))
-                            ELSE [substr(md5(text), 1, 16)] END AS hs
+                                     i -> __WINNOW_GRAM__)
+                            ELSE [__WINNOW_WHOLE__] END AS hs
                 FROM documents WHERE doc_id % 5 = 0),
             w AS (
                 SELECT doc_id,
@@ -3441,8 +3441,8 @@ ORACLES.update(
                        CASE WHEN length(text) >= 8
                             THEN list_transform(
                                      range(1, length(text) - 8 + 2),
-                                     i -> substr(md5(substr(text, i::INT, 8)), 1, 16))
-                            ELSE [substr(md5(text), 1, 16)] END AS hs
+                                     i -> __WINNOW_GRAM__)
+                            ELSE [__WINNOW_WHOLE__] END AS hs
                 FROM documents),
             w AS (
                 SELECT doc_id,
@@ -3463,6 +3463,49 @@ ORACLES.update(
         """,
     }
 )
+
+
+def _winnow_gram_sql() -> str:
+    """Unrolled Rabin–Karp over 8 code points at position i — the exact
+    twin of operators/dedup.winnow_fingerprints (same base/mask, ord ==
+    F.ascii == Python ord for any code point, unicode included)."""
+    from merchant_classification_spark.operators.dedup import (
+        WINNOW_BASE,
+        WINNOW_MASK,
+    )
+
+    acc = "CAST(ord(substr(text, (i)::INT, 1)) AS BIGINT)"
+    for j in range(1, 8):
+        acc = (
+            f"((({acc}) * {WINNOW_BASE} + ord(substr(text, (i+{j})::INT, 1)))"
+            f" & {WINNOW_MASK})"
+        )
+    return acc
+
+
+def _winnow_whole_sql() -> str:
+    """Fold of ALL code points for texts shorter than k (empty → 0);
+    list_reduce seeds with the first element, which equals the Spark
+    fold's (0·B + c0) & mask first step."""
+    from merchant_classification_spark.operators.dedup import (
+        WINNOW_BASE,
+        WINNOW_MASK,
+    )
+
+    return (
+        "CASE WHEN length(text) = 0 THEN 0::BIGINT ELSE list_reduce("
+        "list_transform(range(1, length(text) + 1),"
+        " p -> CAST(ord(substr(text, p::INT, 1)) AS BIGINT)),"
+        f" (a, c) -> (a * {WINNOW_BASE} + c) & {WINNOW_MASK}) END"
+    )
+
+
+for _k in ("doc_winnow", "winnow_pairs"):
+    ORACLES[_k] = (
+        ORACLES[_k]
+        .replace("__WINNOW_GRAM__", _winnow_gram_sql())
+        .replace("__WINNOW_WHOLE__", _winnow_whole_sql())
+    )
 
 
 def _minhash_oracle_sql() -> str:

@@ -445,8 +445,16 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: Rabin–Karp parameters for the winnowing k-gram hash. The 54-bit mask
+#: keeps every intermediate below 2^63 (acc < 2^54, ×257 < 2^62.1, plus a
+#: code point < 2^62.2), so the arithmetic is exact — no overflow, no
+#: ANSI trap — in Spark longs, DuckDB BIGINTs, and Python ints alike.
+WINNOW_BASE = 257
+WINNOW_MASK = (1 << 54) - 1
+
+
 def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
-    """Winnowing fingerprint set of the text (array<string>), per
+    """Winnowing fingerprint set of the text (array<long>), per
     Schleimer/Wilkerson/Aiken's MOSS algorithm: hash every character
     k-gram (a rolling window over the raw text, robust to token-boundary
     edits), then keep the minimum hash of every w-consecutive-hash
@@ -454,29 +462,56 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     yields at least one shared fingerprint, and no gap between selected
     positions exceeds w — the standard local sampling bound.
 
-    Fully native (whole-stage codegen): the k-gram hashes are the first
-    16 hex chars of md5 — engine-portable (md5 is md5, hex compares
-    lexicographically the same everywhere), so an external SQL engine
-    can replay the exact fingerprint set for verification. The hash
-    array is bound through a one-element-array lambda so the k-gram
-    pass runs ONCE per row, not once per window position.
+    The k-gram hash is the polynomial rolling-hash family the MOSS paper
+    itself prescribes: fold the k code points as
+    ``acc = (acc·257 + code) & (2^54 − 1)``. Engine-portable THREE ways
+    (Spark longs / DuckDB BIGINT + ord / Python ints — code points agree
+    across all of them, unicode included, see tests). Local wall time
+    matches the earlier per-position md5 kernel (the interpreted HOF
+    evaluation dominates either hash), but fingerprints are now 8-byte
+    longs instead of 16-char hex strings — half the posting-list shuffle
+    bytes in ``winnow_pairs``, the part that grows with corpus size. The
+    code-point array is computed ONCE per row (bound through a one-
+    element-array lambda), then every gram is eight ``element_at`` folds.
 
-    Texts shorter than k chars contribute md5(text) as their single
-    fingerprint; texts with fewer than w k-grams contribute the min of
-    what they have. Map-only — no shuffle; at 100 TB the cost is one
-    scan and the output is a bounded ~n/w sample of each doc's grams.
+    Texts shorter than k chars contribute the fold of all their code
+    points as their single fingerprint (empty text folds to 0); texts
+    with fewer than w k-grams contribute the min of what they have.
+    Map-only — no shuffle; at 100 TB the cost is one scan and the output
+    is a bounded ~n/w sample of each doc's grams.
     """
     s = F.col(col) if isinstance(col, str) else col
+    base = F.lit(WINNOW_BASE).cast("long")
+    mask = F.lit(WINNOW_MASK).cast("long")
+
+    def gram_at(cs: Column, i: Column) -> Column:
+        acc = F.element_at(cs, i).cast("long")
+        for j in range(1, k):
+            acc = (acc * base + F.element_at(cs, i + j)).bitwiseAND(mask)
+        return acc
 
     def hashes(t: Column) -> Column:
         n = F.length(t)
-        return F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 16),
-            ),
-        ).otherwise(F.array(F.substring(F.md5(t), 1, 16)))
+        codes = F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda p: F.ascii(t.substr(p, F.lit(1))).cast("long"),
+        )
+
+        def from_codes(cs: Column) -> Column:
+            whole = F.aggregate(
+                F.when(n == 0, F.array().cast("array<long>")).otherwise(cs),
+                F.lit(0).cast("long"),
+                lambda a, c: (a * base + c).bitwiseAND(mask),
+            )
+            return F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: gram_at(cs, i),
+                ),
+            ).otherwise(F.array(whole))
+
+        return F.element_at(F.transform(F.array(codes), from_codes), 1)
 
     def minima(hs: Column) -> Column:
         m = F.size(hs)
@@ -514,8 +549,8 @@ def winnow_pairs(
 
     The exploded posting list feeds four plan branches (the df-frequency
     aggregate, its join back, and both self-join sides); it is persisted
-    so the md5-gram kernel runs ONCE, and released before returning with
-    the (small) pair output snapshotted — the module's standard
+    so the rolling-hash kernel runs ONCE, and released before returning
+    with the (small) pair output snapshotted — the module's standard
     eager-materialize/release contract.
     """
     from pyspark.storagelevel import StorageLevel

@@ -208,17 +208,25 @@ def test_edit_distance_pairs_k2_table(tables):
 # ---------------------------------------------------------------------------
 
 
-def _winnow_py(text: str, k: int = 8, w: int = 4) -> set[str]:
-    """Independent pure-Python replay of winnow_fingerprints."""
-    import hashlib
+def _poly_hash(s: str) -> int:
+    from merchant_classification_spark.operators.dedup import (
+        WINNOW_BASE,
+        WINNOW_MASK,
+    )
 
+    acc = 0
+    for ch in s:
+        acc = (acc * WINNOW_BASE + ord(ch)) & WINNOW_MASK
+    return acc
+
+
+def _winnow_py(text: str, k: int = 8, w: int = 4) -> set[int]:
+    """Independent pure-Python replay of winnow_fingerprints
+    (Rabin–Karp code-point fold, same base/mask constants)."""
     if len(text) >= k:
-        hs = [
-            hashlib.md5(text[i : i + k].encode()).hexdigest()[:16]
-            for i in range(len(text) - k + 1)
-        ]
+        hs = [_poly_hash(text[i : i + k]) for i in range(len(text) - k + 1)]
     else:
-        hs = [hashlib.md5(text.encode()).hexdigest()[:16]]
+        hs = [_poly_hash(text)]
     if len(hs) >= w:
         return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
     return {min(hs)}
