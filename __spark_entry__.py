@@ -2642,6 +2642,25 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(docs, "doc_id", "text", min_shared=3, max_df=5)
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash-percentile sample (operators/sampling.py
+    hash_sample): unlike rand(seed) — whose per-partition seeding makes
+    sample membership depend on the input's partitioning — the
+    content-hash percentile is a pure row function, stable across
+    repartitioning/retries/engines, which is exactly what makes it
+    oracle-replayable bit-for-bit (percentile value included: the
+    54-bit-mod/2^54 arithmetic is exact in doubles on both engines).
+    """
+    from merchant_classification_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, ["doc_id"], 0.25, salt="audit", percentile_col="p")
+        .select("doc_id", "p")
+        .orderBy("doc_id")
+    )
+
+
 def q_sampling_suite(spark, sf_dir):
     # rows-only union of the two seeded sampling queries (same orders
     # schema): per-class invariants live in tests/test_sampling.py
@@ -2773,6 +2792,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_cte": q_recursive_cte,
     "heavy_hitters": q_heavy_hitters,
     "data_quality": q_data_quality,
+    "hash_sample": q_hash_sample,
     "dense_ids": q_dense_ids,
     "snapshot_diff": q_snapshot_diff,
     "string_funcs": q_string_funcs,
@@ -3565,6 +3585,20 @@ def _minhash_oracle_sql() -> str:
 
 
 ORACLES["minhash_neardup"] = _minhash_oracle_sql()
+
+# deterministic hash-percentile sample: (h mod 2^54)/2^54 is exact in
+# doubles, so even the percentile column matches bit-for-bit
+ORACLES["hash_sample"] = f"""
+    WITH h AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(concat_ws(chr(31), 'audit',
+                                              CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+                % {1 << 54}) AS hm
+        FROM documents)
+    SELECT doc_id, CAST(hm AS DOUBLE) / {float(1 << 54)!r} AS p
+    FROM h WHERE CAST(hm AS DOUBLE) / {float(1 << 54)!r} < 0.25
+    ORDER BY doc_id
+"""
 
 # DuckDB replay of simhash_portable + 4x15-bit banding + Hamming verify
 # (operators/dedup.py simhash_dedup_pairs, scheme='md5'), bit-for-bit
@@ -4765,7 +4799,12 @@ SUITES: dict[str, list[str]] = {
         "dense_ids",
         "snapshot_diff",
     ],
-    "governance_suite": ["k_anonymity", "pseudonymize_export", "data_quality"],
+    "governance_suite": [
+        "k_anonymity",
+        "pseudonymize_export",
+        "data_quality",
+        "hash_sample",
+    ],
     # singleton suites (graded standalone): the portable-hash LSH tier,
     # promoted from rows-only in round 4 — their md5-scheme pipelines now
     # have exact DuckDB replays including candidate generation

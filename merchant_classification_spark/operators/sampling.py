@@ -144,3 +144,55 @@ def class_percentile_split(
     train = ranked.where(F.col("class_percentile") < threshold)
     test = ranked.where(F.col("class_percentile") >= threshold)
     return train, test
+
+
+def hash_percentile(
+    cols: list[str], salt: str = "", bits: int = 54
+) -> "F.Column":
+    """Deterministic uniform percentile in [0, 1) derived from a content
+    hash of ``cols`` (engine-portable md5 arithmetic — see
+    ``functions/portable_hash.py``).
+
+    Why this exists next to the seeded ``F.rand`` samplers: ``rand(seed)``
+    is seeded PER PARTITION INDEX, so its values — and therefore which
+    rows a sample keeps — change whenever the input's partitioning
+    changes (repartition, AQE coalesce, a different file split, a task
+    retry under non-deterministic upstream). A content-hash percentile
+    is a pure row function: stable across partitionings, retries,
+    engines, and time — the property an auditable 100 TB sample actually
+    needs, and what makes the sample ORACLE-REPLAYABLE (DuckDB computes
+    the identical value). ``salt`` derives independent samples from the
+    same rows; cryptographic quality is not the goal, uniformity is
+    (md5 is uniform on distinct inputs).
+
+    Columns are joined with a 0x1F unit separator so ("ab","c") and
+    ("a","bc") hash differently.
+    """
+    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return (h % F.lit(1 << bits).cast("long")).cast("double") / F.lit(
+        float(1 << bits)
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    cols: list[str],
+    fraction: float,
+    salt: str = "",
+    percentile_col: str | None = None,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose
+    :func:`hash_percentile` over ``cols`` is below the threshold.
+
+    Map-only (no shuffle, no RNG state); the SAME rows survive under any
+    partitioning, cluster size, or engine — reproducible training
+    subsets, audit extracts, and A/B holdouts. Disjoint samples compose
+    by percentile ranges (e.g. [0, 0.1) train-holdout vs [0.9, 1) eval)
+    without a second pass.
+    """
+    p = hash_percentile(cols, salt)
+    out = df.where(p < F.lit(fraction))
+    if percentile_col is not None:
+        out = out.withColumn(percentile_col, p)
+    return out

@@ -72,3 +72,38 @@ def test_split_partition_and_fraction(skewed):
     train2, test2 = class_percentile_split(skewed, "cls", test_fraction=0.1, seed=5)
     assert test2.count() == n_test
     assert test2.select("cls", "v").exceptAll(test.select("cls", "v")).count() == 0
+
+
+def test_hash_sample_partition_stable(tables):
+    """The hash sampler keeps the SAME rows under any partitioning —
+    the property rand(seed) lacks (per-partition-index seeding) — and
+    approximates the requested fraction."""
+    from merchant_classification_spark.operators.sampling import hash_sample
+
+    docs = tables["documents"].select("doc_id", "text")
+    a = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(1), ["doc_id"], 0.3).collect()
+    }
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(17), ["doc_id"], 0.3).collect()
+    }
+    assert a == b and a
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n
+    # independent salts give (near-)independent samples
+    c = {
+        r.doc_id
+        for r in hash_sample(docs, ["doc_id"], 0.3, salt="other").collect()
+    }
+    assert c != a
+    # disjoint percentile ranges compose without a second pass
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.operators.sampling import hash_percentile
+
+    p = hash_percentile(["doc_id"])
+    lo = {r.doc_id for r in docs.where(p < F.lit(0.3)).collect()}
+    hi = {r.doc_id for r in docs.where(p >= F.lit(0.3)).collect()}
+    assert lo == a and not (lo & hi) and len(lo) + len(hi) == n
