@@ -25,6 +25,9 @@ from merchant_classification_spark.operators.relational import (
 )
 from merchant_classification_spark.operators.sampling import (
     class_percentile_split,
+    hash_percentile,
+    hash_sample,
+    hash_split,
     stratified_sample,
     with_class_percentile,
 )
@@ -42,6 +45,9 @@ __all__ = [
     "brute_force_topk",
     "class_histogram",
     "class_percentile_split",
+    "hash_percentile",
+    "hash_sample",
+    "hash_split",
     "decode_image_meta",
     "embedding_neardup_pairs",
     "exact_dedup",

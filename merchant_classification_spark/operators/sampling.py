@@ -196,3 +196,25 @@ def hash_sample(
     if percentile_col is not None:
         out = out.withColumn(percentile_col, p)
     return out
+
+
+def hash_split(
+    df: DataFrame,
+    cols: list[str],
+    test_fraction: float = 0.1,
+    salt: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, test) split by hash-percentile range:
+    test = percentile < ``test_fraction``, train = the rest.
+
+    The content-hash variant of ``class_percentile_split``: no RNG, no
+    window sort, no persist needed — the two halves are complementary
+    map-side filters over a pure row function, so they are disjoint and
+    exhaustive BY CONSTRUCTION under any partitioning, retry, or engine,
+    and a row's side never changes when the corpus around it grows
+    (stable membership is what keeps eval sets uncontaminated across
+    dataset versions). Trade-off vs the window form: fractions hold in
+    expectation per class, not exactly per class.
+    """
+    p = hash_percentile(cols, salt)
+    return df.where(p >= F.lit(test_fraction)), df.where(p < F.lit(test_fraction))

@@ -107,3 +107,22 @@ def test_hash_sample_partition_stable(tables):
     lo = {r.doc_id for r in docs.where(p < F.lit(0.3)).collect()}
     hi = {r.doc_id for r in docs.where(p >= F.lit(0.3)).collect()}
     assert lo == a and not (lo & hi) and len(lo) + len(hi) == n
+
+
+def test_hash_split_disjoint_exhaustive_stable(tables):
+    from merchant_classification_spark.operators.sampling import hash_split
+
+    docs = tables["documents"].select("doc_id", "text")
+    train, test = hash_split(docs, ["doc_id"], test_fraction=0.2)
+    tr = {r.doc_id for r in train.collect()}
+    te = {r.doc_id for r in test.collect()}
+    assert not (tr & te)
+    assert len(tr) + len(te) == docs.count()
+    # membership is stable when the corpus grows: the same doc lands on
+    # the same side after adding rows (no window rank to shift it)
+    bigger = docs.unionByName(
+        docs.selectExpr("doc_id + 1000000 AS doc_id", "text")
+    )
+    _, test2 = hash_split(bigger, ["doc_id"], test_fraction=0.2)
+    te2 = {r.doc_id for r in test2.collect() if r.doc_id < 1000000}
+    assert te2 == te
