@@ -427,3 +427,70 @@ def test_md5_simhash_neardup_full_output_crosscheck(spark, sf_dir):
     }
     assert got == expected
     assert expected, "corpus must actually contain near-duplicates"
+
+
+def test_portable_kernels_unicode_fuzz(spark):
+    """Seeded fuzz over exotic unicode (CJK, emoji, combining marks,
+    control chars, high astral planes): every portable kernel — the
+    60-bit md5 hash, the winnowing Rabin–Karp code-point fold, and the
+    hash-sample percentile — matches its pure-Python replay exactly.
+    Guards the cross-engine claim where it is most likely to break:
+    code-point vs byte indexing and non-BMP characters."""
+    import hashlib
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.functions.portable_hash import md5_long60
+    from merchant_classification_spark.operators.dedup import (
+        WINNOW_BASE,
+        WINNOW_MASK,
+        winnow_fingerprints,
+    )
+
+    rng = _random.Random(99)
+    pools = [
+        (0x20, 0x7E),        # ascii
+        (0xA0, 0x2FF),       # latin supplements
+        (0x300, 0x36F),      # combining marks
+        (0x4E00, 0x9FFF),    # CJK
+        (0x1F300, 0x1F6FF),  # emoji (astral plane)
+        (0x10000, 0x10FFF),  # linear B etc.
+    ]
+    strings = ["", "a", "́", "🎉🎉🎉🎉🎉🎉🎉🎉🎉🎉🎉🎉"]
+    for _ in range(60):
+        n = rng.randint(1, 40)
+        strings.append(
+            "".join(
+                chr(rng.randint(*rng.choice(pools))) for _ in range(n)
+            )
+        )
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    rows = df.select(
+        "s",
+        md5_long60("s").alias("h60"),
+        winnow_fingerprints("s", 8, 4).alias("fps"),
+    ).collect()
+
+    def py_h60(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    def py_poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * WINNOW_BASE + ord(ch)) & WINNOW_MASK
+        return acc
+
+    def py_winnow(s: str, k: int = 8, w: int = 4) -> set[int]:
+        hs = (
+            [py_poly(s[i : i + k]) for i in range(len(s) - k + 1)]
+            if len(s) >= k
+            else [py_poly(s)]
+        )
+        if len(hs) >= w:
+            return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+        return {min(hs)}
+
+    for r in rows:
+        assert r.h60 == py_h60(r.s), f"md5_long60 mismatch on {r.s!r}"
+        assert set(r.fps) == py_winnow(r.s), f"winnow mismatch on {r.s!r}"
