@@ -2215,6 +2215,9 @@ def q_array_hof(spark, sf_dir):
 CHUNK_WINDOW = 32
 CHUNK_STRIDE = 16
 PACK_BUDGET = 512
+# boilerplate scrub: 3-token spans, boilerplate = span in ≥3 distinct docs
+SPAN_TOKENS = 3
+BOILER_MIN_DOCS = 3
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -2229,6 +2232,25 @@ def q_chunk_documents(spark, sf_dir):
         window=CHUNK_WINDOW,
         stride=CHUNK_STRIDE,
     )
+
+
+def q_boilerplate_scrub(spark, sf_dir):
+    # C4-style corpus boilerplate removal (operators/dedup.py
+    # remove_boilerplate): spans occurring verbatim in ≥ BOILER_MIN_DOCS
+    # distinct documents are scrubbed from every document, which is then
+    # reassembled from its surviving spans in order. The oracle replays
+    # the whole pipeline — segmentation, portable 60-bit span hash,
+    # frequency filter, ordered reassembly — bit-for-bit, full
+    # clean_text included.
+    from merchant_classification_spark.operators.dedup import remove_boilerplate
+
+    return remove_boilerplate(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        span_tokens=SPAN_TOKENS,
+        min_docs=BOILER_MIN_DOCS,
+    ).orderBy("doc_id")
 
 
 def q_pack_documents(spark, sf_dir):
@@ -2778,6 +2800,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_neardup": q_edit_distance_neardup,
     "array_hof_suite": q_array_hof,
     "chunk_documents": q_chunk_documents,
+    "boilerplate_scrub": q_boilerplate_scrub,
     "pack_documents": q_pack_documents,
     "salted_join_agg": q_salted_join_agg,
     "semi_prefilter_agg": q_semi_prefilter_agg,
@@ -4375,6 +4398,46 @@ ORACLES["tpch_q20_promotion"] = """
     ORDER BY s_suppkey
 """
 
+ORACLES["boilerplate_scrub"] = f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sized AS (SELECT doc_id, t, CAST(len(t) AS INT) AS n_tokens FROM tok),
+    spans AS (
+        SELECT doc_id,
+               unnest(generate_series(0, (n_tokens - 1) // {SPAN_TOKENS})) AS pos,
+               unnest([array_to_string(t[i*{SPAN_TOKENS}+1 : i*{SPAN_TOKENS}+{SPAN_TOKENS}], ' ')
+                       for i in generate_series(0, (n_tokens - 1) // {SPAN_TOKENS})]) AS span
+        FROM sized WHERE n_tokens > 0
+    ),
+    keyed AS (
+        SELECT doc_id, pos, span,
+               ('0x' || substr(md5(span), 1, 15))::BIGINT AS k
+        FROM spans
+    ),
+    boiler AS (
+        SELECT k FROM keyed GROUP BY k
+        HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ),
+    kept AS (
+        SELECT doc_id, pos, span FROM keyed
+        WHERE k NOT IN (SELECT k FROM boiler)
+    ),
+    rebuilt AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(span, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST(CASE WHEN n_tokens = 0 THEN 0
+                         ELSE (n_tokens - 1) // {SPAN_TOKENS} + 1 END AS INT) AS n_spans
+        FROM sized
+    )
+    SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text, b.n_spans,
+           CAST(b.n_spans - coalesce(r.n_kept, 0) AS INT) AS n_removed
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY doc_id
+"""
+
 ORACLES["chunk_documents"] = f"""
     WITH tok AS (
         SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
@@ -4766,6 +4829,7 @@ SUITES: dict[str, list[str]] = {
         "dedup_fingerprint",
         "dedup_rep_assign",
         "doc_winnow",
+        "boilerplate_scrub",
     ],
     "neardup_pairs_suite": [
         "ngram_jaccard_neardup",

@@ -293,3 +293,63 @@ def test_winnow_pairs_moss_join(spark):
     got = winnow_pairs(df, "doc_id", "text", min_shared=2).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
     assert got[0].shared_fps >= 2
+
+
+def test_remove_boilerplate_scrubs_repeated_spans(spark):
+    from merchant_classification_spark.operators.dedup import remove_boilerplate
+
+    banner = "accept all cookies"  # 3 tokens — exactly one span
+    rows = [
+        (0, banner + " alpha bravo charlie"),
+        (1, banner + " delta echo foxtrot"),
+        (2, banner + " golf hotel india"),
+        (3, "juliett kilo lima mike november oscar"),
+        (4, banner),  # scrubbed to emptiness
+        (5, ""),  # zero tokens: n_spans 0, survives with ''
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in remove_boilerplate(
+            df, "doc_id", "text", span_tokens=3, min_docs=3
+        ).collect()
+    }
+    assert len(got) == 6
+    assert got[0].clean_text == "alpha bravo charlie"
+    assert got[1].clean_text == "delta echo foxtrot"
+    assert got[2].clean_text == "golf hotel india"
+    assert got[0].n_spans == 2 and got[0].n_removed == 1
+    # doc 3 shares no span: untouched
+    assert got[3].clean_text == "juliett kilo lima mike november oscar"
+    assert got[3].n_removed == 0
+    # doc 4 was only the banner: emptied but still present
+    assert got[4].clean_text == "" and got[4].n_removed == 1
+    assert got[5].n_spans == 0 and got[5].clean_text == ""
+
+
+def test_remove_boilerplate_intra_doc_repeats_dont_count(spark):
+    from merchant_classification_spark.operators.dedup import remove_boilerplate
+
+    # the span repeats 3x WITHIN one doc but appears in only 2 distinct
+    # docs — below min_docs=3, so nothing is scrubbed
+    span = "one two three"
+    df = spark.createDataFrame(
+        [(0, " ".join([span] * 3)), (1, span + " four five six")],
+        ["doc_id", "text"],
+    )
+    got = remove_boilerplate(df, "doc_id", "text", span_tokens=3, min_docs=3)
+    assert {r.n_removed for r in got.collect()} == {0}
+
+
+def test_remove_boilerplate_hashed_matches_raw(tables):
+    from merchant_classification_spark.operators.dedup import remove_boilerplate
+
+    docs = tables["documents"]
+    a = remove_boilerplate(
+        docs, "doc_id", "text", span_tokens=3, min_docs=2, hashed=True
+    )
+    b = remove_boilerplate(
+        docs, "doc_id", "text", span_tokens=3, min_docs=2, hashed=False
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.where(F.col("n_removed") > 0).count() > 0
