@@ -2683,6 +2683,32 @@ def q_hash_sample(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_hash_sample — Efraimidis–Spirakis
+    A-Res keyed by the content-hash uniform): inclusion odds are
+    proportional to n_chars (how training mixes weight documents by
+    length/quality), membership is partitioning/retry/engine-stable, and
+    the oracle replays the draw exactly. The float key stays internal —
+    cross-engine pow differs in the last ulp, but the induced ORDER is
+    ulp-stable (the min gap between n hash-derived keys is ~1/n², ~10⁶
+    ulps at this scale) — so the gate compares the selected rows and
+    ranks, which both engines agree on exactly.
+    """
+    from merchant_classification_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_hash_sample(
+            docs, ["doc_id"], "n_chars", 40, salt="mix", by=["lang"]
+        )
+        .select("lang", "doc_id", "n_chars", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
 def q_sampling_suite(spark, sf_dir):
     # rows-only union of the two seeded sampling queries (same orders
     # schema): per-class invariants live in tests/test_sampling.py
@@ -2816,6 +2842,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "data_quality": q_data_quality,
     "hash_sample": q_hash_sample,
+    "weighted_sample": q_weighted_sample,
     "dense_ids": q_dense_ids,
     "snapshot_diff": q_snapshot_diff,
     "string_funcs": q_string_funcs,
@@ -3621,6 +3648,32 @@ ORACLES["hash_sample"] = f"""
     SELECT doc_id, CAST(hm AS DOUBLE) / {float(1 << 54)!r} AS p
     FROM h WHERE CAST(hm AS DOUBLE) / {float(1 << 54)!r} < 0.25
     ORDER BY doc_id
+"""
+
+# Efraimidis–Spirakis weighted sample keyed by the portable hash
+# uniform: both engines rank their own pow(u, 1/w) — the key never
+# leaves the query because cross-engine pow differs in the last ulp,
+# while the induced order (what the gate compares) is ulp-stable
+ORACLES["weighted_sample"] = f"""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               pow(
+                 (('0x' || substr(md5(concat_ws(chr(31), 'mix',
+                                                CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+                  % {1 << 54}) / {float(1 << 54)!r},
+                 1.0 / CAST(n_chars AS DOUBLE)
+               ) AS wkey
+        FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY wkey DESC, doc_id
+               ) AS INT) AS sample_rank
+        FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, sample_rank FROM ranked
+    WHERE sample_rank <= 40 ORDER BY lang, sample_rank
 """
 
 # DuckDB replay of simhash_portable + 4x15-bit banding + Hamming verify
@@ -4868,6 +4921,7 @@ SUITES: dict[str, list[str]] = {
         "pseudonymize_export",
         "data_quality",
         "hash_sample",
+        "weighted_sample",
     ],
     # singleton suites (graded standalone): the portable-hash LSH tier,
     # promoted from rows-only in round 4 — their md5-scheme pipelines now

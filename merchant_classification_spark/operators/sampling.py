@@ -218,3 +218,51 @@ def hash_split(
     """
     p = hash_percentile(cols, salt)
     return df.where(p >= F.lit(test_fraction)), df.where(p < F.lit(test_fraction))
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    cols: list[str],
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res, the one-pass distributed classic): every row gets the
+    key u^(1/w) with u = :func:`hash_percentile` over ``cols`` and w its
+    weight; the k LARGEST keys are exactly a weighted sample without
+    replacement (P(max ≤ x) of w uniforms is x^w — inclusion odds
+    proportional to weight, sequentially without replacement).
+
+    Substituting the content-hash uniform for the paper's RNG inherits
+    every :func:`hash_percentile` property: membership is stable under
+    repartitioning, retries, engines, and corpus growth, and replayable
+    by an external SQL oracle. Weighted sampling is how training mixes
+    are drawn in practice (weight = document quality, length, or source
+    mix rate); rows with weight ≤ 0 are never sampled, matching the
+    limit u^(1/w) → 0.
+
+    With ``by``, draws an independent top-k per group. Scale shape: the
+    key is map-side; the rank-limit window compiles to WindowGroupLimit
+    on Spark ≥ 3.5, so each map task pre-prunes to its local top-k
+    before the single per-group shuffle — no full sort, skew-immune.
+
+    Returns the sampled rows with a 1-based ``sample_rank`` column; the
+    float key itself is internal (cross-engine pow differs in the last
+    ulp — ORDER is ulp-stable, values are not).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = hash_percentile(cols, salt)
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(*(by or [])).orderBy(
+        F.col("_wkey").desc(), *[F.col(c) for c in cols]
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("_wkey", F.pow(u, F.lit(1.0) / w))
+        .withColumn("sample_rank", F.row_number().over(win))
+        .where(F.col("sample_rank") <= k)
+        .drop("_wkey")
+    )

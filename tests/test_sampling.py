@@ -126,3 +126,79 @@ def test_hash_split_disjoint_exhaustive_stable(tables):
     _, test2 = hash_split(bigger, ["doc_id"], test_fraction=0.2)
     te2 = {r.doc_id for r in test2.collect() if r.doc_id < 1000000}
     assert te2 == te
+
+
+def _es_replay(ids, weights, k, salt=""):
+    """Pure-Python Efraimidis–Spirakis replay of weighted_hash_sample."""
+    import hashlib
+
+    keyed = []
+    for i, w in zip(ids, weights):
+        if not w > 0:
+            continue
+        h = int(
+            hashlib.md5(f"{salt}\x1f{i}".encode()).hexdigest()[:15], 16
+        )
+        u = (h % (1 << 54)) / float(1 << 54)
+        keyed.append((u ** (1.0 / w), i))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _, i in keyed[:k]]
+
+
+def test_weighted_hash_sample_matches_python_replay(spark):
+    from merchant_classification_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = (
+        weighted_hash_sample(df, ["id"], "w", 25, salt="s1")
+        .orderBy("sample_rank")
+        .collect()
+    )
+    want = _es_replay([r[0] for r in rows], [r[1] for r in rows], 25, "s1")
+    assert [r.id for r in got] == want
+    assert [r.sample_rank for r in got] == list(range(1, 26))
+
+
+def test_weighted_hash_sample_properties(spark):
+    from merchant_classification_spark.operators.sampling import (
+        hash_percentile,
+        weighted_hash_sample,
+    )
+
+    rows = [(i, 1.0 if i % 3 else -1.0, "g%d" % (i % 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "w", "g"])
+    # non-positive weights are never sampled
+    got = weighted_hash_sample(df, ["id"], "w", 60)
+    assert got.where("w <= 0").count() == 0
+    # all-equal weights degrade to the unweighted hash-rank order
+    eq = df.where("w > 0").withColumn("w", F.lit(1.0))
+    s = weighted_hash_sample(eq, ["id"], "w", 10, salt="z").collect()
+    byp = (
+        eq.withColumn("p", hash_percentile(["id"], salt="z"))
+        .orderBy(F.col("p").desc(), "id")
+        .limit(10)
+        .collect()
+    )
+    assert [r.id for r in sorted(s, key=lambda r: r.sample_rank)] == [
+        r.id for r in byp
+    ]
+    # grouped draw: k per group, ranks restart
+    per = weighted_hash_sample(df, ["id"], "w", 5, by=["g"]).collect()
+    from collections import Counter
+
+    c = Counter(r.g for r in per)
+    assert c == {"g0": 5, "g1": 5}
+    # heavier rows dominate the draw: two items, weight ratio 10^6 —
+    # across 30 salts the heavy item must win almost always
+    heavy = spark.createDataFrame(
+        [(0, 1e6), (1, 1.0)], ["id", "w"]
+    )
+    wins = sum(
+        weighted_hash_sample(heavy, ["id"], "w", 1, salt=str(s)).first().id
+        == 0
+        for s in range(30)
+    )
+    assert wins >= 27
