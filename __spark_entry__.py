@@ -154,6 +154,24 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_nucleus_sources(spark, sf_dir):
+    # coverage (top-p) selection per group (operators/relational.py
+    # coverage_select): the smallest set of sources covering >= 90% of
+    # each language's characters — the adaptive-k counterpart of
+    # topk_per_group, graded on the full cumulative arithmetic
+    from merchant_classification_spark.operators.relational import (
+        coverage_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mass = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("chars")
+    )
+    return coverage_select(mass, ["lang"], ["source"], "chars", 0.9).orderBy(
+        "lang", "mass_rank"
+    )
+
+
 def q_sort_limit(spark, sf_dir):
     # O2/O4: global sort + limit with a total order
     orders = _t(spark, sf_dir, "orders")
@@ -2730,6 +2748,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_dim_chain": q_join_dim_chain,
     "window_percent_rank": q_window_percent_rank,
     "topk_per_group": q_topk_per_group,
+    "nucleus_sources": q_nucleus_sources,
     "sort_limit": q_sort_limit,
     "case_when_bands": q_case_when_bands,
     "percentiles_quantity": q_percentiles_quantity,
@@ -4294,6 +4313,30 @@ ORACLES["argmin_per_group"] = """
 """
 
 
+ORACLES["nucleus_sources"] = """
+    WITH mass AS (
+        SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY lang, source
+    ),
+    win AS (
+        SELECT lang, source, chars,
+               CAST(coalesce(sum(chars) OVER (
+                   PARTITION BY lang ORDER BY chars DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cb,
+               CAST(sum(chars) OVER (PARTITION BY lang) AS BIGINT) AS total_mass,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY chars DESC, source
+               ) AS INT) AS mass_rank
+        FROM mass
+    )
+    SELECT lang, source, chars, total_mass, mass_rank,
+           CAST(cb + chars AS BIGINT) AS cum_mass
+    FROM win WHERE cb < 0.9 * total_mass
+    ORDER BY lang, mass_rank
+"""
+
+
 ORACLES["tpch_q6_forecast"] = """
     SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            count(*) AS n_items
@@ -4833,7 +4876,11 @@ SUITES: dict[str, list[str]] = {
     "join_suite": ["join_left_counts", "join_dim_chain", "semi_anti_join"],
     "window_order_suite": ["window_percent_rank", "window_rank_suite"],
     "running_window_suite": ["running_totals", "rolling_range_frame"],
-    "extrema_per_group_suite": ["topk_per_group", "argmin_per_group"],
+    "extrema_per_group_suite": [
+        "topk_per_group",
+        "argmin_per_group",
+        "nucleus_sources",
+    ],
     "quantile_suite": ["percentiles_quantity", "median_by_group", "iqr_outliers"],
     "histogram_stats_suite": ["histogram_bins", "stats_suite", "heavy_hitters"],
     "set_membership_suite": [

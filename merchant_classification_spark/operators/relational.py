@@ -115,6 +115,60 @@ def group_topk_salted(
     return group_topk(partial, partition_cols, order_cols, k)
 
 
+def coverage_select(
+    df: DataFrame,
+    group_cols: list[str],
+    item_cols: list[str],
+    mass_col: str,
+    p: float,
+) -> DataFrame:
+    """Nucleus (top-p) selection per group: the SMALLEST set of items,
+    by descending mass, whose cumulative mass reaches ≥ p of the group
+    total — the crossing item included.
+
+    The data-mixing counterpart of fixed-k top-k: "which sources cover
+    90% of each language's tokens", "which merchants cover 99% of
+    spend". Fixed k over- or under-shoots per group; the coverage rule
+    adapts to each group's concentration. A row is kept iff the mass
+    BEFORE it is < p·total (the classic nucleus-sampling cutoff), so
+    ties are resolved by the deterministic (mass desc, item) order.
+
+    Scale: one shuffle on the group key; the running and total sums are
+    a single window pass (O(1) state per row). Unlike rank-limit
+    windows there is no group-limit pushdown — every item row crosses
+    the exchange — but the input here is already one row per (group,
+    item), i.e. the OUTPUT of an aggregation, orders of magnitude
+    smaller than the fact table. For a skew-heavy raw-fact variant,
+    pre-aggregate to (group, item) first (partial combine does the
+    heavy lifting map-side).
+
+    Returns the kept rows plus (cum_mass, total_mass, mass_rank);
+    cum_mass/total_mass are exact provided ``mass_col`` is integral
+    (use the cents trick for money).
+
+    Reference has no counterpart; standard since Holtzman et al. 2019
+    (nucleus sampling), applied corpus-side.
+    """
+    if not 0 < p <= 1:
+        raise ValueError("p must be in (0, 1]")
+    w = Window.partitionBy(*group_cols)
+    wo = w.orderBy(
+        F.col(mass_col).desc(), *[F.col(c) for c in item_cols]
+    )
+    cum_before = F.coalesce(
+        F.sum(mass_col).over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return (
+        df.withColumn("_cb", cum_before)
+        .withColumn("total_mass", F.sum(mass_col).over(w))
+        .withColumn("mass_rank", F.row_number().over(wo))
+        .where(F.col("_cb") < F.lit(p) * F.col("total_mass"))
+        .withColumn("cum_mass", F.col("_cb") + F.col(mass_col))
+        .drop("_cb")
+    )
+
+
 def histogram_bins(df: DataFrame, col: str, bin_width: float) -> DataFrame:
     """Engine-side histogram: bin index → count
     (replaces the reference's driver-side pandas `hist`,

@@ -131,3 +131,29 @@ def test_tpch_q21_two_aggs_no_correlated_rescan(spark, sf_dir):
     df = entry.q_tpch_q21_waiting(spark, sf_dir)
     assert_no_python_eval(df)
     assert count_exchanges(df) <= 10
+
+
+def test_coverage_select_nucleus_rule(spark):
+    from merchant_classification_spark.operators.relational import coverage_select
+
+    # g1: masses 50,30,15,5 — p=0.8: 50 (cb 0) + 30 (cb 50<80) kept,
+    # 15 (cb 80 !< 80) dropped exactly at the boundary
+    rows = [
+        ("g1", "a", 50), ("g1", "b", 30), ("g1", "c", 15), ("g1", "d", 5),
+        ("g2", "x", 1),  # singleton: always kept
+    ]
+    df = spark.createDataFrame(rows, ["g", "item", "m"])
+    got = {
+        (r.g, r.item): r
+        for r in coverage_select(df, ["g"], ["item"], "m", 0.8).collect()
+    }
+    assert set(got) == {("g1", "a"), ("g1", "b"), ("g2", "x")}
+    assert got[("g1", "b")].cum_mass == 80
+    assert got[("g1", "b")].total_mass == 100
+    assert got[("g1", "b")].mass_rank == 2
+    # ties break on the item order deterministically
+    tie = spark.createDataFrame(
+        [("g", "b", 10), ("g", "a", 10), ("g", "c", 10)], ["g", "item", "m"]
+    )
+    kept = coverage_select(tie, ["g"], ["item"], "m", 0.5).collect()
+    assert sorted((r.item, r.mass_rank) for r in kept) == [("a", 1), ("b", 2)]
