@@ -942,6 +942,21 @@ def q_median_by_group(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def q_equidepth_bins(spark, sf_dir):
+    # exact equi-depth (equal-count) binning via the scalable dense-rank
+    # machinery (operators/relational.py equidepth_bins over
+    # operators/ids.py dense_ids) — bit-identical to the single-window
+    # row_number formulation the oracle uses, with every stage parallel
+    from merchant_classification_spark.operators.relational import (
+        equidepth_bins,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.expr("CAST(round(l_extendedprice*100) AS BIGINT)")
+    )
+    return equidepth_bins(li, "cents", 16, ["l_orderkey", "l_linenumber"])
+
+
 def q_conditional_agg(spark, sf_dir):
     # filtered aggregation: count_if + exact integer-ratio share
     orders = _t(spark, sf_dir, "orders")
@@ -2791,6 +2806,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_click_window": q_range_click_window,
     "cube_revenue": q_cube_revenue,
     "median_by_group": q_median_by_group,
+    "equidepth_bins": q_equidepth_bins,
     "conditional_agg": q_conditional_agg,
     "embedding_stats": q_embedding_stats,
     "monthly_orders": q_monthly_orders,
@@ -4313,6 +4329,23 @@ ORACLES["argmin_per_group"] = """
 """
 
 
+ORACLES["equidepth_bins"] = """
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) - 1 AS rk,
+               count(*) OVER () AS n
+        FROM v
+    )
+    SELECT CAST(rk * 16 // n AS INT) AS bin, count(*) AS n_rows,
+           min(cents) AS lo, max(cents) AS hi
+    FROM r GROUP BY 1 ORDER BY bin
+"""
+
 ORACLES["nucleus_sources"] = """
     WITH mass AS (
         SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
@@ -4881,7 +4914,12 @@ SUITES: dict[str, list[str]] = {
         "argmin_per_group",
         "nucleus_sources",
     ],
-    "quantile_suite": ["percentiles_quantity", "median_by_group", "iqr_outliers"],
+    "quantile_suite": [
+        "percentiles_quantity",
+        "median_by_group",
+        "iqr_outliers",
+        "equidepth_bins",
+    ],
     "histogram_stats_suite": ["histogram_bins", "stats_suite", "heavy_hitters"],
     "set_membership_suite": [
         "set_ops",

@@ -169,6 +169,54 @@ def coverage_select(
     )
 
 
+def equidepth_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    tiebreak_cols: list[str],
+    buckets: int = 1024,
+) -> DataFrame:
+    """Exact equi-depth (equal-count) binning: rank every row in the
+    total order (``value_col``, ``tiebreak_cols``) and assign
+    bin = rank·n_bins DIV N — each bin holds ⌊N/n⌋ or ⌈N/n⌉ rows
+    regardless of the value distribution (the feature-binning
+    counterpart of :func:`histogram_bins`' fixed-width rule, which a
+    heavy-tailed column defeats).
+
+    Scale shape: the global rank comes from ``operators/ids.dense_ids``
+    (range-bucketed two-phase numbering — every stage parallel), NOT a
+    single-partition ``row_number() OVER (ORDER BY …)`` window; N joins
+    in as a broadcast scalar aggregate, so no driver action and no
+    global sort. Integer rank arithmetic makes boundaries exact and
+    engine-replayable. Ties may split across adjacent bins (rank-based
+    semantics, same as SQL ntile).
+
+    Returns (bin, n_rows, lo, hi) — bin ∈ [0, n_bins), lo/hi the
+    bin's min/max value.
+    """
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    from merchant_classification_spark.operators.ids import dense_ids
+
+    ranked = dense_ids(
+        df, [value_col, *tiebreak_cols], id_col="_rank", buckets=buckets
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(
+            "bin", F.expr(f"CAST(_rank * {n_bins} DIV _n AS INT)")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
 def histogram_bins(df: DataFrame, col: str, bin_width: float) -> DataFrame:
     """Engine-side histogram: bin index → count
     (replaces the reference's driver-side pandas `hist`,

@@ -157,3 +157,21 @@ def test_coverage_select_nucleus_rule(spark):
     )
     kept = coverage_select(tie, ["g"], ["item"], "m", 0.5).collect()
     assert sorted((r.item, r.mass_rank) for r in kept) == [("a", 1), ("b", 2)]
+
+
+def test_equidepth_bins_balanced_and_exact(spark):
+    from merchant_classification_spark.operators.relational import equidepth_bins
+
+    # 103 rows over a heavy-tailed value: every bin holds 25 or 26 rows
+    # (ntile-style balance no fixed-width rule achieves), boundaries are
+    # the rank-order cut points
+    rows = [(i, float(i * i), i) for i in range(103)]
+    df = spark.createDataFrame(rows, ["id", "v", "tb"])
+    got = equidepth_bins(df, "v", 4, ["tb"]).collect()
+    assert [r.bin for r in got] == [0, 1, 2, 3]
+    assert sorted(r.n_rows for r in got) == [25, 26, 26, 26]
+    assert sum(r.n_rows for r in got) == 103
+    # bins partition the sorted order: each lo > previous hi
+    for a, b in zip(got, got[1:]):
+        assert b.lo > a.hi
+    assert got[0].lo == 0.0 and got[-1].hi == float(102 * 102)

@@ -67,6 +67,9 @@ PROBES = [
     ("dense_ids", "dense surrogate ids (bucketed row_number)"),
     ("snapshot_diff", "snapshot CDC diff (full-outer)"),
     ("heavy_hitters", "exact heavy hitters (hash agg)"),
+    ("boilerplate_scrub", "C4 boilerplate removal (span-hash agg + anti-join)"),
+    ("weighted_sample", "weighted A-Res sample (WindowGroupLimit top-k)"),
+    ("nucleus_sources", "coverage top-p per group (window cumsum)"),
 ]
 
 
