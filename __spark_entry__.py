@@ -2296,6 +2296,27 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_corpus_mix(spark, sf_dir):
+    # deterministic token-budget corpus mixing (operators/sampling.py
+    # budget_mix): per source, admit documents in content-hash-percentile
+    # order until the source's budget fills (crossing doc included) —
+    # how training mixes are composed; per-source budget overrides fall
+    # back to the default. Fully oracle-replayable: the percentile
+    # doubles are bit-exact, so both engines admit identical prefixes.
+    from merchant_classification_spark.operators.sampling import budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return budget_mix(
+        docs,
+        ["doc_id"],
+        "source",
+        "n_chars",
+        1500,
+        {"src0": 6000, "src1": 3000},
+        salt="mix24",
+    ).orderBy("source", "mix_rank")
+
+
 def q_salted_join_agg(spark, sf_dir):
     # skew-robust salted equi-join (operators/skew.py): left rows scatter
     # over salt sub-keys, dim replicates — the oracle is the PLAIN join,
@@ -2862,6 +2883,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_hof_suite": q_array_hof,
     "chunk_documents": q_chunk_documents,
     "boilerplate_scrub": q_boilerplate_scrub,
+    "corpus_mix": q_corpus_mix,
     "pack_documents": q_pack_documents,
     "salted_join_agg": q_salted_join_agg,
     "semi_prefilter_agg": q_semi_prefilter_agg,
@@ -4615,6 +4637,29 @@ ORACLES["pack_documents"] = f"""
     FROM c
 """
 
+ORACLES["corpus_mix"] = f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               (('0x' || substr(md5(concat_ws(chr(31), 'mix24',
+                                              CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+                % {1 << 54}) / {float(1 << 54)!r} AS p,
+               CASE WHEN source = 'src0' THEN 6000
+                    WHEN source = 'src1' THEN 3000
+                    ELSE 1500 END AS budget
+        FROM documents
+    ),
+    win AS (
+        SELECT source, doc_id, n_chars, budget,
+               coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY p, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               row_number() OVER (PARTITION BY source ORDER BY p, doc_id) AS mix_rank
+        FROM keyed
+    )
+    SELECT source, doc_id, n_chars, CAST(cb + n_chars AS BIGINT) AS cum_size,
+           CAST(mix_rank AS INT) AS mix_rank
+    FROM win WHERE cb < budget ORDER BY source, mix_rank
+"""
+
 ORACLES["salted_join_agg"] = """
     SELECT p_brand, count(*) AS n_items,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
@@ -4958,7 +5003,12 @@ SUITES: dict[str, list[str]] = {
     "tpch_sub2_suite": ["tpch_q4_priority", "tpch_q11_share", "tpch_q16_supplier_cnt"],
     "tpch_exists_suite": ["tpch_q2_min_cost", "tpch_q20_promotion", "tpch_q21_waiting"],
     "array_hof_suite": ["array_hof_suite"],
-    "chunk_pack_suite": ["chunk_documents", "pack_documents", "udtf_words"],
+    "chunk_pack_suite": [
+        "chunk_documents",
+        "pack_documents",
+        "udtf_words",
+        "corpus_mix",
+    ],
     "sql_api": ["sql_api"],
     "grouping_suite": ["rollup_revenue", "cube_revenue", "grouping_sets"],
     "reshape_suite": ["pivot_counts", "unpivot_metrics"],

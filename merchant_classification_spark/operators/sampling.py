@@ -266,3 +266,72 @@ def weighted_hash_sample(
         .where(F.col("sample_rank") <= k)
         .drop("_wkey")
     )
+
+
+def budget_mix(
+    df: DataFrame,
+    id_cols: list[str],
+    source_col: str,
+    size_col: str,
+    default_budget: int,
+    budgets: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic token-budget corpus mixing: per source, admit
+    documents in content-hash-percentile order until the source's size
+    budget is filled (the crossing document included) — how training
+    mixes are actually composed ("2 B tokens of web, 500 M of code"),
+    with per-source budgets from ``budgets`` falling back to
+    ``default_budget``.
+
+    Ordering by :func:`hash_percentile` (not arrival or id order) makes
+    the admitted set an unbiased uniform sample of each source AND
+    stable: growing the corpus or re-partitioning only ever appends or
+    removes documents at the percentile frontier, it never swaps the
+    interior — dataset versions stay comparable. The budget cutoff is
+    the same cumulative-before rule as ``coverage_select``, so the
+    admitted sizes sum into (budget, budget + max_doc] per source.
+
+    Scale shape: one shuffle on the source key; the per-source window
+    is a running sum (O(1) state). Source count is small by nature, so
+    per-source skew is the norm — for a pathologically huge single
+    source, pre-filter with :func:`hash_sample` at an estimated
+    fraction before the exact pass.
+
+    Returns (``source_col``, id cols, ``size_col``, cum_size,
+    mix_rank) — admitted rows only.
+    """
+    if default_budget <= 0:
+        raise ValueError("default_budget must be positive")
+    budget = F.lit(default_budget).cast("long")
+    if budgets:
+        m = F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in kv]
+        )
+        budget = F.coalesce(
+            m[F.col(source_col)].cast("long"), budget
+        )
+    w = Window.partitionBy(source_col).orderBy(
+        "_mixp", *[F.col(c) for c in id_cols]
+    )
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    # the admitted set is a prefix of the per-source order, so the rank
+    # computed BEFORE the cutoff filter equals the rank within the
+    # admitted set — one WindowExec evaluates both expressions (same
+    # partition/order spec), and no second window pass runs post-filter
+    return (
+        df.withColumn("_mixp", hash_percentile(id_cols, salt))
+        .withColumn("_cb", cum_before)
+        .withColumn("mix_rank", F.row_number().over(w))
+        .where(F.col("_cb") < budget)
+        .select(
+            source_col,
+            *id_cols,
+            size_col,
+            (F.col("_cb") + F.col(size_col)).cast("long").alias("cum_size"),
+            "mix_rank",
+        )
+    )

@@ -99,3 +99,15 @@ def test_corpus_pipeline_leaves_registry_clean(spark, docs):
     # the pipeline composes several snapshotting operators; each may own
     # ONE live snapshot for its still-referenced result, nothing more
     assert len(gained) <= 3, f"corpus pipeline leaked persisted RDDs: {gained}"
+
+
+def test_remove_boilerplate_releases_all_persists(spark, docs):
+    from merchant_classification_spark.operators.dedup import remove_boilerplate
+
+    before = persistent_rdd_ids(spark)
+    out = remove_boilerplate(docs, "doc_id", "text", span_tokens=3, min_docs=3)
+    assert out.count() >= 0
+    gained = persistent_rdd_ids(spark) - before
+    assert len(gained) <= 1, (
+        f"remove_boilerplate leaked internal persists: {gained}"
+    )

@@ -202,3 +202,51 @@ def test_weighted_hash_sample_properties(spark):
         for s in range(30)
     )
     assert wins >= 27
+
+
+def test_budget_mix_fills_each_source_budget(spark):
+    from merchant_classification_spark.operators.sampling import budget_mix
+
+    rows = [
+        (f"{s}-{i}", f"src{s}", 100) for s in range(3) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n"])
+    got = budget_mix(
+        df, ["doc_id"], "source", "n", 500, {"src0": 900}
+    ).collect()
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in got:
+        by[r.source].append(r)
+    # budgets fill to (budget, budget + max_doc]: 900 -> 9 docs, 500 -> 5
+    assert {s: len(v) for s, v in by.items()} == {
+        "src0": 9, "src1": 5, "src2": 5
+    }
+    for s, v in by.items():
+        assert sorted(r.mix_rank for r in v) == list(range(1, len(v) + 1))
+        assert max(r.cum_size for r in v) == len(v) * 100
+    # membership is stable when the corpus grows: the admitted set of a
+    # source only changes at the percentile frontier — with the SAME
+    # budget, a superset corpus admits a subset/superset-compatible
+    # prefix, never an interior swap
+    bigger = spark.createDataFrame(
+        rows + [(f"x-{i}", "src1", 100) for i in range(10)],
+        ["doc_id", "source", "n"],
+    )
+    small_ids = {r.doc_id for r in got if r.source == "src1"}
+    big = budget_mix(
+        bigger, ["doc_id"], "source", "n", 500, {"src0": 900}
+    ).collect()
+    big_ranks = {
+        r.doc_id: r.mix_rank for r in big if r.source == "src1"
+    }
+    # every admitted old doc that still makes the cut keeps its relative
+    # order; new docs only push the frontier
+    common = [d for d in big_ranks if d in small_ids]
+    old_order = sorted(
+        common,
+        key=lambda d: [r.mix_rank for r in got if r.doc_id == d][0],
+    )
+    new_order = sorted(common, key=lambda d: big_ranks[d])
+    assert old_order == new_order
