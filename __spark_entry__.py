@@ -502,16 +502,22 @@ def q_lang_profile(spark, sf_dir):
     )
 
     # tokenize ONCE into a column, score every language against it — the
-    # naive per-language tokenize multiplies the regex cost ~9x
+    # naive per-language tokenize multiplies the regex cost ~9x; then
+    # materialize each language's hit count as a real column and hand
+    # those to lang_id, so every interpreted stopword filter runs ONCE
+    # (inlined into lang_id's comparisons it re-ran per branch — 2.3x)
     # no trailing sort: see q_clean_narrative
     docs = _t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
     toks = F.col("_toks")
-    cols = [
-        stopword_hits("text", lang, tokens_col=toks).alias(f"{lang}_hits")
-        for lang in LANG_ORDER
-    ]
+    for lang in LANG_ORDER:
+        docs = docs.withColumn(
+            f"{lang}_hits", stopword_hits("text", lang, tokens_col=toks)
+        )
+    hit_cols = {lang: F.col(f"{lang}_hits") for lang in LANG_ORDER}
     return docs.select(
-        "doc_id", *cols, lang_id("text", tokens_col=toks).alias("pred_lang")
+        "doc_id",
+        *[f"{lang}_hits" for lang in LANG_ORDER],
+        lang_id("text", tokens_col=toks, hits=hit_cols).alias("pred_lang"),
     )
 
 

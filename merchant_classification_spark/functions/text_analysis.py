@@ -72,12 +72,28 @@ def stopword_hits(
     return F.size(F.filter(toks, lambda t: F.array_contains(stopset, t)))
 
 
-def lang_id(col: Column | str, tokens_col: Column | None = None) -> Column:
+def lang_id(
+    col: Column | str,
+    tokens_col: Column | None = None,
+    hits: dict[str, Column] | None = None,
+) -> Column:
     """Heuristic language ID: argmax stopword-hit rate over LANG_ORDER,
-    'und' (undetermined) when no stopword of any language appears."""
+    'und' (undetermined) when no stopword of any language appears.
+
+    Pass ``hits`` (lang → already-materialized ``stopword_hits`` column)
+    when those counts exist as real columns anyway: referencing them
+    keeps each interpreted stopword filter evaluated ONCE — Catalyst's
+    CollapseProject declines to inline the non-cheap HOF into its
+    multiple use sites here, where inlining the expression directly
+    would re-run every filter inside each comparison branch (measured
+    2.3× on the lang-profile probe at sf0.1)."""
     toks = tokens(col) if tokens_col is None else tokens_col
     n = F.size(toks)
-    hits = {lang: stopword_hits(col, lang, tokens_col=toks) for lang in LANG_ORDER}
+    if hits is None:
+        hits = {
+            lang: stopword_hits(col, lang, tokens_col=toks)
+            for lang in LANG_ORDER
+        }
     best = F.lit("und")
     best_hits = F.lit(0)
     # strict > with in-order iteration: the FIRST language in LANG_ORDER
@@ -89,7 +105,9 @@ def lang_id(col: Column | str, tokens_col: Column | None = None) -> Column:
     return F.when(n == 0, F.lit("und")).otherwise(best)
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(
+    col: Column | str, tokens_col: Column | None = None
+) -> Column:
     """Document quality in [0,1] from deterministic integer ratios:
 
         0.4 * clamp(n_tokens/100)            (enough content)
@@ -98,11 +116,14 @@ def quality_score(col: Column | str) -> Column:
 
     All counts are ints; the combination order is fixed, so the double
     result is reproducible bit-for-bit by any engine evaluating the same
-    expression.
+    expression. Pass ``tokens_col`` to reuse an existing tokenization
+    (otherwise this re-tokenizes for the content term).
     """
     c = _as_col(col)
     n_chars = F.length(c)
-    n_tok = token_count(col).cast("double")
+    n_tok = (
+        F.size(tokens_col) if tokens_col is not None else token_count(col)
+    ).cast("double")
     punct = F.length(F.regexp_replace(c, r"[\w\s]+", ""))
     digits = F.length(F.regexp_replace(c, r"[^0-9]+", ""))
     content = F.least(n_tok / F.lit(100.0), F.lit(1.0))

@@ -34,7 +34,6 @@ from merchant_classification_spark.functions.text_analysis import (
     lang_id,
     quality_score,
     repetition_scores,
-    token_count,
 )
 from merchant_classification_spark.operators.dedup import minhash_dedup_pairs
 
@@ -63,12 +62,32 @@ def prepare_corpus(
     report: dict[str, int] = {"input": docs.count()}
 
     # --- single fused filter pass (no shuffle) -------------------------
-    scored = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        lang_id(text_col).alias("lang"),
-        quality_score(text_col).alias("quality"),
-        token_count(text_col).alias("n_tokens"),
+    # tokenize ONCE and materialize per-language stopword hits as real
+    # columns: handed to lang_id they evaluate a single time, where the
+    # inlined form re-ran every interpreted stopword filter per argmax
+    # branch (and each of lang_id/quality/token_count re-tokenized) —
+    # same fix as the lang-profile probe, measured 2.3x there
+    from merchant_classification_spark.functions.text_analysis import (
+        LANG_ORDER,
+        stopword_hits,
+        tokens,
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).withColumn("_toks", tokens(text_col))
+    toks = F.col("_toks")
+    for lang in LANG_ORDER:
+        base = base.withColumn(
+            f"_{lang}_hits", stopword_hits("text", lang, tokens_col=toks)
+        )
+    hit_cols = {lang: F.col(f"_{lang}_hits") for lang in LANG_ORDER}
+    scored = base.select(
+        "id",
+        "text",
+        lang_id("text", tokens_col=toks, hits=hit_cols).alias("lang"),
+        quality_score("text", tokens_col=toks).alias("quality"),
+        F.size(toks).alias("n_tokens"),
     )
     kept = scored.where(
         F.col("lang").isin(*allowed_langs)
