@@ -1251,8 +1251,13 @@ def q_dedup_rep_assign(spark, sf_dir):
         assign_representatives,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", fingerprint(F.col("text")).alias("fp")
+    # snapshot the fingerprint projection before the self-join: lazy,
+    # BOTH join sides re-ran the tokenize+sort+md5 kernel (the standard
+    # multi-branch recompute trap — measured 1.9x on this member)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .localCheckpoint(eager=True)
     )
     a = docs.select("fp", F.col("doc_id").alias("id_a"))
     b = docs.select("fp", F.col("doc_id").alias("id_b"))
