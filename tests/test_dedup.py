@@ -353,3 +353,66 @@ def test_remove_boilerplate_hashed_matches_raw(tables):
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert a.where(F.col("n_removed") > 0).count() > 0
+
+
+def test_winnow_arrow_kernel_bit_identical(tables):
+    from merchant_classification_spark.operators.dedup import (
+        winnow_fingerprint_rows,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    nat = winnow_fingerprint_rows(docs, "doc_id", "text")
+    arr = winnow_fingerprint_rows(docs, "doc_id", "text", kernel="arrow")
+    assert nat.exceptAll(arr).count() == 0
+    assert arr.exceptAll(nat).count() == 0
+
+
+def test_winnow_arrow_kernel_edge_rows(spark):
+    from merchant_classification_spark.operators.dedup import (
+        winnow_fingerprint_rows,
+    )
+
+    # null -> single NULL fp, empty -> [0], short (< k) -> whole fold,
+    # non-BMP unicode -> code-point parity (utf-32 == F.ascii == ord)
+    edge = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "ab"), (3, "abcdefg"), (4, "é中文🎉 test")],
+        ["doc_id", "text"],
+    )
+
+    def key(r):
+        return (r[0], r[1] is None, r[1])
+
+    nat = sorted(winnow_fingerprint_rows(edge, "doc_id", "text").collect(), key=key)
+    arr = sorted(
+        winnow_fingerprint_rows(edge, "doc_id", "text", kernel="arrow").collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in nat] == [tuple(r) for r in arr]
+    assert (0, None) in [tuple(r) for r in nat]
+
+
+def test_winnow_pairs_arrow_kernel_same_pairs(spark):
+    from merchant_classification_spark.operators.dedup import winnow_pairs
+
+    plag = (
+        "students often copy this exact paragraph verbatim into their "
+        "submissions hoping nobody runs a fingerprint join over the corpus"
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "intro words. " + plag + " closing words."),
+            (1, "different opener; " + plag),
+            (2, "entirely unrelated essay about distributed joins and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, winnow_pairs(df, "doc_id", "text", min_shared=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            winnow_pairs(
+                df, "doc_id", "text", min_shared=2, kernel="arrow"
+            ).collect(),
+        )
+    )
+    assert a == b and [(r[0], r[1]) for r in a] == [(0, 1)]
