@@ -240,3 +240,153 @@ def test_dense_ids_fuzz_matches_sort_order(spark, vals):
     out = dense_ids(df, ["v", "t"], buckets=4)
     got = [(r.v, r.t) for r in out.orderBy("dense_id").collect()]
     assert got == sorted((v, i) for i, v in rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=7),
+    span=st.sampled_from([1, 2, 3]),
+    min_docs=st.sampled_from([2, 3]),
+)
+def test_remove_boilerplate_matches_naive(spark, docs, span, min_docs):
+    """The hashed span-frequency scrub equals the naive Python
+    definition: segment every doc into fixed spans, count distinct-doc
+    frequency, drop spans at/above the threshold, reassemble in order."""
+    from collections import Counter
+
+    from merchant_classification_spark.operators.dedup import remove_boilerplate
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_removed)
+        for r in remove_boilerplate(
+            df, "doc_id", "text", span_tokens=span, min_docs=min_docs
+        ).collect()
+    }
+
+    def segment(text):
+        toks = [t for t in text.lower().split() if t]
+        return [
+            " ".join(toks[i : i + span]) for i in range(0, len(toks), span)
+        ]
+
+    seg = {i: segment(t) for i, t in rows}
+    freq = Counter()
+    for spans in seg.values():
+        for s_ in set(spans):
+            freq[s_] += 1
+    for i, spans in seg.items():
+        kept = [s_ for s_ in spans if freq[s_] < min_docs]
+        assert got[i] == (
+            " ".join(kept),
+            len(spans),
+            len(spans) - len(kept),
+        ), (i, spans)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.sampled_from([1, 3, 8]),
+    salt=st.sampled_from(["", "a", "z9"]),
+)
+def test_weighted_hash_sample_fuzz_matches_replay(spark, weights, k, salt):
+    import hashlib
+
+    from merchant_classification_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    rows = list(enumerate(weights))
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = [
+        r.id
+        for r in weighted_hash_sample(df, ["id"], "w", k, salt=salt)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    keyed = []
+    for i, w in rows:
+        h = int(hashlib.md5(f"{salt}\x1f{i}".encode()).hexdigest()[:15], 16)
+        u = (h % (1 << 54)) / float(1 << 54)
+        keyed.append((u ** (1.0 / w), i))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    assert got == [i for _, i in keyed[:k]]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    masses=st.lists(
+        st.integers(min_value=1, max_value=1000), min_size=1, max_size=12
+    ),
+    p=st.sampled_from([0.25, 0.5, 0.9, 1.0]),
+)
+def test_coverage_select_fuzz_minimal_prefix(spark, masses, p):
+    """The kept set is exactly the minimal prefix of the (mass desc,
+    item) order whose cumulative mass reaches p of the total."""
+    from merchant_classification_spark.operators.relational import coverage_select
+
+    rows = [("g", i, m) for i, m in enumerate(masses)]
+    df = spark.createDataFrame(rows, ["g", "item", "m"])
+    got = sorted(
+        r.item for r in coverage_select(df, ["g"], ["item"], "m", p).collect()
+    )
+    order = sorted(rows, key=lambda r: (-r[2], r[1]))
+    total = sum(masses)
+    kept, cum = [], 0
+    for _, i, m in order:
+        if cum < p * total:
+            kept.append(i)
+            cum += m
+    assert got == sorted(kept)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+    bins=st.sampled_from([1, 3, 7]),
+)
+def test_equidepth_bins_fuzz_balance(spark, vals, bins):
+    """Bin sizes differ by at most one, total row count is preserved,
+    and boundaries follow the sorted order."""
+    from merchant_classification_spark.operators.relational import equidepth_bins
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = equidepth_bins(df, "v", bins, ["id"]).collect()
+    sizes = [r.n_rows for r in got]
+    assert sum(sizes) == len(vals)
+    assert max(sizes) - min(sizes) <= 1
+    svals = sorted(vals)
+    # reconstruct expected bins from the rank rule
+    n = len(vals)
+    import collections
+
+    exp = collections.defaultdict(list)
+    for rk, v in enumerate(svals):
+        exp[rk * bins // n].append(v)
+    for r in got:
+        assert r.lo == min(exp[r.bin]) and r.hi == max(exp[r.bin])
