@@ -192,7 +192,9 @@ def equidepth_bins(
     semantics, same as SQL ntile).
 
     Returns (bin, n_rows, lo, hi) — bin ∈ [0, n_bins), lo/hi the
-    bin's min/max value.
+    bin's min/max value. ``value_col`` must be numeric (it drives the
+    range bucketing inside ``dense_ids``) and (``value_col``,
+    ``tiebreak_cols``) must be a total order.
     """
     if n_bins <= 0:
         raise ValueError("n_bins must be positive")

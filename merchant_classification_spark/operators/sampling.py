@@ -250,7 +250,9 @@ def weighted_hash_sample(
 
     Returns the sampled rows with a 1-based ``sample_rank`` column; the
     float key itself is internal (cross-engine pow differs in the last
-    ulp — ORDER is ulp-stable, values are not).
+    ulp — ORDER is ulp-stable, values are not). ``cols`` must identify
+    rows uniquely (within each group when ``by`` is set): duplicates
+    share a key and tie-break nondeterministically.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -299,7 +301,9 @@ def budget_mix(
     fraction before the exact pass.
 
     Returns (``source_col``, id cols, ``size_col``, cum_size,
-    mix_rank) — admitted rows only.
+    mix_rank) — admitted rows only. ``id_cols`` must identify rows
+    uniquely per source, or the admission order is nondeterministic at
+    the duplicated keys.
     """
     if default_budget <= 0:
         raise ValueError("default_budget must be positive")
