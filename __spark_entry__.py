@@ -1668,6 +1668,25 @@ def q_decontaminate_overlap(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_decontaminate_scrub(spark, sf_dir):
+    # contamination REMOVAL (operators/decontaminate.py
+    # remove_contaminated_spans — GPT-3 Appendix C): excise a ±1-token
+    # window around every eval-colliding 4-gram and keep the clean
+    # fragments (>= 3 tokens); untouched docs pass through whole. The
+    # oracle replays positional grams, interval anti-join, and the
+    # gap-and-island regroup — fragment text included.
+    from merchant_classification_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return remove_contaminated_spans(
+        train, eval_df, "doc_id", "text", n=4, pad=1, min_fragment_tokens=3
+    ).orderBy("doc_id", "frag_id")
+
+
 def q_iqr_outliers(spark, sf_dir):
     # Tukey-fence outlier detection: per-customer total spend (skewed by
     # order counts, so real outliers exist), fenced per nation. q1/q3 via
@@ -2892,6 +2911,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_intervals": q_scd2_intervals,
     "hll_rollup": q_hll_rollup,
     "decontaminate_overlap": q_decontaminate_overlap,
+    "decontaminate_scrub": q_decontaminate_scrub,
     "iqr_outliers": q_iqr_outliers,
     "tpch_q13_custdist": q_tpch_q13_custdist,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
@@ -4252,6 +4272,76 @@ ORACLES["rolling_range_frame"] = """
 """
 
 
+ORACLES["decontaminate_scrub"] = """
+    WITH trs AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS INT) AS nt
+        FROM documents WHERE doc_id % 97 != 0
+    ),
+    evs AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS INT) AS nt
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    tg AS (
+        SELECT doc_id, unnest(generate_series(1, nt - 3)) AS gpos,
+               unnest([array_to_string(t[i:i+3], ' ')
+                       for i in generate_series(1, nt - 3)]) AS gram
+        FROM trs WHERE nt >= 4
+    ),
+    eg AS (
+        SELECT DISTINCT unnest([array_to_string(t[i:i+3], ' ')
+                                for i in generate_series(1, nt - 3)]) AS gram
+        FROM evs WHERE nt >= 4
+    ),
+    dirty AS (SELECT doc_id, gpos FROM tg JOIN eg USING (gram)),
+    ivs AS (
+        SELECT doc_id, greatest(gpos - 1, 1) AS lo, gpos + 3 + 1 AS hi
+        FROM dirty
+    ),
+    cont AS (SELECT DISTINCT doc_id FROM ivs),
+    clean_whole AS (
+        SELECT doc_id, 1 AS frag_id, nt AS n_frag_tokens,
+               array_to_string(t, ' ') AS fragment
+        FROM trs WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    toks AS (
+        SELECT doc_id, unnest(generate_series(1, nt)) AS pos, unnest(t) AS token
+        FROM trs WHERE doc_id IN (SELECT doc_id FROM cont)
+    ),
+    clean_pos AS (
+        SELECT tk.* FROM toks tk
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ivs v
+            WHERE v.doc_id = tk.doc_id AND tk.pos BETWEEN v.lo AND v.hi
+        )
+    ),
+    isl AS (
+        SELECT doc_id, pos, token,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM clean_pos
+    ),
+    frags AS (
+        SELECT doc_id, island, min(pos) AS mp, count(*) AS n_frag_tokens,
+               string_agg(token, ' ' ORDER BY pos) AS fragment
+        FROM isl GROUP BY doc_id, island
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY mp) AS INT) AS frag_id,
+               n_frag_tokens, fragment
+        FROM frags
+    ),
+    allf AS (
+        SELECT doc_id, frag_id, CAST(n_frag_tokens AS INT) AS n_frag_tokens,
+               fragment FROM clean_whole
+        UNION ALL BY NAME
+        SELECT doc_id, frag_id, CAST(n_frag_tokens AS INT) AS n_frag_tokens,
+               fragment FROM scrubbed
+    )
+    SELECT * FROM allf WHERE n_frag_tokens >= 3 ORDER BY doc_id, frag_id
+"""
+
 ORACLES["decontaminate_overlap"] = """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     grams AS (
@@ -5113,7 +5203,11 @@ SUITES: dict[str, list[str]] = {
     ],
     "behavioral_suite": ["funnel_steps", "cohort_retention", "time_weighted_avg"],
     "scd_layout_suite": ["scd2_intervals", "zorder_cells"],
-    "overlap_suite": ["fuzzy_nation_pairs", "decontaminate_overlap"],
+    "overlap_suite": [
+        "fuzzy_nation_pairs",
+        "decontaminate_overlap",
+        "decontaminate_scrub",
+    ],
     "join_strategies_suite": [
         "salted_join_agg",
         "semi_prefilter_agg",

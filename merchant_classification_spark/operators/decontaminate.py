@@ -119,3 +119,130 @@ def decontaminate(
         hash_grams=hash_grams,
     ).select(id_col)
     return train.join(flagged, id_col, "left_anti")
+
+
+def remove_contaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    pad: int = 2,
+    min_fragment_tokens: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Contamination REMOVAL (GPT-3 Appendix C): instead of dropping a
+    flagged document wholesale, excise a ±``pad``-token window around
+    every eval-colliding ``n``-gram and keep the clean FRAGMENTS — the
+    surgical variant that preserves the bulk of a long document whose
+    tail quotes a benchmark answer.
+
+    Tokens here are raw whitespace splits (the same unit
+    :func:`ngram_overlap_report` joins on). Fragments shorter than
+    ``min_fragment_tokens`` are dropped; documents with no collision
+    pass through whole as fragment 1.
+
+    Scale shape: eval grams broadcast (tiny by nature); the positional
+    gram scan over training is map-only; ONLY contaminated documents —
+    a sparse subset by construction — are exploded to token level for
+    the interval anti-join and the islands regroup, so the extra
+    shuffle volume is bounded by contamination, not corpus size. The
+    islands step is the classic gap-and-island window
+    (pos − row_number), exactly SQL-replayable.
+
+    Returns (doc_id, frag_id, n_frag_tokens, fragment) with frag_id
+    1-based in document order.
+    """
+    if n <= 0 or pad < 0:
+        raise ValueError("n must be positive and pad non-negative")
+    from pyspark.sql import Window
+
+    base = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), " ").alias(
+            "t"
+        ),
+    ).withColumn("nt", F.size("t"))
+
+    def pos_grams(df: DataFrame) -> DataFrame:
+        g = df.where(F.col("nt") >= n).select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("nt") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+                )
+            ).alias("gp0", "gram"),
+        )
+        return g.select("doc_id", (F.col("gp0") + 1).alias("gpos"), "gram")
+
+    e_base = eval_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), " ").alias(
+            "t"
+        ),
+    ).withColumn("nt", F.size("t"))
+    e_grams = pos_grams(e_base).select("gram").distinct()
+    if broadcast_eval:
+        e_grams = F.broadcast(e_grams)
+
+    dirty = pos_grams(base).join(e_grams, "gram").select("doc_id", "gpos")
+    ivs = dirty.select(
+        "doc_id",
+        F.greatest(F.col("gpos") - pad, F.lit(1)).alias("lo"),
+        (F.col("gpos") + (n - 1) + pad).alias("hi"),
+    )
+    cont_ids = ivs.select("doc_id").distinct()
+
+    # untouched documents: one whole fragment, no token explode
+    clean_whole = base.join(cont_ids, "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(1).alias("frag_id"),
+        F.col("nt").alias("n_frag_tokens"),
+        F.array_join("t", " ").alias("fragment"),
+    )
+
+    toks = base.join(cont_ids, "doc_id", "left_semi").select(
+        "doc_id",
+        F.posexplode("t").alias("p0", "token"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "token")
+    # rename the interval side's id: both frames share lineage, and a
+    # toks.doc_id == ivs.doc_id condition resolves to a trivially-true
+    # self-comparison (Spark warns and may mis-resolve)
+    ivs_r = ivs.select(
+        F.col("doc_id").alias("_iv_doc"), "lo", "hi"
+    )
+    clean_pos = toks.join(
+        ivs_r,
+        on=[
+            F.col("doc_id") == F.col("_iv_doc"),
+            F.col("pos") >= F.col("lo"),
+            F.col("pos") <= F.col("hi"),
+        ],
+        how="left_anti",
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = clean_pos.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    frags = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("mp"),
+        F.count(F.lit(1)).cast("int").alias("n_frag_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("fragment"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("mp")
+    scrubbed = frags.select(
+        "doc_id",
+        F.row_number().over(w_doc).alias("frag_id"),
+        "n_frag_tokens",
+        "fragment",
+    )
+    return clean_whole.unionByName(scrubbed).where(
+        F.col("n_frag_tokens") >= min_fragment_tokens
+    )

@@ -99,3 +99,51 @@ def test_overlap_report_no_python_stage(spark, n):
         .toString()
     )
     assert "Python" not in plan  # pure JVM — no UDF fallback anywhere
+
+
+def test_remove_contaminated_spans_semantics(spark):
+    from merchant_classification_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    leak = "what is the capital of france"  # 6 tokens, n=3 grams collide
+    train = spark.createDataFrame(
+        [
+            # leak in the middle: prefix and suffix survive as fragments
+            (0, "alpha beta gamma delta " + leak + " omega sigma tau pi"),
+            # fully clean doc passes through whole
+            (1, "one two three four five six"),
+            # doc that IS the leak (plus padding): scrubbed to nothing
+            (2, "x " + leak + " y"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame([(100, leak)], ["doc_id", "text"])
+    got = remove_contaminated_spans(
+        train, eval_df, "doc_id", "text", n=3, pad=1, min_fragment_tokens=2
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: the leak ±1 token is excised; two clean fragments remain
+    f0 = sorted(by_doc[0], key=lambda r: r.frag_id)
+    assert [r.fragment for r in f0] == ["alpha beta gamma", "sigma tau pi"]
+    assert [r.frag_id for r in f0] == [1, 2]
+    # doc 1 untouched, one whole fragment
+    assert [r.fragment for r in by_doc[1]] == ["one two three four five six"]
+    # doc 2 entirely contaminated: nothing survives
+    assert 2 not in by_doc
+
+
+def test_remove_contaminated_spans_no_eval_overlap(spark):
+    from merchant_classification_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    train = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    eval_df = spark.createDataFrame([(1, "x y z w v")], ["doc_id", "text"])
+    got = remove_contaminated_spans(
+        train, eval_df, "doc_id", "text", n=3, pad=0
+    ).collect()
+    assert len(got) == 1 and got[0].fragment == "a b c d e"
+    assert got[0].n_frag_tokens == 5 and got[0].frag_id == 1
