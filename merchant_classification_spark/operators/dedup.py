@@ -756,8 +756,15 @@ def winnow_fingerprint_rows(
                     continue
                 out_ids.extend([i] * len(fps))
                 out_fps.extend(int(x) for x in fps)
+            if not out_ids:
+                # empty pa.array([]) infers the null type and breaks the
+                # declared schema — skip empty batches instead
+                continue
             yield pa.record_batch(
-                [pa.array(out_ids), pa.array(out_fps, type=pa.int64())],
+                [
+                    pa.array(out_ids, type=batch.column("doc_id").type),
+                    pa.array(out_fps, type=pa.int64()),
+                ],
                 names=["doc_id", "fp"],
             )
 

@@ -194,7 +194,9 @@ def equidepth_bins(
     Returns (bin, n_rows, lo, hi) — bin ∈ [0, n_bins), lo/hi the
     bin's min/max value. ``value_col`` must be numeric (it drives the
     range bucketing inside ``dense_ids``) and (``value_col``,
-    ``tiebreak_cols``) must be a total order.
+    ``tiebreak_cols``) must be a total order. Rows with a NULL value
+    are excluded from the ranking (NULL has no rank position) — filter
+    or impute first if they must be binned.
     """
     if n_bins <= 0:
         raise ValueError("n_bins must be positive")

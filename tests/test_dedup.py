@@ -416,3 +416,23 @@ def test_winnow_pairs_arrow_kernel_same_pairs(spark):
         )
     )
     assert a == b and [(r[0], r[1]) for r in a] == [(0, 1)]
+
+
+def test_winnow_arrow_kernel_empty_partitions_and_string_ids(spark):
+    from merchant_classification_spark.operators.dedup import (
+        winnow_fingerprint_rows,
+    )
+
+    # 8 partitions, 1 row: most arrow batches are empty — must not break
+    # the declared schema (empty pa.array would infer the null type)
+    df = spark.createDataFrame(
+        [(0, "hello world fingerprints")], ["doc_id", "text"]
+    ).repartition(8)
+    assert winnow_fingerprint_rows(df, "doc_id", "text", kernel="arrow").count() == 7
+    # non-long id types pass through with their arrow type preserved
+    df2 = spark.createDataFrame(
+        [("a", "hello world fingerprints")], ["doc_id", "text"]
+    ).repartition(4)
+    out = winnow_fingerprint_rows(df2, "doc_id", "text", kernel="arrow")
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert out.count() == 7
