@@ -70,6 +70,11 @@ PROBES = [
     ("boilerplate_scrub", "C4 boilerplate removal (span-hash agg + anti-join)"),
     ("weighted_sample", "weighted A-Res sample (WindowGroupLimit top-k)"),
     ("nucleus_sources", "coverage top-p per group (window cumsum)"),
+    ("corpus_mix", "token-budget mixing (per-source window cumsum)"),
+    ("equidepth_bins", "equi-depth bins (dense-rank + broadcast N)"),
+    ("decontaminate_scrub", "contamination span removal (islands regroup)"),
+    ("grouped_linear_fit", "applyInPandas exact-moment OLS"),
+    ("winnow_pairs", "MOSS pair join (arrow kernel, df-capped postings)"),
 ]
 
 
