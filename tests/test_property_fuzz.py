@@ -390,3 +390,112 @@ def test_equidepth_bins_fuzz_balance(spark, vals, bins):
         exp[rk * bins // n].append(v)
     for r in got:
         assert r.lo == min(exp[r.bin]) and r.hi == max(exp[r.bin])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=1, max_size=14
+    ),
+    budget=st.sampled_from([30, 100, 400]),
+)
+def test_budget_mix_fuzz_matches_replay(spark, sizes, budget):
+    """budget_mix equals the pure-Python definition: per source, admit
+    ids in hash-percentile order while the size sum BEFORE each id is
+    under the budget."""
+    import hashlib
+
+    rows = [(i, "s%d" % (i % 3), sz) for i, sz in enumerate(sizes)]
+    from merchant_classification_spark.operators.sampling import budget_mix
+
+    df = spark.createDataFrame(rows, ["doc_id", "source", "sz"])
+    got = {
+        (r.source, r.doc_id): (r.cum_size, r.mix_rank)
+        for r in budget_mix(
+            df, ["doc_id"], "source", "sz", budget, salt="fz"
+        ).collect()
+    }
+
+    def u(i):
+        h = int(hashlib.md5(f"fz\x1f{i}".encode()).hexdigest()[:15], 16)
+        return (h % (1 << 54)) / float(1 << 54)
+
+    want = {}
+    for src in {r[1] for r in rows}:
+        members = sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (u(r[0]), r[0])
+        )
+        cum = 0
+        for rank, (i, _, sz) in enumerate(members, start=1):
+            if cum < budget:
+                want[(src, i)] = (cum + sz, rank)
+            cum += sz
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    train=st.lists(_doc, min_size=1, max_size=6),
+    ev=st.lists(_doc, min_size=1, max_size=3),
+)
+def test_remove_contaminated_spans_fuzz_matches_naive(spark, train, ev):
+    """Span removal equals the naive Python definition: mark every
+    position covered by a ±pad window around an eval-colliding n-gram,
+    then emit maximal clean runs."""
+    from merchant_classification_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    n, pad, minf = 2, 1, 1
+    tdf = spark.createDataFrame(list(enumerate(train)), ["doc_id", "text"])
+    edf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(ev)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.frag_id): (r.n_frag_tokens, r.fragment)
+        for r in remove_contaminated_spans(
+            tdf, edf, "doc_id", "text", n=n, pad=pad, min_fragment_tokens=minf
+        ).collect()
+    }
+
+    def grams(toks):
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    egrams = set()
+    for t in ev:
+        egrams |= grams(t.split(" "))
+    want = {}
+    for i, t in enumerate(train):
+        toks = t.split(" ")
+        dirty = set()
+        for g in range(len(toks) - n + 1):
+            if " ".join(toks[g : g + n]) in egrams:
+                lo = max(g - pad, 0)
+                hi = g + n - 1 + pad
+                dirty |= set(range(lo, hi + 1))
+        frags, cur = [], []
+        for p, tok in enumerate(toks):
+            if p in dirty:
+                if cur:
+                    frags.append(cur)
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            frags.append(cur)
+        fid = 0
+        for fr in frags:
+            if len(fr) >= minf:
+                fid += 1
+                want[(i, fid)] = (len(fr), " ".join(fr))
+    assert got == want
