@@ -3751,7 +3751,7 @@ ORACLES["hash_sample"] = f"""
     WITH h AS (
         SELECT doc_id,
                (('0x' || substr(md5(concat_ws(chr(31), 'audit',
-                                              CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+                                              coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'))), 1, 15))::BIGINT
                 % {1 << 54}) AS hm
         FROM documents)
     SELECT doc_id, CAST(hm AS DOUBLE) / {float(1 << 54)!r} AS p
@@ -3768,7 +3768,7 @@ ORACLES["weighted_sample"] = f"""
         SELECT lang, doc_id, n_chars,
                pow(
                  (('0x' || substr(md5(concat_ws(chr(31), 'mix',
-                                                CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+                                                coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'))), 1, 15))::BIGINT
                   % {1 << 54}) / {float(1 << 54)!r},
                  1.0 / CAST(n_chars AS DOUBLE)
                ) AS wkey
@@ -4806,7 +4806,7 @@ ORACLES["corpus_mix"] = f"""
     WITH keyed AS (
         SELECT source, doc_id, n_chars,
                (('0x' || substr(md5(concat_ws(chr(31), 'mix24',
-                                              CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+                                              coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'))), 1, 15))::BIGINT
                 % {1 << 54}) / {float(1 << 54)!r} AS p,
                CASE WHEN source = 'src0' THEN 6000
                     WHEN source = 'src1' THEN 3000

@@ -235,6 +235,16 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), grams), 1)
 
 
+def _check_scheme(scheme: str) -> None:
+    """Reject unknown hash schemes loudly: the dispatch sites used to
+    fall through to xxh64 on any unrecognized string (e.g. a typo like
+    'md-5'), silently losing oracle replayability."""
+    if scheme not in ("md5", "xxh64"):
+        raise ValueError(
+            f"unknown hash scheme {scheme!r}: expected 'md5' or 'xxh64'"
+        )
+
+
 def minhash_signature(
     shingle_col: Column | str, num_hashes: int = 64, scheme: str = "md5"
 ) -> Column:
@@ -254,6 +264,7 @@ def minhash_signature(
     the pure-Python XXH64 replay in ``tests/test_hash_crosscheck.py``.
     """
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    _check_scheme(scheme)
     if scheme == "md5":
         from merchant_classification_spark.functions.portable_hash import (
             md5_long60,
@@ -290,6 +301,7 @@ def lsh_band_hashes(
     folded to one long (8-byte join keys — the cheapest-shuffle option).
     """
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    _check_scheme(scheme)
     if scheme == "md5":
         return F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -338,6 +350,7 @@ def _minhash_base(
         F.col(id_col).alias("doc_id"),
         shingles(text_col, shingle_size).alias("sh"),
     )
+    _check_scheme(scheme)
     if scheme == "md5":
         from merchant_classification_spark.functions.portable_hash import (
             md5_long60,
@@ -1063,6 +1076,7 @@ def simhash_dedup_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
+    _check_scheme(scheme)
     if scheme == "md5":
         sig, band_bits, band_mask = simhash_portable(text_col), 15, 0x7FFF
     else:

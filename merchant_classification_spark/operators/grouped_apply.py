@@ -58,8 +58,20 @@ def grouped_linear_fit(
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         g = str(pdf[group_col].iloc[0])
-        x = pdf[x_col].to_numpy(dtype=np.int64)
-        y = pdf[y_col].to_numpy(dtype=np.int64)
+        xr = pdf[x_col].to_numpy()
+        yr = pdf[y_col].to_numpy()
+        x = xr.astype(np.int64)
+        y = yr.astype(np.int64)
+        # the exact-moment construction is only exact for integral
+        # inputs that survive the int64 cast; a silent truncation (2.5
+        # → 2) or wrap (1e19 → garbage) would produce wrong
+        # coefficients with no error, so reject loudly instead
+        if not (np.array_equal(x, xr) and np.array_equal(y, yr)):
+            raise ValueError(
+                f"grouped_linear_fit requires integral {x_col!r}/"
+                f"{y_col!r} values representable in int64 (exact-moment "
+                "OLS contract); cast/round non-integral inputs first"
+            )
         n = len(x)
         out = {"group": [g], "slope": [None], "intercept": [None], "r2": [None], "n": [n]}
         if n < 2:

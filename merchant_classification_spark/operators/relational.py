@@ -202,6 +202,11 @@ def equidepth_bins(
         raise ValueError("n_bins must be positive")
     from merchant_classification_spark.operators.ids import dense_ids
 
+    # drop NULLs BEFORE ranking: dense_ids' bucket join already loses
+    # NULL rows, but the NULL bucket would still shift the offset
+    # prefix-sum (surviving ranks would start at n_nulls) while _n
+    # counted all rows — silently skewed bins. Filter both sides.
+    df = df.where(F.col(value_col).isNotNull())
     ranked = dense_ids(
         df, [value_col, *tiebreak_cols], id_col="_rank", buckets=buckets
     )

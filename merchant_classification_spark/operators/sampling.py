@@ -166,9 +166,21 @@ def hash_percentile(
     (md5 is uniform on distinct inputs).
 
     Columns are joined with a 0x1F unit separator so ("ab","c") and
-    ("a","bc") hash differently.
+    ("a","bc") hash differently. NULLs are mapped to a distinct
+    ``\\x00null`` sentinel BEFORE joining — ``concat_ws`` silently skips
+    NULL arguments, so without the sentinel ("a\\x1fb", NULL) and
+    ("a", "b") would hash identically and silently correlate sample
+    membership across unrelated rows. Oracles mirror the same
+    ``coalesce(CAST(c AS VARCHAR), chr(0) || 'null')`` wrapper.
     """
-    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in cols])
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in cols
+        ],
+    )
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     return (h % F.lit(1 << bits).cast("long")).cast("double") / F.lit(
         float(1 << bits)

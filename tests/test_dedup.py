@@ -436,3 +436,34 @@ def test_winnow_arrow_kernel_empty_partitions_and_string_ids(spark):
     out = winnow_fingerprint_rows(df2, "doc_id", "text", kernel="arrow")
     assert out.schema["doc_id"].dataType.simpleString() == "string"
     assert out.count() == 7
+
+
+def test_unknown_hash_scheme_raises():
+    """Scheme dispatch must fail loudly on typos instead of silently
+    falling back to the non-portable xxh64 construction."""
+    import pytest
+
+    from merchant_classification_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signature,
+    )
+
+    with pytest.raises(ValueError, match="unknown hash scheme"):
+        minhash_signature("sh", scheme="md-5")
+    with pytest.raises(ValueError, match="unknown hash scheme"):
+        lsh_band_hashes("sig", 4, 16, scheme="MD5")
+
+
+def test_unknown_hash_scheme_raises_pipelines(spark):
+    import pytest
+
+    from merchant_classification_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unknown hash scheme"):
+        minhash_dedup_pairs(df, "doc_id", "text", scheme="xxhash")
+    with pytest.raises(ValueError, match="unknown hash scheme"):
+        simhash_dedup_pairs(df, "doc_id", "text", scheme="sha1")

@@ -56,3 +56,16 @@ def test_grouped_linear_fit_vs_duckdb(spark, sf_dir):
     for event_type, slope, intercept in expected:
         assert got[event_type].slope == pytest.approx(slope, rel=1e-6)
         assert got[event_type].intercept == pytest.approx(intercept, rel=1e-6)
+
+
+def test_grouped_linear_fit_rejects_non_integral(spark):
+    """The exact-moment contract: non-integral inputs would silently
+    truncate in the int64 cast — they must raise instead."""
+    df = spark.createDataFrame(
+        [("g", 1.5, 2.0), ("g", 2.0, 3.0)], ["g", "x", "y"]
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        grouped_linear_fit(df, "g", "x", "y").collect()
+    assert "integral" in str(ei.value)

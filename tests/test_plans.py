@@ -175,3 +175,19 @@ def test_equidepth_bins_balanced_and_exact(spark):
     for a, b in zip(got, got[1:]):
         assert b.lo > a.hi
     assert got[0].lo == 0.0 and got[-1].hi == float(102 * 102)
+
+
+def test_equidepth_bins_excludes_nulls(spark):
+    """NULL values are excluded BEFORE ranking: previously the NULL
+    bucket shifted the dense_ids offset prefix-sum (ranks started at
+    n_nulls) while the total counted all rows — silently skewed bins."""
+    from merchant_classification_spark.operators.relational import equidepth_bins
+
+    rows = [(i, float(i), i) for i in range(40)] + [
+        (100 + j, None, 100 + j) for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "tb"])
+    got = equidepth_bins(df, "v", 4, ["tb"]).collect()
+    assert [r.bin for r in got] == [0, 1, 2, 3]
+    assert [r.n_rows for r in got] == [10, 10, 10, 10]
+    assert got[0].lo == 0.0 and got[-1].hi == 39.0
