@@ -2814,6 +2814,39 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_stratified_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling.py
+    stratified_hash_sample): per-class Bernoulli rates targeting 200
+    rows/class — the reference's SA1 policy
+    (reference 01_merchcat_etl.py:138-155) — but admission is the
+    content-hash percentile instead of sampleBy's partition-seeded RNG,
+    and the rate table is an engine-side broadcast join instead of a
+    driver-collected literal dict. Rates are one division + least(), the
+    percentile is exact md5 arithmetic: the oracle replays the whole
+    query (membership AND the percentile column) bit-for-bit. The seeded
+    ``sampleBy`` twin stays in the rows-only ``sampling_suite`` for
+    reference parity.
+    """
+    from merchant_classification_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        stratified_hash_sample(
+            orders,
+            "o_orderpriority",
+            ["o_orderkey"],
+            sample_size=200,
+            min_count=50,
+            salt="strat",
+            percentile_col="p",
+        )
+        .select("o_orderpriority", "o_orderkey", "p")
+        .orderBy("o_orderkey")
+    )
+
+
 def q_sampling_suite(spark, sf_dir):
     # rows-only union of the two seeded sampling queries (same orders
     # schema): per-class invariants live in tests/test_sampling.py
@@ -2952,6 +2985,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality": q_data_quality,
     "hash_sample": q_hash_sample,
     "weighted_sample": q_weighted_sample,
+    "stratified_hash_sample": q_stratified_hash_sample,
     "dense_ids": q_dense_ids,
     "snapshot_diff": q_snapshot_diff,
     "string_funcs": q_string_funcs,
@@ -3783,6 +3817,33 @@ ORACLES["weighted_sample"] = f"""
     )
     SELECT lang, doc_id, n_chars, sample_rank FROM ranked
     WHERE sample_rank <= 40 ORDER BY lang, sample_rank
+"""
+
+# deterministic stratified sample: engine-side rate table (one count
+# aggregate, broadcast back) + hash-percentile admission — rates are one
+# IEEE division + least(), so membership AND the percentile replay exactly
+ORACLES["stratified_hash_sample"] = f"""
+    WITH c AS (
+        SELECT o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY o_orderpriority
+    ),
+    r AS (
+        SELECT o_orderpriority,
+               least(CAST(1.0 AS DOUBLE), CAST(200 AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate
+        FROM c WHERE cnt >= 50
+    ),
+    h AS (
+        SELECT o_orderpriority, o_orderkey,
+               (('0x' || substr(md5(concat_ws(chr(31), 'strat',
+                    coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'))), 1, 15))::BIGINT
+                % {1 << 54}) AS hm
+        FROM orders
+    )
+    SELECT h.o_orderpriority, h.o_orderkey,
+           CAST(hm AS DOUBLE) / {float(1 << 54)!r} AS p
+    FROM h JOIN r USING (o_orderpriority)
+    WHERE CAST(hm AS DOUBLE) / {float(1 << 54)!r} < r.rate
+    ORDER BY o_orderkey
 """
 
 # DuckDB replay of simhash_portable + 4x15-bit banding + Hamming verify
@@ -5226,6 +5287,7 @@ SUITES: dict[str, list[str]] = {
         "data_quality",
         "hash_sample",
         "weighted_sample",
+        "stratified_hash_sample",
     ],
     # singleton suites (graded standalone): the portable-hash LSH tier,
     # promoted from rows-only in round 4 — their md5-scheme pipelines now

@@ -105,6 +105,66 @@ def stratified_sample(
     return df.sampleBy(key, fractions, seed=seed)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    id_cols: list[str],
+    sample_size: int,
+    min_count: int | None = None,
+    oversample_floor: int | None = None,
+    floor_bump: float = 0.05,
+    salt: str = "",
+    percentile_col: str | None = None,
+) -> DataFrame:
+    """Deterministic stratified sample: per-class rates targeting
+    ``sample_size`` rows/class (the same SA1/SA2 rate policies as
+    :func:`stratified_sample`), with admission decided by
+    :func:`hash_percentile` over ``id_cols`` instead of ``sampleBy``'s
+    partition-seeded RNG.
+
+    This is the scale/audit tier of the stratified sampler: membership
+    is a pure row function joined against an engine-side rate table, so
+    the SAME rows survive under any partitioning, task retry, cluster
+    size, or engine — and an external SQL oracle replays the whole
+    query (rates are one division + least(); the percentile is the
+    exact md5 arithmetic) bit-for-bit. Expected per-class yield is
+    ``rate·count`` like Bernoulli sampling; for exactly-k-per-class use
+    the ``fixed`` policy of :func:`stratified_sample`.
+
+    Plan shape (100 TB): one count aggregate over the class key (tiny
+    output — one row per class), broadcast back onto the scan, then a
+    map-side filter. No literal fractions dict on the driver, so the
+    class key's cardinality is unbounded (``sampleBy`` needs the dict
+    collected; reference 01_merchcat_etl.py:138-155 caps out at
+    driver-memory classes).
+
+    ``id_cols`` must identify rows (sampling correlates across rows
+    sharing the same id values by design — content-stable sampling).
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
+    if min_count is not None:
+        counts = counts.where(F.col("_cnt") >= min_count)
+    rate = F.least(F.lit(1.0), F.lit(float(sample_size)) / F.col("_cnt"))
+    if oversample_floor is not None:
+        floor_rate = F.least(
+            F.lit(1.0),
+            F.lit(float(oversample_floor)) / F.col("_cnt") + F.lit(floor_bump),
+        )
+        rate = F.when(
+            F.col("_cnt") * rate < F.lit(float(oversample_floor)), floor_rate
+        ).otherwise(rate)
+    rates = counts.select(F.col(key), rate.alias("_rate"))
+    p = hash_percentile(id_cols, salt)
+    out = (
+        df.join(F.broadcast(rates), key)
+        .where(p < F.col("_rate"))
+        .drop("_rate")
+    )
+    if percentile_col is not None:
+        out = out.withColumn(percentile_col, p)
+    return out
+
+
 def with_class_percentile(
     df: DataFrame, key: str, seed: int = 42, percentile_col: str = "class_percentile"
 ) -> DataFrame:

@@ -272,3 +272,62 @@ def test_hash_percentile_null_keys_distinct(spark):
     got = df2.select(hash_percentile(["doc_id"], salt="s").alias("p")).first().p
     h = int(hashlib.md5("s\x1fdoc-1".encode()).hexdigest()[:15], 16)
     assert got == (h % (1 << 54)) / float(1 << 54)
+
+
+def test_stratified_hash_sample_invariants(tables):
+    """Per-class yield ≈ sample_size, membership is partitioning-stable,
+    min_count drops small classes, cap keeps whole small classes."""
+    from merchant_classification_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    orders = tables["orders"]
+    got = stratified_hash_sample(
+        orders, "o_orderpriority", ["o_orderkey"], sample_size=100, salt="t"
+    )
+    from collections import Counter
+
+    per = Counter(r.o_orderpriority for r in got.collect())
+    counts = Counter(r.o_orderpriority for r in orders.collect())
+    for k, n in per.items():
+        target = min(100, counts[k])
+        assert 0.6 * target <= n <= 1.5 * target, (k, n, target)
+    # partitioning-stable membership
+    a = {r.o_orderkey for r in got.collect()}
+    b = {
+        r.o_orderkey
+        for r in stratified_hash_sample(
+            orders.repartition(13),
+            "o_orderpriority",
+            ["o_orderkey"],
+            sample_size=100,
+            salt="t",
+        ).collect()
+    }
+    assert a == b
+    # sample_size >= class size keeps the whole class (rate capped at 1)
+    all_kept = stratified_hash_sample(
+        orders, "o_orderpriority", ["o_orderkey"], sample_size=10**9
+    )
+    assert all_kept.count() == orders.count()
+    # min_count drops classes below the threshold
+    some = stratified_hash_sample(
+        orders,
+        "o_orderpriority",
+        ["o_orderkey"],
+        sample_size=100,
+        min_count=10**9,
+    )
+    assert some.count() == 0
+    # oversample floor bumps small-class rates
+    floored = stratified_hash_sample(
+        orders,
+        "o_orderpriority",
+        ["o_orderkey"],
+        sample_size=1,
+        oversample_floor=20,
+        salt="t",
+    )
+    perf = Counter(r.o_orderpriority for r in floored.collect())
+    for k in counts:
+        assert perf.get(k, 0) >= 5, (k, perf.get(k, 0))
