@@ -766,12 +766,29 @@ def q_sessionize_batch(spark, sf_dir):
     ).orderBy("user_id", "session_id")
 
 
+IVF_FIT_TARGET = 256
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 8
+IVF_ITERS = 10
+
+
 def q_ann_ivf(spark, sf_dir):
-    # rows-only (KMeans-fitted quantizer); recall@k vs the oracle-green
-    # exact twin rides on every row — see q_ann_lsh
+    """IVF ANN (operators/similarity.py ivf_topk_portable). ORACLE-GRADED
+    since round 5: the quantizer fit is fully deterministic — every
+    stride-th vec_id, driver-side Lloyd's KMeans with evenly-spaced init
+    and first-min tie-breaks — and the fitted centroids are baked into
+    the plan as literal arrays, so cell assignment (argmin of left-assoc
+    squared distances), n_probe cell selection, candidate scoring, and
+    the recall@k annotation against the exact twin are all pure
+    expressions the DuckDB oracle replays bit-for-bit (the oracle runs
+    the SAME fit on the SAME sample and inlines identical centroid
+    literals). The MLlib-KMeans ivf_topk stays as the library tier
+    (tests/test_similarity.py); n_probe sized for recall ≥ 0.8 on the
+    weakly clustered synthetic vectors.
+    """
     from merchant_classification_spark.operators.similarity import (
         brute_force_topk,
-        ivf_topk,
+        ivf_topk_portable,
         with_recall_at_k,
     )
 
@@ -779,9 +796,15 @@ def q_ann_ivf(spark, sf_dir):
     qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # n_probe sized for recall ≥ 0.8 here (weak cluster structure in the
-    # synthetic vectors needs dense probing; measured avg 0.9 at sf0.01)
-    approx = ivf_topk(emb, qs, k=ANN_K, n_centroids=16, n_probe=8)
+    approx = ivf_topk_portable(
+        emb,
+        qs,
+        k=ANN_K,
+        n_centroids=IVF_N_CENTROIDS,
+        n_probe=IVF_N_PROBE,
+        fit_target=IVF_FIT_TARGET,
+        max_iter=IVF_ITERS,
+    )
     exact = brute_force_topk(emb, qs, k=ANN_K)
     return with_recall_at_k(approx, exact).orderBy("query_id", "rank")
 
@@ -4011,6 +4034,140 @@ ORACLES["embedding_neardup_lsh"] = _embedding_neardup_lsh_oracle_sql()
 ORACLES["ann_lsh"] = _ann_lsh_oracle_sql()
 
 
+def _dlit(v: float) -> str:
+    """DuckDB DOUBLE literal: repr() plus an e0 suffix when repr has no
+    exponent — a bare decimal literal parses as DECIMAL, whose
+    decimal→double conversion loses the last ulp on ~11%% of values
+    (measured); exponent-form literals parse directly as DOUBLE and
+    round-trip bit-exact. (-0.0 normalizes to 0.0 — harmless under the
+    squaring every use site applies.)"""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
+def _ann_ivf_oracle_sql() -> str | None:
+    """Full replay of ivf_topk_portable + recall@k: run the SAME
+    deterministic fit (every stride-th vec_id -> driver Lloyd's KMeans,
+    operators/similarity.py _deterministic_kmeans) on the SAME sample
+    read straight from the parquet, then inline the identical centroid
+    literals — cell assignment (first-min argmin of left-assoc squared
+    distances), n_probe cell selection, candidate scoring, top-k, and
+    the recall annotation are then pure expressions both engines
+    evaluate bit-for-bit.
+
+    The fit reads the sf dir the driver grades at (sf0.01 by default;
+    SPARK_GRAFT_ORACLE_SF_DIR overrides for local checks at other
+    scales). Returns None when the data is unreachable so importing
+    this module never breaks — the query then degrades to rows-only.
+    """
+    import os
+
+    import duckdb as _dd
+
+    from merchant_classification_spark.operators.similarity import (
+        _deterministic_kmeans,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        con = _dd.connect()
+        n = con.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        stride = max(1, n // IVF_FIT_TARGET)
+        rows = con.sql(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{path}') "
+            f"WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {IVF_FIT_TARGET}"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    cents = _deterministic_kmeans(
+        [list(r[0]) for r in rows], IVF_N_CENTROIDS, IVF_ITERS
+    )
+
+    def d2(c: list[float]) -> str:
+        return "0.0 + " + " + ".join(
+            f"(v[{i + 1}]-({_dlit(c[i])}))*(v[{i + 1}]-({_dlit(c[i])}))"
+            for i in range(EMB_DIM)
+        )
+
+    dl = "[" + ", ".join(d2(c) for c in cents) + "]"
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dd AS (SELECT vec_id, v, {dl} AS dl FROM e),
+        assigned AS (
+            SELECT vec_id, v,
+                   CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+            FROM dd),
+        qd AS (
+            SELECT vec_id AS query_id, v AS qv,
+                   unnest(range(1, {len(cents)} + 1)) AS cell,
+                   unnest(dl) AS d2
+            FROM dd WHERE vec_id < {N_ANN_QUERIES}),
+        probes AS (
+            SELECT query_id, qv, CAST(cell AS INTEGER) AS cell FROM (
+                SELECT query_id, qv, cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2, cell) AS pr
+                FROM qd
+            ) WHERE pr <= {IVF_N_PROBE}),
+        scored AS (
+            SELECT p.query_id, a.vec_id,
+                   CASE WHEN sqrt({_sql_dot('a.v', 'a.v')}) * sqrt({_sql_dot('p.qv', 'p.qv')}) = 0.0
+                        THEN 0.0
+                        ELSE ({_sql_dot('a.v', 'p.qv')})
+                             / (sqrt({_sql_dot('a.v', 'a.v')}) * sqrt({_sql_dot('p.qv', 'p.qv')}))
+                   END AS cosine_sim
+            FROM assigned a JOIN probes p USING (cell)
+            WHERE a.vec_id <> p.query_id),
+        approx AS (
+            SELECT query_id, vec_id, cosine_sim, rank FROM (
+                SELECT query_id, vec_id, cosine_sim,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+                FROM scored
+            ) WHERE rank <= {ANN_K}),
+        nrm AS (SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nv FROM e),
+        qn AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM nrm WHERE vec_id < {N_ANN_QUERIES}),
+        ex_scored AS (
+            SELECT q.query_id, n.vec_id,
+                   CASE WHEN n.nv * q.nq = 0.0 THEN 0.0
+                        ELSE ({_sql_dot('n.v', 'q.qv')}) / (n.nv * q.nq) END AS cosine_sim
+            FROM nrm n, qn q WHERE n.vec_id <> q.query_id),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_sim DESC, vec_id) AS rank
+                FROM ex_scored
+            ) WHERE rank <= {ANN_K}),
+        hits AS (
+            SELECT a.query_id, count(*) AS h
+            FROM approx a JOIN exact x
+              ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+            GROUP BY a.query_id),
+        totals AS (SELECT query_id, count(*) AS k_total FROM exact GROUP BY query_id),
+        rec AS (
+            SELECT t.query_id,
+                   CAST(coalesce(h.h, 0) AS DOUBLE) / t.k_total AS recall_at_k
+            FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id)
+        SELECT a.query_id, a.vec_id, a.cosine_sim, a.rank, r.recall_at_k
+        FROM approx a JOIN rec r ON a.query_id = r.query_id
+        ORDER BY a.query_id, a.rank
+    """
+
+
+_ann_ivf_sql = _ann_ivf_oracle_sql()
+if _ann_ivf_sql is not None:
+    ORACLES["ann_ivf"] = _ann_ivf_sql
+
+
 def _pii_oracle_sql() -> str:
     """Progressive scrub chain mirroring functions/pii.py exactly: same
     patterns (dialect-portable, so the literal strings are reused), same
@@ -5301,10 +5458,17 @@ SUITES: dict[str, list[str]] = {
     "grouped_linear_fit": ["grouped_linear_fit"],
 }
 
+# the portable-quantizer IVF, promoted from rows-only in round 5 — its
+# deterministic fit lets the oracle inline identical centroid literals.
+# Guarded: if the oracle build could not read the grading data at import
+# time, the query degrades to rows-only instead of breaking the gate.
+if "ann_ivf" in ORACLES:
+    SUITES["ann_ivf"] = ["ann_ivf"]
+
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
 # suite — KMeans/seeded-rand/sketch/ML ops
 ROWS_ONLY: list[str] = [
-    "ann_ivf",
+    *([] if "ann_ivf" in ORACLES else ["ann_ivf"]),
     "sampling_suite",
     "approx_sketches",
     "hll_rollup",

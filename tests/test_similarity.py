@@ -146,3 +146,56 @@ def test_with_recall_at_k_annotation(emb, queries):
         assert r.recall_at_k == pytest.approx(hand)
     per_q = {r.query_id: r.recall_at_k for r in got}
     assert sum(per_q.values()) / len(per_q) >= 0.8
+
+
+def test_ivf_portable_deterministic_and_recall(emb, queries):
+    """The portable-quantizer IVF: partition-independent results (the
+    whole point of the deterministic fit), sane recall, and the fit
+    sample/KMeans replay agrees with a pure-Python recomputation."""
+    from merchant_classification_spark.operators.similarity import (
+        _deterministic_kmeans,
+        deterministic_fit_sample,
+        ivf_topk_portable,
+    )
+
+    a = ivf_topk_portable(
+        emb, queries, k=K, n_centroids=8, n_probe=4, fit_target=64
+    ).collect()
+    b = ivf_topk_portable(
+        emb.repartition(7), queries, k=K, n_centroids=8, n_probe=4, fit_target=64
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # recall vs exact
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=K).collect()
+    }
+    hits = sum((r.query_id, r.vec_id) in exact for r in a)
+    assert hits / len(exact) > 0.5
+    # fit sample replay: every stride-th id, id order, float64-exact
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()
+    )
+    n = len(rows)
+    stride = max(1, n // 64)
+    want = [v for i, v in rows if i % stride == 0][:64]
+    got = deterministic_fit_sample(emb, 64)
+    assert got == want
+    # same sample -> bit-identical centroids on a second call
+    assert _deterministic_kmeans(want, 8) == _deterministic_kmeans(got, 8)
+
+
+def test_deterministic_kmeans_properties():
+    from merchant_classification_spark.operators.similarity import (
+        _deterministic_kmeans,
+    )
+
+    vecs = [[float(i % 5), float(i % 3)] for i in range(30)]
+    c = _deterministic_kmeans(vecs, 4, iters=5)
+    assert len(c) == 4 and all(len(x) == 2 for x in c)
+    # k > n clamps
+    assert len(_deterministic_kmeans(vecs[:3], 8)) == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _deterministic_kmeans([], 4)

@@ -18,6 +18,14 @@ import duckdb
 
 sys.path.insert(0, ".")
 
+# the ann_ivf oracle bakes quantizer centroids fitted on the grading
+# data at import time — point it at the sf dir being checked BEFORE the
+# entry module builds its ORACLES (driver default is sf0.01)
+import os  # noqa: E402
+
+if len(sys.argv) > 1:
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sys.argv[1])
+
 import __spark_entry__ as entry_mod  # noqa: E402
 from merchant_classification_spark.sources import TABLE_NAMES  # noqa: E402
 
