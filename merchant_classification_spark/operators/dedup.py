@@ -1190,3 +1190,82 @@ def assign_representatives(
         prev_persisted.unpersist(blocking=False)
     edges.unpersist(blocking=False)
     return out
+
+
+def assign_representatives_doubling(
+    ids: DataFrame, pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Pointer-doubling variant of :func:`assign_representatives`:
+    each round hooks (min-label over neighbors∪self, the same single
+    join+aggregate) and then SHORTCUTS (rep ← rep(rep), one self-join
+    on the label table) — the distance from every node to its
+    component minimum roughly halves per round, so deep chains
+    converge in O(log diameter) rounds instead of O(diameter)
+    (Shiloach–Vishkin hooking/shortcutting; the MapReduce treatment is
+    Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Same fixed point as the propagation variant (labels are monotone
+    non-increasing, bounded by the component min, and a full-round
+    no-change is exactly the fixed-point condition), verified
+    label-for-label in tests/test_dedup.py. Prefer this when duplicate
+    clusters can chain deeply (crawl mirrors, near-dup transitive
+    chains); the plain variant does fewer joins per round and wins on
+    the shallow star-shaped clusters typical of exact dedup.
+
+    Scale shape per round: one edge⋈label join (shuffle on id), one
+    label⋈label self-join (labels are one row per id — the smaller
+    table), both persisted-and-released per round like the base
+    variant.
+    """
+    sym = pairs.select("id_a", "id_b").union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    self_loops = ids.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    edges = sym.union(self_loops).distinct().persist()
+    labels = ids.select("doc_id", F.col("doc_id").alias("rep"))
+    prev_persisted = None
+    for _ in range(max_iterations):
+        hooked = (
+            edges.join(labels, edges.id_b == labels.doc_id)
+            .groupBy("id_a")
+            .agg(
+                F.min("rep").alias("rep"),
+                F.min(F.when(F.col("id_b") == F.col("id_a"), F.col("rep"))).alias(
+                    "old_rep"
+                ),
+            )
+            .withColumnRenamed("id_a", "doc_id")
+            # both sides of the shortcut self-join read this frame — the
+            # module's materialize/release contract (lazy, the edge join
+            # + aggregate would run twice per round)
+            .persist()
+        )
+        # shortcut: rep ← rep(rep). Every rep value is a node id (labels
+        # start at identity and only ever move to another node's label),
+        # and self-loops keep every node in the table, so the inner
+        # self-join is total.
+        l2 = hooked.select(
+            F.col("doc_id").alias("_rid"), F.col("rep").alias("_rrep")
+        )
+        new_labels = (
+            hooked.join(l2, hooked.rep == l2._rid)
+            .select("doc_id", F.col("_rrep").alias("rep"), "old_rep")
+            .persist()
+        )
+        changed = (
+            new_labels.where(F.col("rep") != F.col("old_rep")).limit(1).count()
+        )
+        hooked.unpersist(blocking=False)
+        if prev_persisted is not None:
+            prev_persisted.unpersist(blocking=False)
+        prev_persisted = new_labels
+        labels = new_labels.select("doc_id", "rep")
+        if changed == 0:
+            break
+    out = labels.localCheckpoint(eager=True)
+    if prev_persisted is not None:
+        prev_persisted.unpersist(blocking=False)
+    edges.unpersist(blocking=False)
+    return out

@@ -467,3 +467,54 @@ def test_unknown_hash_scheme_raises_pipelines(spark):
         minhash_dedup_pairs(df, "doc_id", "text", scheme="xxhash")
     with pytest.raises(ValueError, match="unknown hash scheme"):
         simhash_dedup_pairs(df, "doc_id", "text", scheme="sha1")
+
+
+def test_assign_representatives_doubling_matches_propagation(spark):
+    """A/B: pointer-doubling produces label-for-label the same fixed
+    point as plain propagation, and converges in O(log d) rounds where
+    propagation needs O(d) — a 60-node chain resolves under a 7-round
+    budget with doubling (coverage ≥ 2^7 > 60) but NOT with propagation
+    (7 rounds reach ≤ 7 hops)."""
+    import random
+
+    from merchant_classification_spark.operators.dedup import (
+        assign_representatives_doubling,
+    )
+
+    # random sparse graph: identical labels between the two variants
+    rng = random.Random(5)
+    n = 60
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = {
+        r.doc_id: r.rep
+        for r in assign_representatives(ids, pairs, max_iterations=50).collect()
+    }
+    b = {
+        r.doc_id: r.rep
+        for r in assign_representatives_doubling(ids, pairs).collect()
+    }
+    assert a == b and len(a) == n
+
+    # deep chain: doubling converges within 7 rounds, propagation can't
+    m = 60
+    cids = spark.createDataFrame([(i,) for i in range(m)], ["doc_id"])
+    cpairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(m - 1)], ["id_a", "id_b"]
+    )
+    deep = {
+        r.doc_id: r.rep
+        for r in assign_representatives_doubling(
+            cids, cpairs, max_iterations=7
+        ).collect()
+    }
+    assert set(deep.values()) == {0}
+    shallow = {
+        r.doc_id: r.rep
+        for r in assign_representatives(
+            cids, cpairs, max_iterations=7
+        ).collect()
+    }
+    assert set(shallow.values()) != {0}  # O(d) variant not converged yet
