@@ -117,19 +117,29 @@ def heavy_hitters_exact(
 ) -> DataFrame:
     """Items occurring in > support fraction of rows, with exact counts.
 
-    One hash aggregate + a scalar total — the honest exact tier the
-    approximate paths are graded against (same stance as ann_bruteforce
-    vs ann_lsh). Output: (item, cnt, share) ordered by cnt desc.
+    One hash aggregate — the honest exact tier the approximate paths
+    are graded against (same stance as ann_bruteforce vs ann_lsh).
+    The grand total folds out of the same aggregate (sum of the
+    persisted per-item counts == row count, NULL items included), so
+    the raw table is scanned ONCE — the previous ``df.count()`` rider
+    was a second full scan. Output: (item, cnt, share) ordered by
+    cnt desc; at most 1/support rows survive the filter, so the eager
+    checkpoint is bounded.
     """
-    counts = df.groupBy(F.col(value_col).alias("item")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    counts = (
+        df.groupBy(F.col(value_col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    total = df.count()
-    return (
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    out = (
         counts.where(F.col("cnt") > support * total)
         .withColumn("share", F.col("cnt") / F.lit(total))
         .orderBy(F.col("cnt").desc(), "item")
+        .localCheckpoint(eager=True)
     )
+    counts.unpersist(blocking=False)
+    return out
 
 
 def heavy_hitters_approx(
