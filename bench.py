@@ -8,6 +8,16 @@ tail-capture always gets it) the headline:
   {"metric": "headline_queries_total", "value": <total sec>, "unit": "sec",
    "sf": <sf>, "n_queries": N}
 
+Full results (per-query, per-member, streaming rps) are also written to
+$SPARK_GRAFT_BENCH_OUT (default bench_results.json) as a committed
+artifact — the driver's tail capture truncates, the file doesn't. The
+streaming probe carries a regression floor ($SPARK_GRAFT_STREAM_FLOOR,
+default 20000 rows/s warmed): below it the bench exits nonzero. Warmed
+steady-state measures ~45-50k rows/s; session-to-session noise is ~2x,
+while the regressions the floor exists to catch (per-row Python in the
+stream path, a lost state-store shortcut) are ~10x — so the default sits
+above any plausible regression but below the noise band.
+
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 parallelism from $SPARK_GRAFT_CPUS (default all cores). Each query is
 forced with the `noop` sink so the full plan executes without driver
@@ -178,15 +188,23 @@ def main() -> None:
     # micro-batch of a deterministic rate source. Its own JSON line so
     # the batch headline stays comparable across rounds.
     stream_rps = None
+    stream_floor = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR", "20000"))
+    stream_floor_violated = False
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         try:
             stream_rps = _streaming_throughput(spark)
+            # regression floor (warmed steady-state has measured ~45-50k
+            # rows/s): below the floor the bench FAILS loudly (nonzero
+            # exit after printing) instead of letting throughput drift
+            stream_floor_violated = stream_rps < stream_floor
             print(
                 json.dumps(
                     {
                         "metric": "streaming_throughput_rps",
                         "value": stream_rps,
                         "unit": "rows/sec",
+                        "floor": stream_floor,
+                        "floor_violated": stream_floor_violated,
                     }
                 )
             )
@@ -197,6 +215,32 @@ def main() -> None:
     # headline is the FINAL line by itself (with many queries the combined
     # line outgrew the driver's tail capture and the headline was lost)
     print(json.dumps({"queries": timings, "members": members, "sf": sf}))
+    # full results as a committed artifact: the driver's tail capture
+    # truncates at ~2000 chars, which loses the per-member map — the
+    # artifact file keeps every number diffable across rounds
+    # ($SPARK_GRAFT_BENCH_OUT overrides; empty disables)
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    if out_path:
+        try:
+            with open(out_path, "w") as f:
+                json.dump(
+                    {
+                        "sf": sf,
+                        "total_sec": round(total, 3),
+                        "n_queries": len(timings),
+                        "queries": timings,
+                        "members": members,
+                        "streaming_throughput_rps": stream_rps,
+                        "streaming_floor": stream_floor,
+                        "streaming_floor_violated": stream_floor_violated,
+                    },
+                    f,
+                    indent=1,
+                    sort_keys=True,
+                )
+                f.write("\n")
+        except OSError as e:
+            print(json.dumps({"bench_artifact_error": str(e)[:200]}))
     print(
         json.dumps(
             {
@@ -208,6 +252,8 @@ def main() -> None:
             }
         )
     )
+    if stream_floor_violated:
+        sys.exit(2)
 
 
 if __name__ == "__main__":
