@@ -56,6 +56,15 @@ class NarrativeClassifier:
     max_iter: int = 50
     reg_param: float = 0.0
     elastic_net: float = 0.0
+    #: fasttext subword range (minn/maxn, 02_merchcat_ml.py tuning
+    #: space): per-token character n-grams over '<'+token+'>' (the
+    #: boundary markers distinguish prefixes/suffixes, as in fasttext).
+    #: 0/0 disables. Subwords are what make truncated or partially
+    #: OCR'd merchant mentions ("star nort coff" vs "star north
+    #: coffee") share features — word n-grams alone treat them as
+    #: disjoint vocabularies.
+    char_ngram_min: int = 0
+    char_ngram_max: int = 0
 
     def _stages(self):
         tokenizer = RegexTokenizer(
@@ -70,6 +79,29 @@ class NarrativeClassifier:
             out = f"_grams_{n}"
             grams.append(NGram(n=n, inputCol="_tokens", outputCol=out))
             gram_cols.append(out)
+        if self.char_ngram_max:
+            if not (1 <= self.char_ngram_min <= self.char_ngram_max):
+                raise ValueError(
+                    "char_ngram range must satisfy 1 <= min <= max"
+                )
+            # one SQLTransformer per subword width — plain codegen HOFs
+            # over the token array, so the fitted PipelineModel stays a
+            # stock MLlib pipeline (serializable, JVM-side scoring). A
+            # token shorter than the padded width contributes its whole
+            # '<token>' once (fasttext keeps short subwords the same way).
+            for n in range(self.char_ngram_min, self.char_ngram_max + 1):
+                out = f"_cgrams_{n}"
+                grams.append(
+                    SQLTransformer(
+                        statement=(
+                            "SELECT *, flatten(transform(_tokens, t -> "
+                            "transform(sequence(1, greatest(length(t) + "
+                            f"{3 - n}, 1)), i -> substring(concat('<', t, "
+                            f"'>'), i, {n})))) AS {out} FROM __THIS__"
+                        )
+                    )
+                )
+                gram_cols.append(out)
         concat = SQLTransformer(
             statement=(
                 "SELECT *, concat(" + ", ".join(gram_cols) + ") AS _all_grams "
@@ -153,6 +185,7 @@ class NarrativeClassifierModel:
             for c in out.columns
             if c in _INTERNAL_COLS
             or c.startswith("_grams_")
+            or c.startswith("_cgrams_")
             or c in ("rawPrediction", "probability")
         ]
         return out.drop(*drop)

@@ -98,3 +98,48 @@ def test_etl_to_model_roundtrip(spark):
         model.transform(test), "tr_merchant", "pr_merchant"
     )
     assert summary["avg_acc"] > 0.9
+
+
+def test_subword_char_ngrams(labeled, spark):
+    """fasttext-style subword features: the subword expression emits
+    boundary-marked character n-grams ('<tok', 'ok>', whole '<tok>' for
+    short tokens), the trained model stays a stock serializable MLlib
+    pipeline, and truncated mentions that share no word n-gram with the
+    training vocabulary still classify via shared subwords."""
+    clf = NarrativeClassifier(
+        ngram_max=2,
+        num_features=1 << 14,
+        max_iter=30,
+        char_ngram_min=3,
+        char_ngram_max=4,
+    )
+    model = clf.fit(labeled)
+    scored = model.transform(labeled)
+    # internal subword columns must not leak
+    assert all(not c.startswith("_") for c in scored.columns)
+    acc = (
+        scored.where(F.col("pr_merchant") == F.col("tr_merchant")).count()
+        / scored.count()
+    )
+    assert acc > 0.95, f"train accuracy too low with subwords: {acc}"
+
+    # truncated-mention generalization: "starbuck coff" has no word
+    # bigram in common with "starbucks coffee {n} london" rows, but
+    # shares most subwords
+    probe = spark.createDataFrame(
+        [("starbucks", "starbuck coff 4411")],
+        ["tr_merchant", "tr_description_clean"],
+    )
+    assert model.transform(probe).first().pr_merchant == "starbucks"
+
+    # the subword expression itself: '<ab>' at n=3 -> ['<ab','ab>'];
+    # a token shorter than the window contributes its whole '<a>' once
+    row = spark.sql(
+        "SELECT flatten(transform(array('ab','a'), t -> "
+        "transform(sequence(1, greatest(length(t) + 0, 1)), i -> "
+        "substring(concat('<', t, '>'), i, 3)))) AS g"
+    ).first()
+    assert row.g == ["<ab", "ab>", "<a>"]
+
+    with pytest.raises(ValueError, match="char_ngram"):
+        NarrativeClassifier(char_ngram_min=0, char_ngram_max=3).fit(labeled)

@@ -124,12 +124,26 @@ def synth_corpus(n_classes: int, max_rows: int, seed: int = 17):
     return rows
 
 
-def _fit_eval(train, test):
-    # hash dim sized to the class count: the multinomial gradient is a
-    # dense n_classes x num_features matrix PER aggregation task — 2^16
-    # keeps it ~50 MB at 100 classes (2^21 fasttext-parity dims need a
-    # cluster-sized heap, not a laptop's)
-    clf = NarrativeClassifier(ngram_max=2, num_features=1 << 16, max_iter=40)
+#: tuned config (tools/quality_sweep.py, round 5): fasttext-style
+#: subword features (char 3-5-grams with boundary markers) are what
+#: close the gap on the truncated/partial-mention noise — word n-grams
+#: treat "star nort coff" and "star north coffee" as disjoint
+#: vocabularies, subwords make them share most of their features.
+#: Hash dim stays bounded: the multinomial gradient is a dense
+#: n_classes x num_features matrix PER aggregation task — 2^17 is
+#: ~105 MB at 100 classes (2^21 fasttext-parity dims need a
+#: cluster-sized heap, not a laptop's).
+BEST_CONFIG: dict = dict(
+    ngram_max=2,
+    num_features=1 << 17,
+    max_iter=40,
+    char_ngram_min=3,
+    char_ngram_max=5,
+)
+
+
+def _fit_eval(train, test, **overrides):
+    clf = NarrativeClassifier(**{**BEST_CONFIG, **overrides})
     model = clf.fit(train)
     _, summary = evaluate_per_class(
         model.transform(test), "tr_merchant", "pr_merchant"

