@@ -674,3 +674,114 @@ def brute_force_topk_int8(
         k,
         keep_rank=True,
     )
+
+
+def semantic_dedup_portable(
+    data: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    fit_target: int = 256,
+    max_iter: int = 10,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    n_rows_hint: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): cluster the embeddings with a
+    coarse quantizer, then WITHIN each cluster drop every vector that
+    has a τ-close neighbor ranking above it, where rank = distance to
+    the cluster centroid DESC (the paper keeps the LOW
+    centroid-similarity example of each duplicate group — the edge
+    case, not the prototype), ties to the lower id. The cluster-first
+    structure is the whole point at scale: candidate pairs are bounded
+    per cell instead of quadratic in the corpus.
+
+    Declared semantics (exists-based, order-free): a vector is dropped
+    iff SOME vector in its cell outranks it at cosine ≥ τ — including
+    neighbors that are themselves dropped. On similarity chains this
+    removes more than a sequential greedy pass would; it is the same
+    ε-ball policy as the paper's per-cluster dedup and, unlike greedy,
+    needs no serial order — every kept pair in a cell is provably
+    below τ (of any τ-close pair, one outranks the other and drops).
+
+    Fully deterministic and engine-replayable, same machinery as
+    :func:`ivf_topk_portable`: stride fit sample → driver Lloyd's
+    KMeans → literal centroids, so assignment, centroid distance, the
+    rank predicate, and the cosine filter are pure expressions a SQL
+    oracle reproduces bit-for-bit.
+
+    100 TB shape: assignment is map-only; the self-join shuffles on
+    cell ids (cell count is the skew/size dial — size n_centroids so
+    cells stay executor-bounded; AQE skew-join splits stragglers); the
+    dup set is a distinct on ids; the flag join is id-on-id. The
+    projection is persisted across its three readers and released on
+    return (the module's materialize/release contract).
+
+    Returns (vec_id, cell, centroid_d2, keep) — one row per input
+    vector; keep=false marks semantic duplicates.
+    """
+    fit = deterministic_fit_sample(
+        data, fit_target, data_id, data_vec, n_rows=n_rows_hint
+    )
+    centroids = _deterministic_kmeans(fit, n_centroids, max_iter)
+
+    from merchant_classification_spark.functions.vectors import dot, norm
+
+    # norms computed ONCE per row below the join (bit-identical to the
+    # per-pair recomputation cosine_similarity would do — same
+    # arithmetic on the same input — and 3x fewer folds per pair)
+    d = (
+        data.select(
+            F.col(data_id).alias("vec_id"),
+            to_double_array(data_vec).alias("dv"),
+        )
+        .withColumn("dl", centroid_sq_dists(F.col("dv"), centroids))
+        .select(
+            "vec_id",
+            "dv",
+            norm("dv").alias("nv"),
+            _argmin_cell(F.col("dl")).alias("cell"),
+            F.array_min("dl").alias("centroid_d2"),
+        )
+        .persist()
+    )
+    l = d.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("dv").alias("va"),
+        F.col("nv").alias("na"),
+        "cell",
+        F.col("centroid_d2").alias("d2_a"),
+    )
+    r = d.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("dv").alias("vb"),
+        F.col("nv").alias("nb"),
+        "cell",
+        F.col("centroid_d2").alias("d2_b"),
+    )
+    outranked = (F.col("d2_a") > F.col("d2_b")) | (
+        (F.col("d2_a") == F.col("d2_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    denom = F.col("na") * F.col("nb")
+    pair_cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col("va"), F.col("vb")) / denom
+    )
+    dups = (
+        l.join(r, "cell")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(outranked)
+        .where(pair_cos >= F.lit(threshold))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    out = (
+        d.join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "cell", "centroid_d2", F.col("_dup").isNull().alias("keep")
+        )
+        .localCheckpoint(eager=True)
+    )
+    d.unpersist(blocking=False)
+    return out

@@ -111,3 +111,19 @@ def test_remove_boilerplate_releases_all_persists(spark, docs):
     assert len(gained) <= 1, (
         f"remove_boilerplate leaked internal persists: {gained}"
     )
+
+
+def test_semantic_dedup_releases_all_persists(spark, tables):
+    from merchant_classification_spark.operators.similarity import (
+        semantic_dedup_portable,
+    )
+
+    before = persistent_rdd_ids(spark)
+    out = semantic_dedup_portable(
+        tables["embeddings"], threshold=0.4, n_centroids=8
+    )
+    assert out.count() >= 0
+    gained = persistent_rdd_ids(spark) - before
+    assert len(gained) <= 1, (
+        f"semantic_dedup_portable leaked internal persists: {gained}"
+    )

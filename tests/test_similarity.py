@@ -199,3 +199,89 @@ def test_deterministic_kmeans_properties():
 
     with _pt.raises(ValueError):
         _deterministic_kmeans([], 4)
+
+
+def test_semantic_dedup_matches_naive_replay(spark, emb):
+    """semantic_dedup_portable vs a from-scratch numpy replay of the
+    declared semantics (same fit sample, same Lloyd's fit, exists-based
+    outranked-by-τ-close-neighbor drop): keep flags, cells, and
+    centroid distances must match row-for-row."""
+    from merchant_classification_spark.operators.similarity import (
+        _deterministic_kmeans,
+        semantic_dedup_portable,
+    )
+
+    tau, k_cells, fit_target, iters = 0.4, 8, 256, 10
+    out = {
+        r.vec_id: (r.cell, r.centroid_d2, r.keep)
+        for r in semantic_dedup_portable(
+            emb,
+            threshold=tau,
+            n_centroids=k_cells,
+            fit_target=fit_target,
+            max_iter=iters,
+        ).collect()
+    }
+
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    stride = max(1, len(X) // fit_target)
+    fit = [list(X[i]) for i in range(len(X)) if ids[i] % stride == 0][
+        :fit_target
+    ]
+    C = np.array(_deterministic_kmeans(fit, k_cells, iters))
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)
+    cd2 = d2.min(axis=1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    n_dropped = 0
+    for i in range(len(X)):
+        dup = any(
+            (cd2[j] > cd2[i] or (cd2[j] == cd2[i] and ids[j] < ids[i]))
+            and S[i, j] >= tau
+            for j in range(len(X))
+            if j != i and cell[j] == cell[i]
+        )
+        n_dropped += dup
+        got_cell, got_d2, got_keep = out[int(ids[i])]
+        assert got_cell == cell[i] + 1  # Spark cells are 1-based
+        assert got_keep == (not dup)
+        assert abs(got_d2 - cd2[i]) < 1e-9
+    # the probe threshold must exercise a real mix on this corpus
+    assert 0 < n_dropped < len(X)
+
+    # kept-set property: of any τ-close same-cell pair, one outranks the
+    # other and drops — so no two KEPT vectors are τ-close in a cell
+    kept = [i for i in range(len(X)) if out[int(ids[i])][2]]
+    for a in kept:
+        for b in kept:
+            if a < b and cell[a] == cell[b]:
+                assert S[a, b] < tau
+
+
+def test_semantic_dedup_exact_duplicates_keep_one(spark):
+    """A group of identical vectors collapses to ONE kept row (the
+    lowest id — equal centroid distances tie-break by id), regardless
+    of partitioning."""
+    from merchant_classification_spark.operators.similarity import (
+        semantic_dedup_portable,
+    )
+
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = []
+    for g, v in enumerate(base):
+        for c in range(3):  # 3 identical copies per group
+            rows.append((g * 10 + c, v))
+    df = spark.createDataFrame(
+        rows, ["vec_id", "embedding"]
+    ).repartition(7)
+    out = semantic_dedup_portable(
+        df, threshold=0.99, n_centroids=3, fit_target=9
+    )
+    kept = sorted(r.vec_id for r in out.where("keep").collect())
+    assert kept == [0, 10, 20]
+    assert out.count() == 9
