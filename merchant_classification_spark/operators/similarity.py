@@ -265,14 +265,16 @@ def ivf_topk(
     recall/cost is a dial (n_probe/n_centroids). Compared to SRP-LSH this
     adapts to the data's actual cluster structure.
 
-    Sampling never triggers its own full pass over ``data``: when the
-    caller knows the table size it passes ``n_rows_hint`` (catalog/file
-    statistics — free) and the fit set is a seeded uniform sample;
-    without a hint the fit set is ``limit(fit_sample_rows)``, which reads
-    only ~that many rows. The limit fallback is file-order biased — fine
-    for a coarse quantizer probed with n_probe > 1, but pass the hint for
-    clustered-layout data. The bounded fit set is persisted for KMeans's
-    iterations and released before returning.
+    Fit sampling: when the caller knows the table size it passes
+    ``n_rows_hint`` (catalog/file statistics — free) and the fit set is
+    a seeded uniform sample that reads only ~target rows. Without a
+    hint the fit set is the ``target`` rows with the smallest
+    ``xxhash64(id)`` — a content-stable uniform subset (hash-min
+    sampling) that costs one full scan but NO shuffle (Spark plans
+    orderBy+limit as TakeOrderedAndProject: per-partition partial
+    top-k, merged once), fixing the file-order bias a bare
+    ``limit(target)`` has on clustered layouts. The bounded fit set is
+    persisted for KMeans's iterations and released before returning.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -284,7 +286,7 @@ def ivf_topk(
     if n_rows_hint is not None and n_rows_hint > target:
         fit_df = d.sample(fraction=min(1.0, 1.05 * target / n_rows_hint), seed=seed)
     else:
-        fit_df = d.limit(target)
+        fit_df = d.orderBy(F.xxhash64(F.col("vec_id"))).limit(target)
     fit_df = fit_df.persist()
     try:
         # a COARSE quantizer needs rough cells, not convergence:
