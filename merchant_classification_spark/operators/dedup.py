@@ -856,8 +856,24 @@ def edit_distance_pairs(
          among their first ``q·k + 1`` rarest tokens (prefix filter,
          lossless); rarity ordering keeps high-frequency grams (shared
          constant prefixes like 'Customer#0000…') out of the join keys;
-      3. length filter |len_a − len_b| ≤ k (lossless);
-      4. exact ``levenshtein`` verify on the surviving candidates only.
+      3. positional filter |pos_a − pos_b| ≤ k on the shared gram
+         (lossless — k edits shift any surviving gram by at most k
+         positions; Ed-Join's location-based filter). This removes
+         candidates whose shared gram sits at incompatible offsets —
+         decisive when near-identical key populations differ by
+         layout shift (measured: it is what separates position-shifted
+         replicas in SCALING.md's sf1 decade);
+      4. length filter |len_a − len_b| ≤ k (lossless);
+      5. exact ``levenshtein`` verify on the surviving candidates only.
+
+    Documented worst case (SCALING.md "Adversarial bound"): fixed-layout
+    keys over a shared low-entropy alphabet — zero-padded serial numbers
+    — make every gram frequent AND position-aligned, so rarity,
+    position, and length all stay lossless but only trim constants and
+    candidates grow ~n² (measured 349 s for 150k aligned 18-char
+    serials). Mitigations at scale: normalize away layout-constant
+    regions before gramming, raise q over the dense field, or route
+    fixed-width key columns to the short-string block tier below.
 
     Strings shorter than ``q·k + q`` have fewer than q·k+1 grams, so the
     prefix argument doesn't hold — they take an all-pairs block against
@@ -899,20 +915,49 @@ def edit_distance_pairs(
             toks.join(freq, "gram")
             .withColumn("rn", F.row_number().over(w_doc))
             .where(F.col("rn") <= q * k + 1)
-            .select("doc_id", "len", "gram")
+            .select("doc_id", "len", "gram", "pos")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # The positional filter must live in the EQUI-JOIN KEY, not just
+        # the residual condition: a sort-merge join still enumerates the
+        # full per-gram bucket cross-product before a residual
+        # |pos_a − pos_b| ≤ k can reject anything, so gram-only keys stay
+        # candidate-quadratic whenever a frequent gram recurs at many
+        # positions (measured: 349 s → 92 s with the residual filter →
+        # ~linear with banding, SCALING.md sf1 decade). Banding: key =
+        # (gram, ⌊pos/(k+1)⌋); any pair with |Δpos| ≤ k lands in the
+        # same or an adjacent band, so the probe side replicates each
+        # gram into its 3 neighboring bands (lossless; a fixed (pos_a,
+        # pos_b) matches exactly ONE of the 3, so no duplicate
+        # candidates). The residual predicates below stay as the exact
+        # cut inside each band.
+        band = k + 1
         l = prefix.select(
-            F.col("doc_id").alias("id_a"), F.col("len").alias("len_a"), "gram"
+            F.col("doc_id").alias("id_a"),
+            F.col("len").alias("len_a"),
+            "gram",
+            F.col("pos").alias("pos_a"),
+            F.floor(F.col("pos") / band).alias("band_a"),
         )
         r = prefix.select(
-            F.col("doc_id").alias("id_b"), F.col("len").alias("len_b"), "gram"
+            F.col("doc_id").alias("id_b"),
+            F.col("len").alias("len_b"),
+            F.col("gram").alias("gram_b"),
+            F.col("pos").alias("pos_b"),
+            F.explode(
+                F.array(
+                    *[F.floor(F.col("pos") / band) + d for d in (-1, 0, 1)]
+                )
+            ).alias("band_b"),
         )
         long_cand = (
-            l.join(r, "gram")
-            .where(
-                (F.col("id_a") < F.col("id_b"))
-                & (F.abs(F.col("len_a") - F.col("len_b")) <= k)
+            l.join(
+                r,
+                (F.col("gram") == F.col("gram_b"))
+                & (F.col("band_a") == F.col("band_b"))
+                & (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("pos_a") - F.col("pos_b")) <= k)
+                & (F.abs(F.col("len_a") - F.col("len_b")) <= k),
             )
             .select("id_a", "id_b")
         )
