@@ -1120,6 +1120,32 @@ def q_repetition_scores(spark, sf_dir):
     return repetition_scores(docs, "text", "doc_id")
 
 
+#: bounded unigram-LM vocabulary + keep threshold for the CCNet-style
+#: perplexity screen (tau picked at the sf0.01 corpus median so the flag
+#: splits meaningfully; the 24-token vocab leaves real OOV mass so the
+#: shared-OOV-type path is exercised and graded)
+PPLX_TOP_K = 24
+PPLX_TAU = 4.7
+
+
+def q_perplexity_filter(spark, sf_dir):
+    # CCNet-style unigram-LM perplexity screen (Wenzek et al.,
+    # arXiv:1911.00359): fit the bounded model once (driver-literal table,
+    # the sampler-rate-dict pattern), then score + flag in ONE map-only
+    # codegen projection — no join, no shuffle
+    # (functions/text_analysis.py). Log-probs are Python-computed
+    # literals, so the oracle replays every double bit-for-bit.
+    from merchant_classification_spark.functions.text_analysis import (
+        perplexity_scores,
+        unigram_model,
+    )
+
+    # no trailing sort: see q_clean_narrative
+    docs = _t(spark, sf_dir, "documents")
+    model, oov = unigram_model(docs, "text", PPLX_TOP_K)
+    return perplexity_scores(docs, model, oov, tau=PPLX_TAU)
+
+
 def q_ngram_top(spark, sf_dir):
     # corpus-level n-gram frequency: explode bigrams (with repeats),
     # count, top-20 with full deterministic tie-break — the vocabulary/
@@ -2383,6 +2409,56 @@ def q_boilerplate_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: sliding-window width for exact substring dedup (tokens). 8 keeps the
+#: probe non-degenerate on the grading corpus (~1000 repeated 8-grams at
+#: sf0.01) while staying well above chance collisions.
+SUBSTR_K = 8
+
+
+def q_substring_dedup(spark, sf_dir):
+    # Lee et al. 2021 exact substring dedup (operators/dedup.py
+    # exact_substring_dedup): any ≥ SUBSTR_K-token run occurring more
+    # than once in the corpus keeps only its earliest (doc_id, pos)
+    # occurrence; every token covered by a later occurrence is removed
+    # and each document reassembled from its surviving tokens. The
+    # oracle replays the full pipeline — sliding portable 60-bit gram
+    # keys, first-occurrence rule, position coverage, ordered
+    # reassembly — bit-for-bit, clean_text included.
+    from merchant_classification_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    return exact_substring_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=SUBSTR_K
+    ).orderBy("doc_id")
+
+
+#: DSIR hashed-feature bucket count and the target subcorpus predicate
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark, sf_dir):
+    # DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed
+    # uni+bigram bag-of-buckets models for the target subcorpus
+    # (lang='en') and the raw corpus, fitted in ONE aggregate pass
+    # (bounded DSIR_BUCKETS-row collect — the sampler-rate-dict
+    # pattern); per-doc importance log-weight scored as a map-only
+    # literal-array projection. Log-ratios are Python-computed literals,
+    # so the oracle replays every double bit-for-bit
+    # (functions/text_analysis.py dsir_logratios/dsir_scores).
+    from merchant_classification_spark.functions.text_analysis import (
+        dsir_logratios,
+        dsir_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lr = dsir_logratios(
+        docs, "text", F.col("lang") == DSIR_TARGET_LANG, DSIR_BUCKETS
+    )
+    return dsir_scores(docs, lr, "text", "doc_id")
+
+
 def q_pack_documents(spark, sf_dir):
     # deterministic sequence packing by start-offset rule — a prefix sum,
     # so the oracle replays it exactly with window functions
@@ -2974,6 +3050,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_orders": q_monthly_orders,
     "unpivot_metrics": q_unpivot_metrics,
     "repetition_scores": q_repetition_scores,
+    "perplexity_filter": q_perplexity_filter,
     "ngram_top": q_ngram_top,
     "window_rank_suite": q_window_rank_suite,
     "stats_suite": q_stats_suite,
@@ -3025,6 +3102,8 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_hof_suite": q_array_hof,
     "chunk_documents": q_chunk_documents,
     "boilerplate_scrub": q_boilerplate_scrub,
+    "substring_dedup": q_substring_dedup,
+    "dsir_weights": q_dsir_weights,
     "corpus_mix": q_corpus_mix,
     "pack_documents": q_pack_documents,
     "salted_join_agg": q_salted_join_agg,
@@ -4281,6 +4360,162 @@ if _semantic_dedup_sql is not None:
     ORACLES["semantic_dedup"] = _semantic_dedup_sql
 
 
+def _perplexity_oracle_sql() -> str | None:
+    """Full replay of q_perplexity_filter: recompute the SAME unigram
+    counts in DuckDB (tokenization replay already proven by token_stats),
+    run the SAME Python ``math.log`` on the same exact integers, and
+    inline the identical double literals — scoring is then a
+    list_transform lookup + the list_reduce left fold seeded at 0.0,
+    matching Spark's ``aggregate(…, 0.0, +)`` order, so every
+    logprob_sum / avg_neg_logprob is bit-exact. Same guard as the
+    ann_ivf/semantic_dedup oracles: unreadable grading data at import →
+    None → the probe degrades to absent instead of breaking the module.
+    """
+    import math
+    import os
+
+    import duckdb as _dd
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        con = _dd.connect()
+        counts = con.sql(
+            f"""
+            WITH d AS (SELECT text FROM read_parquet('{path}')),
+            t AS (SELECT {_SQL_TOKENS} AS toks FROM d),
+            e AS (SELECT unnest(toks) AS tok FROM t)
+            SELECT tok, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY tok
+            """
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not counts:
+        return None
+    n = sum(c for _, c in counts)
+    v = len(counts)
+    top = sorted(counts, key=lambda r: (-r[1], r[0]))[:PPLX_TOP_K]
+    denom = float(n + v + 1)
+    model = [(t, math.log((c + 1) / denom)) for t, c in top]
+    oov = _dlit(math.log(1.0 / denom))
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vocab = "[" + ", ".join(f"'{esc(t)}'" for t, _ in model) + "]"
+    lps = "[" + ", ".join(_dlit(lp) for _, lp in model) + "]"
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+              list_reduce(list_prepend(0.0e0,
+                  list_transform(toks, x -> coalesce(
+                      ({lps})[list_position({vocab}, x)], {oov}))),
+                  (a, b) -> a + b) AS lp_sum
+              FROM t)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(toks,
+                    x -> list_position({vocab}, x) = 0)) AS INTEGER) AS oov_count,
+               lp_sum AS logprob_sum,
+               CASE WHEN len(toks) = 0 THEN NULL
+                    ELSE -(lp_sum / CAST(len(toks) AS DOUBLE)) END AS avg_neg_logprob,
+               CASE WHEN len(toks) = 0 THEN FALSE
+                    ELSE -(lp_sum / CAST(len(toks) AS DOUBLE)) <= {_dlit(PPLX_TAU)}
+               END AS keep
+        FROM s
+    """
+
+
+_perplexity_sql = _perplexity_oracle_sql()
+if _perplexity_sql is not None:
+    ORACLES["perplexity_filter"] = _perplexity_sql
+
+
+#: DuckDB mirror of text_analysis._dsir_features: unigrams then adjacent
+#: bigrams joined with '_' ('_' cannot occur inside a token), document
+#: order — range(1, len) is empty for < 2 tokens, matching Spark's guard
+_SQL_DSIR_FEATS = (
+    "list_concat(toks, "
+    "[toks[i] || '_' || toks[i+1] for i in range(1, len(toks))])"
+)
+
+
+def _dsir_oracle_sql() -> str | None:
+    """Full replay of q_dsir_weights: recompute the SAME hashed-bucket
+    counts in DuckDB (portable md5-60bit bucket, tokenization replay
+    already proven by token_stats), run the SAME Python ``math.log`` on
+    the same exact integers, and inline the identical log-ratio double
+    literals — scoring is then a list_transform bucket lookup + the
+    left fold seeded at 0.0, matching Spark's ``aggregate(…, 0.0, +)``
+    order (unigrams first, then bigrams), so every dsir_logratio is
+    bit-exact. Same guard as the perplexity/ann_ivf oracles: unreadable
+    grading data at import → None → the probe degrades to absent.
+    """
+    import math
+    import os
+
+    import duckdb as _dd
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    b = DSIR_BUCKETS
+    try:
+        con = _dd.connect()
+        rows = con.sql(
+            f"""
+            WITH d AS (SELECT lang, text FROM read_parquet('{path}')),
+            t AS (SELECT lang = '{DSIR_TARGET_LANG}' AS w,
+                         {_SQL_TOKENS} AS toks FROM d),
+            f AS (SELECT w, {_SQL_DSIR_FEATS} AS feats FROM t),
+            e AS (SELECT w, unnest(feats) AS feat FROM f)
+            SELECT CAST(('0x' || substr(md5(feat), 1, 15))::BIGINT % {b} AS INT) AS bk,
+                   CAST(count(*) AS BIGINT) AS c_raw,
+                   CAST(sum(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+            FROM e GROUP BY bk
+            """
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    raw = {int(r[0]): int(r[1]) for r in rows}
+    tgt = {int(r[0]): int(r[2]) for r in rows}
+    d_raw = float(sum(raw.values()) + b)
+    d_tgt = float(sum(tgt.values()) + b)
+    diffs = [
+        math.log((tgt.get(i, 0) + 1) / d_tgt)
+        - math.log((raw.get(i, 0) + 1) / d_raw)
+        for i in range(b)
+    ]
+    dl = "[" + ", ".join(_dlit(x) for x in diffs) + "]"
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        f AS (SELECT doc_id, {_SQL_DSIR_FEATS} AS feats FROM t),
+        s AS (SELECT doc_id, feats,
+              list_reduce(list_prepend(0.0e0,
+                  list_transform(feats, x -> ({dl})[
+                      CAST(('0x' || substr(md5(x), 1, 15))::BIGINT % {b} AS INT) + 1])),
+                  (a, y) -> a + y) AS lr
+              FROM f)
+        SELECT doc_id,
+               CAST(len(feats) AS INTEGER) AS n_features,
+               lr AS dsir_logratio,
+               (len(feats) > 0 AND lr > 0.0e0) AS keep
+        FROM s
+    """
+
+
+_dsir_sql = _dsir_oracle_sql()
+if _dsir_sql is not None:
+    ORACLES["dsir_weights"] = _dsir_sql
+
+
 def _pii_oracle_sql() -> str:
     """Progressive scrub chain mirroring functions/pii.py exactly: same
     patterns (dialect-portable, so the literal strings are reused), same
@@ -5042,6 +5277,48 @@ ORACLES["boilerplate_scrub"] = f"""
     ORDER BY doc_id
 """
 
+ORACLES["substring_dedup"] = f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sized AS (SELECT doc_id, t, CAST(len(t) AS INT) AS n_tokens FROM tok),
+    occ AS (
+        SELECT doc_id,
+               unnest(generate_series(0, n_tokens - {SUBSTR_K})) AS gpos,
+               unnest([('0x' || substr(md5(array_to_string(t[i+1 : i+{SUBSTR_K}], ' ')), 1, 15))::BIGINT
+                       for i in generate_series(0, n_tokens - {SUBSTR_K})]) AS gk
+        FROM sized WHERE n_tokens >= {SUBSTR_K}
+    ),
+    marked AS (
+        SELECT doc_id, gpos,
+               row_number() OVER (PARTITION BY gk ORDER BY doc_id, gpos) AS rn
+        FROM occ
+    ),
+    cover AS (
+        SELECT DISTINCT doc_id, gpos + u AS tpos
+        FROM (SELECT doc_id, gpos, unnest(generate_series(0, {SUBSTR_K} - 1)) AS u
+              FROM marked WHERE rn > 1)
+    ),
+    toks_q AS (
+        SELECT doc_id, unnest(t) AS tok,
+               generate_subscripts(t, 1) - 1 AS tpos
+        FROM sized WHERE n_tokens > 0
+    ),
+    kept AS (
+        SELECT tq.doc_id, tq.tok, tq.tpos
+        FROM toks_q tq LEFT JOIN cover c
+          ON tq.doc_id = c.doc_id AND tq.tpos = c.tpos
+        WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text, s.n_tokens,
+           CAST(s.n_tokens - coalesce(r.n_kept, 0) AS INT) AS n_removed
+    FROM sized s LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY doc_id
+"""
+
 ORACLES["chunk_documents"] = f"""
     WITH tok AS (
         SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
@@ -5514,6 +5791,7 @@ SUITES: dict[str, list[str]] = {
         "dedup_rep_assign",
         "doc_winnow",
         "boilerplate_scrub",
+        "substring_dedup",
     ],
     "neardup_pairs_suite": [
         "ngram_jaccard_neardup",
@@ -5583,6 +5861,15 @@ if "ann_ivf" in ORACLES:
 # never degrades.
 if "semantic_dedup" in ORACLES:
     SUITES["embedding_suite"].append("semantic_dedup")
+# CCNet-style perplexity screen folds into the document-metrics suite
+# (round 5); same data-dependent-oracle guard as ann_ivf/semantic_dedup.
+if "perplexity_filter" in ORACLES:
+    SUITES["doc_metrics_suite"].append("perplexity_filter")
+# DSIR importance weights fold into the corpus-vocabulary suite (round
+# 5); same data-dependent-oracle guard — without an oracle the member is
+# left out (the operator stays pytest-covered).
+if "dsir_weights" in ORACLES:
+    SUITES["vocab_suite"].append("dsir_weights")
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
 # suite — KMeans/seeded-rand/sketch/ML ops

@@ -240,3 +240,251 @@ def fingerprint(col: Column | str) -> Column:
     """
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col))))
     return F.md5(canon)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity filtering (CCNet-style quality screen)
+# ---------------------------------------------------------------------------
+
+
+def unigram_model(
+    df, text_col: str = "text", top_k: int = 256
+) -> tuple[list[tuple[str, float]], float]:
+    """Fit an add-one-smoothed unigram language model over a corpus and
+    return it as a bounded literal table: ``([(token, logprob)], oov_logprob)``
+    (the CCNet recipe — Wenzek et al., arXiv:1911.00359 — scores documents
+    with a *pretrained* LM and filters on perplexity; the unigram tier is
+    the engine-portable core of that screen).
+
+    Model: with N = total token count, V = distinct token count, the
+    probability of a seen token is (c+1)/(N+V+1) and of the single shared
+    OOV type 1/(N+V+1); only the ``top_k`` most frequent tokens (ties by
+    token ascending) are materialized — everything else scores as OOV,
+    which is exactly the bounded-vocabulary contract a literal/broadcast
+    model table needs at scale.
+
+    Scale shape: one explode + map-side-combined count aggregate (state is
+    O(vocabulary), not O(rows)), one scalar aggregate, one
+    TakeOrderedAndProject top-k — the only driver materialization is the
+    ``top_k``-row model itself, the same bounded-driver-scalar pattern as
+    the sampler rate dicts. Log-probs are computed ONCE in Python and
+    embedded as double literals, so a SQL oracle replaying the same
+    integer counts through the same ``math.log`` reproduces every score
+    bit-for-bit (no cross-engine transcendental drift: engines only ever
+    ADD these literals).
+    """
+    import math
+
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n, v = int(tot["n"]), int(tot["v"])
+    top = counts.orderBy(F.col("c").desc(), "tok").limit(top_k).collect()
+    denom = float(n + v + 1)
+    model = [(r["tok"], math.log((r["c"] + 1) / denom)) for r in top]
+    return model, math.log(1.0 / denom)
+
+
+def perplexity_scores(
+    df,
+    model: list[tuple[str, float]],
+    oov_logprob: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau: float | None = None,
+):
+    """Score documents against a fitted :func:`unigram_model` and
+    optionally flag which pass a log-perplexity screen.
+
+    Returns (id, n_tokens, oov_count, logprob_sum, avg_neg_logprob
+    [, keep]): ``logprob_sum`` is the left-to-right fold of per-token
+    log-probs seeded at 0.0 (fixed IEEE order — replayable),
+    ``avg_neg_logprob`` is -(sum/n) (the log of perplexity; NULL for
+    empty docs), and ``keep`` is ``n_tokens > 0 AND avg_neg_logprob <=
+    tau`` — low perplexity = in-distribution text, the CCNet keep rule.
+
+    Scale shape: the model rides in the plan as a literal map (bounded by
+    ``top_k``), so the whole operator is ONE map-only projection — no
+    join, no shuffle, linear in corpus bytes. For vocabularies too large
+    to inline, the same semantics become a broadcast join on the exploded
+    tokens plus a sorted-struct refold; the literal tier is the fast path
+    for the bounded models CCNet-style screens actually use.
+    """
+    kv: list[Column] = []
+    for t, lp in model:
+        kv += [F.lit(t), F.lit(float(lp))]
+    lmap = F.create_map(*kv) if kv else F.create_map()
+    oov = F.lit(float(oov_logprob))
+    toks = tokens(text_col)
+    # try_element_at: NULL (not ANSI error) on a miss -> OOV fallback
+    lp_tok = F.transform(toks, lambda t: F.coalesce(F.try_element_at(lmap, t), oov))
+    lp_sum = F.aggregate(lp_tok, F.lit(0.0), lambda a, x: a + x)
+    n = F.size(toks)
+    nd = n.cast("double")
+    avg_neg = F.when(n > 0, -(lp_sum / nd))
+    cols = [
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.try_element_at(lmap, t).isNull())
+        ).cast("int").alias("oov_count"),
+        lp_sum.alias("logprob_sum"),
+        avg_neg.alias("avg_neg_logprob"),
+    ]
+    if tau is not None:
+        cols.append(((n > 0) & (avg_neg <= F.lit(float(tau)))).alias("keep"))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via hashed n-gram importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _dsir_features(col: Column | str) -> Column:
+    """Unigram + adjacent-bigram feature array (bigrams joined with '_',
+    which cannot appear inside a token — ``tokens`` keeps only
+    ``[a-z0-9']``), unigrams first, both in document order: the fixed
+    fold order every engine replays.
+
+    Expression shape matters ~40× here, twice over:
+
+    1. Bigrams are ``zip_with`` over two slices, NOT
+       ``transform(sequence(…), i → element_at(t, i))``: a free
+       reference to ``t`` inside a lambda re-evaluates PER ELEMENT, and
+       ``t`` is the whole tokenize (regex+split) expression — the index
+       form re-tokenized the document twice per bigram, O(tokens²)
+       regex work per row (measured: 130 s for the sf0.1 vocab suite).
+    2. The token array is BOUND ONCE per row as a lambda variable (the
+       ``transform(array(tokens), t → …)`` binding idiom, same as
+       ``span_table``): written as a plain column expression, ``t``
+       appears 4× row-level (two slices, size, concat) and codegen CSE
+       does not share it across the lambda boundary — each extra
+       occurrence re-runs the regex pipeline (measured: ~2 s → ~0.6 s
+       per sf0.1 pass).
+
+    Empty/1-token documents produce no bigrams (slice length 0 → empty
+    array; equal slice lengths → no null padding)."""
+    return F.element_at(
+        F.transform(
+            F.array(tokens(col)),
+            lambda t: F.concat(
+                t,
+                F.zip_with(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit("_"), b),
+                ),
+            ),
+        ),
+        1,
+    )
+
+
+def dsir_logratios(
+    df,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 128,
+) -> list[float]:
+    """Fit the DSIR importance model (Xie et al. 2023, arXiv:2302.03169):
+    hashed uni+bigram features bucketed by ``md5_long60(feature) %
+    n_buckets``, add-one-smoothed bag-of-buckets models for the target
+    subcorpus (rows where ``is_target``) and the raw corpus (all rows),
+    returned as the per-bucket literal list ``log p_target(b) −
+    log p_raw(b)``.
+
+    Both models come from ONE pass: a single explode + count/conditional
+    -count aggregate whose state is O(n_buckets), followed by an
+    ``n_buckets``-row collect — the bounded-driver-scalar pattern (same
+    as the sampler rate dicts). Log-ratios are computed once in Python
+    and embedded as double literals, so scoring engines only ever ADD
+    them: an external SQL oracle replaying the same integer counts
+    through the same ``math.log`` is bit-exact.
+    """
+    import math
+
+    from merchant_classification_spark.functions.portable_hash import md5_long60
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    b = df.select(
+        is_target.alias("w"),
+        F.explode(
+            F.transform(
+                _dsir_features(text_col),
+                lambda f: F.pmod(md5_long60(f), F.lit(n_buckets)),
+            )
+        ).alias("b"),
+    )
+    rows = (
+        b.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(F.col("w"), 1).otherwise(0)).alias("c_tgt"),
+        )
+        .collect()
+    )
+    raw = {int(r["b"]): int(r["c_raw"]) for r in rows}
+    tgt = {int(r["b"]): int(r["c_tgt"]) for r in rows}
+    n_raw = sum(raw.values())
+    n_tgt = sum(tgt.values())
+    d_raw = float(n_raw + n_buckets)
+    d_tgt = float(n_tgt + n_buckets)
+    return [
+        math.log((tgt.get(i, 0) + 1) / d_tgt)
+        - math.log((raw.get(i, 0) + 1) / d_raw)
+        for i in range(n_buckets)
+    ]
+
+
+def dsir_scores(
+    df,
+    logratios: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Score documents with a fitted :func:`dsir_logratios` model:
+    ``dsir_logratio`` is the left-to-right sum (seeded at 0.0 — fixed
+    IEEE order) of the per-feature bucket log-ratios, i.e. the DSIR
+    importance log-weight ``log p_target(doc) − log p_raw(doc)`` under
+    the hashed bag-of-buckets model; ``keep`` marks target-leaning
+    documents (positive weight, non-empty).
+
+    Scale shape: the model rides in the plan as an ``n_buckets`` double
+    literal array, so scoring is ONE map-only codegen projection — no
+    join, no shuffle, linear in corpus bytes (the actual DSIR selection
+    step — rank by weight or Gumbel-top-k resample — composes downstream
+    with the engine's top-k / weighted-sample operators).
+
+    Returns (id, n_features, dsir_logratio, keep).
+    """
+    from merchant_classification_spark.functions.portable_hash import md5_long60
+
+    n_buckets = len(logratios)
+    if n_buckets == 0:
+        raise ValueError("logratios must be non-empty")
+    # F.lit(list) makes ONE array Literal; F.array(*lits) would be a
+    # CreateArray expression, rebuilt per element inside the transform
+    # lambda below
+    lit = F.lit([float(x) for x in logratios])
+    feats = _dsir_features(text_col)
+    vals = F.transform(
+        feats,
+        lambda f: F.element_at(
+            lit, (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int")
+        ),
+    )
+    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    n = F.size(feats)
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_features"),
+        s.alias("dsir_logratio"),
+        ((n > 0) & (s > F.lit(0.0))).alias("keep"),
+    )

@@ -1314,3 +1314,133 @@ def assign_representatives_doubling(
         prev_persisted.unpersist(blocking=False)
     edges.unpersist(blocking=False)
     return out
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2021, arXiv:2107.06499
+    §3.1 "ExactSubstr"): whenever a run of ≥ ``k`` tokens appears more
+    than once in the corpus, keep only its FIRST occurrence (earliest
+    ``(doc_id, position)``) and delete every token covered by a later
+    occurrence, then reassemble each document from its surviving tokens.
+
+    Differs from :func:`remove_boilerplate` (C4-style) on all three
+    axes: sliding windows instead of a fixed non-overlapping grid, a
+    ≥ 2-occurrence trigger instead of a ≥ N-distinct-docs threshold,
+    and first-copy-preserving (the canonical occurrence survives)
+    instead of drop-everywhere. Lee et al. implement this with a
+    corpus-wide suffix array; the Spark-native equivalent is sliding
+    k-gram keys + a first-occurrence aggregate — same removal semantics
+    at k-token granularity, expressed as joins Catalyst can partition.
+
+    Plan shape (100 TB): the occurrence table is one map-side
+    tokenize+slice pass shuffled on the 60-bit portable gram key
+    (~16 B/row hashed); duplicate keys are found with one aggregate
+    (``min(struct(doc_id, pos))`` + count, map-side combined), and only
+    occurrences of duplicated keys — the ~3% tail Lee et al. measure on
+    web corpora — flow into the k× position explode, the coverage
+    distinct, and the token-level anti-join. Everything is
+    candidate-driven and whole-stage codegen; no all-pairs shape
+    anywhere. The occurrence table feeds two branches (aggregate +
+    probe), so it is persisted for the operator's lifetime and released
+    before returning (the module's materialize/release contract).
+
+    Returns (doc_id, clean_text, n_tokens, n_removed) — one row per
+    input document, including zero-token documents ('' , 0, 0) and
+    documents scrubbed to emptiness.
+    """
+    if k <= 1:
+        raise ValueError("k must be at least 2")
+    from pyspark.storagelevel import StorageLevel
+
+    from merchant_classification_spark.functions.portable_hash import md5_long60
+
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+        .withColumn("n_tokens", F.size("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        grams = base.where(F.col("n_tokens") >= k).select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - k),
+                    lambda i: F.array_join(F.slice(F.col("t"), i + 1, k), " "),
+                )
+            ).alias("gpos", "gram"),
+        )
+        key = md5_long60(F.col("gram")) if hashed else F.col("gram")
+        occ = occ_persisted = grams.select(
+            "doc_id", "gpos", key.alias("gk")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            dup_first = (
+                occ.groupBy("gk")
+                .agg(
+                    F.min(F.struct("doc_id", "gpos")).alias("first"),
+                    F.count(F.lit(1)).alias("occs"),
+                )
+                .where(F.col("occs") > 1)
+                .select("gk", "first")
+            )
+            dup_occ = (
+                occ.join(dup_first, "gk")
+                .where(
+                    (F.col("doc_id") != F.col("first.doc_id"))
+                    | (F.col("gpos") != F.col("first.gpos"))
+                )
+                .select("doc_id", "gpos")
+            )
+            cover = dup_occ.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("gpos"), F.col("gpos") + (k - 1))
+                ).alias("tpos"),
+            ).distinct()
+            toks = base.select(
+                "doc_id", F.posexplode("t").alias("tpos", "tok")
+            )
+            kept = toks.join(cover, ["doc_id", "tpos"], "left_anti")
+            rebuilt = kept.groupBy("doc_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ).alias("_clean"),
+                F.count(F.lit(1)).alias("_n_kept"),
+            )
+            # rebuild from base so zero-token documents AND documents
+            # scrubbed to emptiness (no surviving rows in `kept`) both
+            # come back as one ('', n, n-0/n) row
+            out = (
+                base.select("doc_id", "n_tokens")
+                .join(rebuilt, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("_clean"), F.lit("")).alias(
+                        "clean_text"
+                    ),
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    (
+                        F.col("n_tokens")
+                        - F.coalesce(F.col("_n_kept"), F.lit(0))
+                    )
+                    .cast("int")
+                    .alias("n_removed"),
+                )
+            )
+            # the two persisted inputs feed multiple branches of this one
+            # plan; materialize the result before releasing them
+            return out.localCheckpoint(eager=True)
+        finally:
+            occ_persisted.unpersist(blocking=False)
+    finally:
+        base.unpersist(blocking=False)

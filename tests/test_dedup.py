@@ -518,3 +518,96 @@ def test_assign_representatives_doubling_matches_propagation(spark):
         ).collect()
     }
     assert set(shallow.values()) != {0}  # O(d) variant not converged yet
+
+
+def _naive_substring_dedup(rows, k):
+    """Pure-Python replay of exact_substring_dedup for the fuzz check."""
+    import re
+
+    def toks(s):
+        c = re.sub(r"[^a-z0-9']+", " ", (s or "").lower()).strip()
+        return c.split(" ") if c else []
+
+    docs = [(i, toks(t)) for i, t in rows]
+    first = {}
+    for i, t in sorted(docs):
+        for p in range(len(t) - k + 1):
+            g = " ".join(t[p : p + k])
+            first.setdefault(g, (i, p))
+    out = {}
+    for i, t in sorted(docs):
+        drop = set()
+        for p in range(len(t) - k + 1):
+            g = " ".join(t[p : p + k])
+            if first[g] != (i, p):
+                drop.update(range(p, p + k))
+        kept = [w for j, w in enumerate(t) if j not in drop]
+        out[i] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """Lee-et-al exact substring dedup: cross-doc later occurrence
+    scrubbed, first kept; within-doc repeats scrubbed; short / empty /
+    NULL docs untouched."""
+    from merchant_classification_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x a b c d e f g h y"),  # shares doc 1's 8-gram at pos 1
+        (3, "p q r s t u v w p q r s t u v w"),  # self-repeat at pos 8
+        (4, "one two three"),  # < k tokens: no grams, kept
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(df, "doc_id", "text", k=8).collect()
+    }
+    assert got == _naive_substring_dedup(rows, 8)
+    assert got[1] == ("a b c d e f g h i j", 10, 0)  # first occurrence kept
+    assert got[2] == ("x y", 10, 8)
+    assert got[3] == ("p q r s t u v w", 16, 8)
+    assert got[4] == ("one two three", 3, 0)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("", 0, 0)
+
+
+def test_exact_substring_dedup_vs_naive_fuzz(spark):
+    """Deterministic pseudo-random corpus with planted repeats vs the
+    pure-Python replay — all rows, all columns."""
+    import random
+
+    from merchant_classification_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(30):
+        n = rng.randint(0, 25)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant verbatim cross-doc runs so the dup path is exercised
+    rows[10] = (10, rows[3][1] + " " + rows[5][1])
+    rows[20] = (20, "u v " + rows[3][1] + " z")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(df, "doc_id", "text", k=4).collect()
+    }
+    assert got == _naive_substring_dedup(rows, 4)
+    assert any(v[2] > 0 for v in got.values())  # the dup path actually ran
+
+
+def test_exact_substring_dedup_validates_k(spark):
+    from merchant_classification_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        exact_substring_dedup(df, "doc_id", "text", k=1)

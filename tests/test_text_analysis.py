@@ -131,3 +131,137 @@ def test_vector_quantization_roundtrip(spark):
     assert abs(rows[1].unit_norm - 1.0) < 1e-12
     assert rows[2].unit_norm == 0.0
     assert abs(rows[4].unit_norm - 1.0) < 1e-12
+
+
+def test_unigram_model_and_perplexity(spark):
+    """CCNet-style unigram screen: model fit, OOV accounting, the
+    fixed-order fold, and the keep rule — checked against a hand
+    computation on a corpus small enough to enumerate."""
+    import math
+
+    from merchant_classification_spark.functions.text_analysis import (
+        perplexity_scores,
+        unigram_model,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),
+            (2, "cat dog bird"),
+            (3, "zebra zebra zebra"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus: cat=3 dog=2 bird=1 zebra=3 -> N=9, V=4
+    model, oov = unigram_model(df, "text", top_k=2)
+    assert [t for t, _ in model] == ["cat", "zebra"]  # ties: count desc, tok asc
+    denom = 9 + 4 + 1
+    assert model[0][1] == math.log(4 / denom)
+    assert oov == math.log(1 / denom)
+
+    out = {
+        r.doc_id: r
+        for r in perplexity_scores(df, model, oov, tau=2.0).collect()
+    }
+    lp = dict(model)
+    # doc 1: cat cat dog -> cat + cat + oov, left-to-right fold from 0.0
+    want = ((0.0 + lp["cat"]) + lp["cat"]) + oov
+    assert out[1].logprob_sum == want
+    assert out[1].n_tokens == 3 and out[1].oov_count == 1
+    assert out[1].avg_neg_logprob == -(want / 3.0)
+    # doc 3: all zebra, in-vocab
+    assert out[3].oov_count == 0
+    # empty + NULL text: zero tokens, NULL score, keep=False (not NULL)
+    for d in (4, 5):
+        assert out[d].n_tokens == 0
+        assert out[d].logprob_sum == 0.0
+        assert out[d].avg_neg_logprob is None
+        assert out[d].keep is False
+    # keep rule: low perplexity (in-distribution) passes
+    assert out[3].keep == (out[3].avg_neg_logprob <= 2.0)
+    # model vocabulary is bounded by top_k even when V is larger
+    assert len(model) == 2
+
+
+def test_dsir_logratios_and_scores(spark):
+    """DSIR hashed importance weights vs a pure-Python replay: same
+    bucket counts, same smoothed log-ratios, same left-to-right fold."""
+    import hashlib
+    import math
+
+    from merchant_classification_spark.functions.text_analysis import (
+        dsir_logratios,
+        dsir_scores,
+    )
+
+    def bucket(feat, b):
+        return int(hashlib.md5(feat.encode()).hexdigest()[:15], 16) % b
+
+    def feats(s):
+        import re
+
+        c = re.sub(r"[^a-z0-9']+", " ", (s or "").lower()).strip()
+        t = c.split(" ") if c else []
+        return t + [f"{a}_{b}" for a, b in zip(t, t[1:])]
+
+    rows = [
+        (1, "spark query engine", True),
+        (2, "spark table scan", True),
+        (3, "zebra yak llama gnu", False),
+        (4, "spark zebra", False),
+        (5, "", True),
+        (6, None, False),
+    ]
+    B = 8
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    lr = dsir_logratios(df, "text", F.col("tgt"), n_buckets=B)
+
+    # pure-Python fit replay
+    raw = [0] * B
+    tgt = [0] * B
+    for _, text, w in rows:
+        for f in feats(text):
+            b = bucket(f, B)
+            raw[b] += 1
+            if w:
+                tgt[b] += 1
+    d_raw, d_tgt = float(sum(raw) + B), float(sum(tgt) + B)
+    want = [
+        math.log((tgt[i] + 1) / d_tgt) - math.log((raw[i] + 1) / d_raw)
+        for i in range(B)
+    ]
+    assert lr == want
+
+    out = {r.doc_id: r for r in dsir_scores(df, lr, "text", "doc_id").collect()}
+    for doc_id, text, _ in rows:
+        fs = feats(text)
+        s = 0.0
+        for f in fs:
+            s = s + lr[bucket(f, B)]
+        assert out[doc_id].n_features == len(fs)
+        assert out[doc_id].dsir_logratio == s
+        assert out[doc_id].keep == (len(fs) > 0 and s > 0.0)
+    # target-leaning text scores above off-target text
+    assert out[1].dsir_logratio > out[3].dsir_logratio
+    # empty / NULL text: zero features, zero weight, keep=False
+    for d in (5, 6):
+        assert out[d].n_features == 0
+        assert out[d].dsir_logratio == 0.0
+        assert out[d].keep is False
+
+
+def test_dsir_validates_buckets(spark):
+    from merchant_classification_spark.functions.text_analysis import (
+        dsir_logratios,
+        dsir_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a", True)], "doc_id long, text string, t boolean")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dsir_logratios(df, "text", F.col("t"), n_buckets=0)
+    with _pytest.raises(ValueError):
+        dsir_scores(df, [], "text", "doc_id")
