@@ -1,0 +1,337 @@
+"""Heavy-tier scaling decade: sf0.1 → derived sf1.
+
+SCALING.md's 100x curve (sf0.001→sf0.1) ends where several near-dup/ANN
+probes are still overhead-bound, so their fitted exponents are noisy.
+This tool measures the NEXT decade for the heaviest candidate-driven
+operators at a size where times are multi-second, using an sf1 dataset
+DERIVED deterministically from the driver's sf0.1 tables (the same
+precedent as scale_curve's skew amplifier — no new synthetic data, only
+a deterministic transform of the provided testdata):
+
+  * documents ×10 — replica r rewrites every letter AND digit via a
+    rotated `translate` alphabet, so cross-replica token sets are
+    disjoint: the near-dup structure is 10 independent copies of the
+    original (output pairs scale linearly, not quadratically in
+    replicas, which naive duplication would cause and which would
+    measure output blowup rather than operator scaling). Lengths are
+    preserved, so n_chars stays valid. Digits MUST rotate too: a
+    letters-only rotation left the digit-heavy c_name tails aligned
+    across replicas, so every replica shared its rare positional
+    q-grams with every other — Ed-Join candidates grew ~replicas²
+    (measured 339 s at sf1, alpha 2.03) from the derivation artifact,
+    not the operator. That run is kept in SCALING.md prose as the
+    measured adversarial-input bound for gram-sharing keys.
+  * embeddings ×10 — replica r>0 adds a deterministic per-(row, dim)
+    sine jitter, so replicas are far apart in cosine space (top-k and
+    bucket structure stay non-degenerate).
+  * customer ×10 — letter rotation on c_name PLUS a per-replica
+    DIGIT alphabet (each replica's digits map to their own 10-char
+    Cyrillic block). Rotating digits within '0123456789' is NOT
+    independence for serial-like keys: every replica's digit q-grams
+    stay content-identical and position-aligned with every other
+    replica's, and Ed-Join's candidate set grows ~replicas² (measured
+    349 s / alpha 2.20 at sf1 with gram-only join keys) even though
+    the TRUE cross-replica pair count is zero (verified: 0 ed≤2 pairs
+    between replicas) — the derivation, not the operator, violated
+    the independence contract above. Position-shift prefixes (3–4
+    chars per replica step) only partially helped (92→74 s) because
+    the ~9-char digit region spans several position bands, so
+    neighboring replicas still shared (gram, band) join keys.
+    Disjoint digit alphabets make replica gram sets fully disjoint —
+    the same construction the documents derivation uses for tokens.
+    The aligned-serial runs are kept in SCALING.md prose as the
+    measured adversarial-input bound for shared-alphabet fixed-layout
+    keys.
+
+The derived tables live under .scale/sf1/ (git-ignored, rebuilt on
+demand) and keep the driver's schemas, so every BRANCH_QUERIES probe
+runs unmodified against the directory.
+
+Usage: python tools/scale_sf1.py [--rebuild] [--only name1,name2]
+Appends/refreshes the "Heavy-tier decade" section in SCALING.md
+(--only re-measures just the named probes and merges them into the
+existing table).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.session import build_session
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+REPLICAS = 10
+ID_STRIDE = 10_000_000
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+DIGITS = "0123456789"
+
+
+def _rot_map(r: int) -> tuple[str, str]:
+    """Source/target alphabets for replica r: letters and digits each
+    rotate within their own class (case/class preserved, lengths
+    preserved, replicas pairwise disjoint for r=0..9)."""
+    return ALPHA + DIGITS, _rot(ALPHA, r) + _rot(DIGITS, r)
+
+HEAVY = [
+    ("minhash_neardup", "MinHash LSH near-dup join"),
+    ("simhash_neardup", "SimHash banded near-dup join"),
+    ("ngram_jaccard_neardup", "exact Jaccard PPJoin"),
+    ("edit_distance_neardup", "Ed-Join edit-distance pairs"),
+    ("winnow_pairs", "MOSS pair join (arrow kernel)"),
+    ("doc_winnow", "winnowing fingerprints"),
+    ("ann_lsh", "SRP-LSH ANN + exact twin"),
+    ("ann_ivf", "portable IVF ANN + exact twin"),
+    ("ann_bruteforce", "exact ANN top-k"),
+    ("dedup_rep_assign", "duplicate-cluster label propagation"),
+    ("boilerplate_scrub", "C4 boilerplate removal"),
+    ("decontaminate_overlap", "train/eval decontamination flag"),
+    ("decontaminate_scrub", "contamination span removal"),
+    ("token_stats", "tokenize + count"),
+    ("etl_clean_format", "regex-chain ETL (needs orders: skipped)" ),
+]
+# probes whose inputs exist in the derived dir
+DERIVED_TABLES = {"documents", "embeddings", "customer"}
+SKIP = {"etl_clean_format"}
+
+
+def _rot(s: str, r: int) -> str:
+    return s[r % len(s):] + s[: r % len(s)]
+
+
+def derive(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for r in range(REPLICAS):
+        text = (
+            F.col("text")
+            if r == 0
+            else F.translate("text", *_rot_map(r))
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    reduce(lambda a, b: a.unionByName(b), parts).coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(f"{OUT}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = []
+    for r in range(REPLICAS):
+        if r == 0:
+            vec = F.col("embedding")
+        else:
+            vec = F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    + F.sin(
+                        (F.col("vec_id") % 97 + i.cast("double") + F.lit(r * 13))
+                        * F.lit(1.7)
+                    )
+                    * F.lit(0.5)
+                ).cast("float"),
+            )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * ID_STRIDE)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    reduce(lambda a, b: a.unionByName(b), parts).coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(f"{OUT}/embeddings.parquet")
+
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    parts = []
+    for r in range(REPLICAS):
+        # rotation keeps letter grams replica-disjoint, and each
+        # replica's DIGITS map to their own 10-char Cyrillic block —
+        # rotating digits within '0123456789' keeps them on a shared
+        # alphabet, which leaves every replica's digit q-grams
+        # content-identical and position-aligned with every other's
+        # (the measured adversarial case in the module docstring).
+        # Disjoint digit alphabets make replica gram sets fully
+        # disjoint — the same independence construction the documents
+        # derivation uses for tokens. Lengths are preserved.
+        digits_r = "".join(chr(0x0430 + 10 * (r - 1) + d) for d in range(10))
+        name = (
+            F.col("c_name")
+            if r == 0
+            else F.translate("c_name", ALPHA + DIGITS, _rot(ALPHA, r) + digits_r)
+        )
+        parts.append(
+            cust.select(
+                (F.col("c_custkey") + F.lit(r * ID_STRIDE)).alias("c_custkey"),
+                name.alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    reduce(lambda a, b: a.unionByName(b), parts).coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(f"{OUT}/customer.parquet")
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def measure(spark, fn, sf_dir: str, reps: int = 2) -> float:
+    force(fn(spark, sf_dir))
+    spark.catalog.clearCache()
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+        spark.catalog.clearCache()
+    import gc
+
+    gc.collect()
+    jvm = getattr(spark.sparkContext, "_jvm", None)
+    if jvm is not None:
+        jvm.System.gc()
+    return best
+
+
+def _parse_prev_table() -> dict[str, tuple[float, float, float]]:
+    """Existing (sf0.1, sf1, alpha) rows from SCALING.md, for --only
+    merges."""
+    try:
+        with open("SCALING.md") as f:
+            md = f.read()
+    except OSError:
+        return {}
+    out: dict[str, tuple[float, float, float]] = {}
+    for m in re.finditer(
+        r"^\| (\w+) \| [^|]+ \| ([0-9.]+) \| ([0-9.]+) \| (-?[0-9.]+) \|",
+        md,
+        re.M,
+    ):
+        out[m.group(1)] = (
+            float(m.group(2)),
+            float(m.group(3)),
+            float(m.group(4)),
+        )
+    return out
+
+
+def main() -> None:
+    only: set[str] | None = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
+    spark = build_session(app_name="mcs-scale-sf1")
+    if "--rebuild" in sys.argv or not os.path.exists(
+        f"{OUT}/documents.parquet"
+    ):
+        print("deriving sf1 tables ...", flush=True)
+        derive(spark)
+
+    prev = _parse_prev_table()
+    rows = []
+    for name, desc in HEAVY:
+        if name in SKIP:
+            continue
+        if only is not None and name not in only:
+            if name in prev:
+                rows.append((name, desc, *prev[name]))
+            continue
+        fn = entry_mod.BRANCH_QUERIES.get(name) or entry_mod.queries().get(name)
+        if fn is None:
+            continue
+        t01 = measure(spark, fn, SRC)
+        t1 = measure(spark, fn, OUT)
+        alpha = math.log(t1 / t01) / math.log(10.0)
+        rows.append((name, desc, t01, t1, alpha))
+        print(
+            f"{name:26s} sf0.1={t01:6.2f}s sf1={t1:7.2f}s alpha={alpha:5.2f}",
+            flush=True,
+        )
+
+    section = [
+        "\n## Heavy-tier decade: sf0.1 -> sf1 (derived)\n\n",
+        "The heaviest candidate-driven operators measured one decade\n"
+        "further, on a 10x dataset derived deterministically from the\n"
+        "driver's sf0.1 tables (tools/scale_sf1.py: per-replica letter+digit\n"
+        "rotation for text — cross-replica token sets are disjoint, so\n"
+        "near-dup output scales linearly — and per-(row,dim) sine jitter\n"
+        "for embeddings). Times are multi-second here, so the exponents\n"
+        "are work-dominated, unlike the small-sf decades above.\n\n"
+        "Adversarial bound found en route: rotating c_name's digits maps\n"
+        "them onto the SAME 10-char alphabet, so every replica's digit\n"
+        "q-grams stayed content-identical and position-aligned with every\n"
+        "other replica's — Ed-Join's candidate set grew ~replicas-squared\n"
+        "(measured 349 s at sf1, alpha 2.20, with the positional filter\n"
+        "as a residual join predicate) even though the TRUE cross-replica\n"
+        "pair count is zero (verified by sampled naive levenshtein: 0\n"
+        "ed<=2 pairs between replicas). Two operator findings fell out:\n"
+        "(1) residual join predicates do NOT cut join WORK — a sort-merge\n"
+        "join enumerates the full per-gram bucket cross-product before\n"
+        "|delta-pos|<=k can reject, so the positional filter must live in\n"
+        "the equi-join KEY (banding: (gram, floor(pos/(k+1))), probe side\n"
+        "replicated to +-1 band, lossless); banding cut the aligned-\n"
+        "alphabet run 349 s -> 74-87 s. (2) Even banded, fixed-layout\n"
+        "keys over a shared low-entropy alphabet (zero-padded serials)\n"
+        "remain candidate-quadratic in principle: every gram is frequent\n"
+        "AND co-banded, so rarity/position/length stay lossless but only\n"
+        "trim constants. At 100 TB the mitigations are key normalization\n"
+        "(strip layout-constant regions before gramming), a larger q for\n"
+        "the dense field, or the short-string block tier. The derivation\n"
+        "now gives each replica a disjoint digit alphabet (the same\n"
+        "independence construction the documents table uses for tokens),\n"
+        "so the table row below measures the 10-independent-copies\n"
+        "contract; the aligned-alphabet numbers above stay as the\n"
+        "documented worst-case input bound.\n\n",
+        "| probe | family | sf0.1 | sf1 (derived) | alpha | verdict |\n",
+        "|---|---|---|---|---|---|\n",
+    ]
+    for name, desc, t01, t1, alpha in rows:
+        verdict = (
+            "linear-or-better"
+            if alpha <= 1.15
+            else "superlinear — see plan notes"
+            if alpha < 2.0
+            else "QUADRATIC — fix"
+        )
+        section.append(
+            f"| {name} | {desc} | {t01:.2f} | {t1:.2f} | {alpha:.2f} | {verdict} |\n"
+        )
+    text = "".join(section)
+
+    with open("SCALING.md") as f:
+        md = f.read()
+    md = re.sub(
+        r"\n## Heavy-tier decade: sf0\.1 -> sf1 \(derived\)\n.*?(?=\n## |\Z)",
+        "",
+        md,
+        flags=re.S,
+    )
+    with open("SCALING.md", "w") as f:
+        f.write(md.rstrip("\n") + "\n" + text)
+    print("SCALING.md updated", flush=True)
+
+
+if __name__ == "__main__":
+    main()
