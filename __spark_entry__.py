@@ -2437,6 +2437,29 @@ def q_substring_dedup(spark, sf_dir):
 DSIR_BUCKETS = 64
 DSIR_TARGET_LANG = "en"
 
+#: BM25 probe query — corpus-frequent terms so scores spread meaningfully
+BM25_TERMS = ["spark", "query", "window", "merge"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_retrieval(spark, sf_dir):
+    # Okapi BM25 lexical retrieval scoring (operators/retrieval.py):
+    # per-term document frequencies + average doc length fitted in ONE
+    # bounded aggregate pass, idf computed once in Python and baked into
+    # a map-only scoring projection (fixed IEEE accumulation order, so
+    # the oracle replays every double bit-for-bit).
+    from merchant_classification_spark.operators.retrieval import (
+        bm25_fit,
+        bm25_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model, avgdl = bm25_fit(docs, BM25_TERMS, "text")
+    return bm25_scores(
+        docs, model, avgdl, "text", "doc_id", k1=BM25_K1, b=BM25_B
+    )
+
 
 def q_dsir_weights(spark, sf_dir):
     # DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed
@@ -3104,6 +3127,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_scrub": q_boilerplate_scrub,
     "substring_dedup": q_substring_dedup,
     "dsir_weights": q_dsir_weights,
+    "bm25_retrieval": q_bm25_retrieval,
     "corpus_mix": q_corpus_mix,
     "pack_documents": q_pack_documents,
     "salted_join_agg": q_salted_join_agg,
@@ -4516,6 +4540,83 @@ if _dsir_sql is not None:
     ORACLES["dsir_weights"] = _dsir_sql
 
 
+def _bm25_oracle_sql() -> str | None:
+    """Full replay of q_bm25_retrieval: recompute the SAME document
+    frequencies and total token count in DuckDB, run the same Python
+    ``math.log`` on the same exact integers, and inline the identical
+    idf/avgdl double literals — scoring is then a per-term
+    ``len(list_filter(...))`` tf plus the SAME fixed-order float
+    arithmetic, so every bm25 double is bit-exact. Same guard as the
+    perplexity/DSIR oracles: unreadable grading data at import → None.
+    """
+    import math
+    import os
+
+    import duckdb as _dd
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        con = _dd.connect()
+        flags = ", ".join(
+            f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+            for i, t in enumerate(BM25_TERMS)
+        )
+        row = con.sql(
+            f"""
+            WITH d AS (SELECT text FROM read_parquet('{path}')),
+            t AS (SELECT {_SQL_TOKENS} AS toks FROM d)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS dl_sum,
+                   {flags}
+            FROM t
+            """
+        ).fetchall()[0]
+        con.close()
+    except Exception:
+        return None
+    n = int(row[0])
+    if n == 0:
+        return None
+    avgdl = float(row[1]) / float(n)
+    idfs = [
+        math.log(1.0 + (n - int(row[2 + i]) + 0.5) / (int(row[2 + i]) + 0.5))
+        for i in range(len(BM25_TERMS))
+    ]
+    # mirror bm25_scores exactly: norm = k1*((1-b) + b*(dl/avgdl));
+    # s += ((idf * tf) * (k1+1)) / (tf + norm), term order fixed
+    k1, b = BM25_K1, BM25_B
+    norm = (
+        f"{_dlit(k1)} * ({_dlit(1.0 - b)} + {_dlit(b)} * "
+        f"(CAST(len(toks) AS DOUBLE) / {_dlit(avgdl)}))"
+    )
+    score = "0.0e0"
+    matched = "0"
+    for term, idf in zip(BM25_TERMS, idfs):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE)"
+        score = (
+            f"({score} + {_dlit(idf)} * {tf} * {_dlit(BM25_K1 + 1.0)}"
+            f" / ({tf} + nrm))"
+        )
+        matched = f"({matched} + CASE WHEN {tf} > 0.0e0 THEN 1 ELSE 0 END)"
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        w AS (SELECT doc_id, toks, {norm} AS nrm FROM t)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST({matched} AS INTEGER) AS matched,
+               {score} AS bm25
+        FROM w
+    """
+
+
+_bm25_sql = _bm25_oracle_sql()
+if _bm25_sql is not None:
+    ORACLES["bm25_retrieval"] = _bm25_sql
+
+
 def _pii_oracle_sql() -> str:
     """Progressive scrub chain mirroring functions/pii.py exactly: same
     patterns (dialect-portable, so the literal strings are reused), same
@@ -5870,6 +5971,10 @@ if "perplexity_filter" in ORACLES:
 # left out (the operator stays pytest-covered).
 if "dsir_weights" in ORACLES:
     SUITES["vocab_suite"].append("dsir_weights")
+# BM25 lexical retrieval scoring joins the same suite (round 5); same
+# data-dependent-oracle guard.
+if "bm25_retrieval" in ORACLES:
+    SUITES["vocab_suite"].append("bm25_retrieval")
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
 # suite — KMeans/seeded-rand/sketch/ML ops

@@ -97,6 +97,10 @@ HEAVY = [
     ("boilerplate_scrub", "C4 boilerplate removal"),
     ("decontaminate_overlap", "train/eval decontamination flag"),
     ("decontaminate_scrub", "contamination span removal"),
+    ("substring_dedup", "Lee-et-al exact substring dedup"),
+    ("perplexity_filter", "CCNet unigram-LM perplexity screen"),
+    ("dsir_weights", "DSIR hashed importance weights"),
+    ("bm25_retrieval", "BM25 lexical retrieval scoring"),
     ("token_stats", "tokenize + count"),
     ("etl_clean_format", "regex-chain ETL (needs orders: skipped)" ),
 ]
