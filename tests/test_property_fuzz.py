@@ -499,3 +499,57 @@ def test_remove_contaminated_spans_fuzz_matches_naive(spark, train, ev):
                 fid += 1
                 want[(i, fid)] = (len(fr), " ".join(fr))
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_doc, min_size=1, max_size=8), k=st.sampled_from([2, 3]))
+def test_exact_substring_dedup_always_matches_naive(spark, docs, k):
+    """First-occurrence-wins substring removal equals the pure-Python
+    definition on gram-collision-heavy inputs (3-char alphabet forces
+    shared k-grams within and across documents)."""
+    from tests.test_dedup import _naive_substring_dedup
+
+    from merchant_classification_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == _naive_substring_dedup(rows, k)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+def test_dsir_features_match_python(spark, docs):
+    """The bound-lambda feature expression equals the plain-Python
+    unigram+bigram definition on arbitrary token streams (the expression
+    rewrites for performance must never change the feature list)."""
+    import re
+
+    from merchant_classification_spark.functions.text_analysis import (
+        _dsir_features,
+    )
+
+    def feats(s):
+        c = re.sub(r"[^a-z0-9']+", " ", (s or "").lower()).strip()
+        t = c.split(" ") if c else []
+        return t + [f"{a}_{b}" for a, b in zip(t, t[1:])]
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: r.f
+        for r in df.select("doc_id", _dsir_features("text").alias("f")).collect()
+    }
+    assert got == {i: feats(t) for i, t in enumerate(docs)}
