@@ -1444,3 +1444,54 @@ def exact_substring_dedup(
             occ_persisted.unpersist(blocking=False)
     finally:
         base.unpersist(blocking=False)
+
+
+def lsh_params(
+    threshold: float,
+    num_hashes: int = 64,
+    fn_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Choose ``(bands, rows_per_band)`` for MinHash LSH targeting a
+    Jaccard ``threshold`` — the S-curve solver every banding deployment
+    needs (Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* §3.4).
+
+    A pair with Jaccard similarity s collides in at least one of b bands
+    of r rows with probability ``1 − (1 − s^r)^b``. Over every (b, r)
+    factorization with ``b·r ≤ num_hashes``, minimize estimated error
+    mass: the false-positive integral of the collision curve below the
+    threshold plus ``fn_weight ×`` the miss integral above it
+    (rectangle rule, step 0.01 — exact enough to pick a factorization;
+    raise ``fn_weight`` to bias toward recall, the usual choice for
+    dedup where a missed duplicate is worse than a verified-away
+    candidate).
+
+    Driver-side arithmetic only — use it to parameterize
+    :func:`minhash_candidate_pairs` / :func:`minhash_dedup_pairs`; at
+    100 TB the choice trades shuffle volume (∝ bands) against verify
+    volume (false positives), which is exactly what the two integrals
+    measure.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes <= 0:
+        raise ValueError("num_hashes must be positive")
+    if fn_weight <= 0:
+        raise ValueError("fn_weight must be positive")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        b = num_hashes // r
+        if b == 0:
+            break
+        fp = fn = 0.0
+        for i in range(1, 101):
+            s = (i - 0.5) / 100.0
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p * 0.01
+            else:
+                fn += (1.0 - p) * 0.01
+        err = fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

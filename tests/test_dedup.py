@@ -611,3 +611,30 @@ def test_exact_substring_dedup_validates_k(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         exact_substring_dedup(df, "doc_id", "text", k=1)
+
+
+def test_lsh_params_s_curve():
+    """The S-curve solver picks textbook factorizations: more rows per
+    band as the threshold rises, more bands when misses are penalized,
+    and the budget is never exceeded."""
+    from merchant_classification_spark.operators.dedup import lsh_params
+
+    assert lsh_params(0.5, 64) == (16, 4)
+    b_lo, r_lo = lsh_params(0.5, 64)
+    b_hi, r_hi = lsh_params(0.9, 64)
+    assert r_hi > r_lo and b_hi < b_lo  # steeper curve at high threshold
+    # recall bias: penalizing misses moves toward more bands, fewer rows
+    b_rec, r_rec = lsh_params(0.9, 64, fn_weight=5.0)
+    assert b_rec >= b_hi and r_rec <= r_hi
+    for nh in (16, 64, 128):
+        b, r = lsh_params(0.7, nh)
+        assert 1 <= b * r <= nh
+    import pytest as _p
+
+    for bad in (0.0, 1.0, -1.0):
+        with _p.raises(ValueError):
+            lsh_params(bad)
+    with _p.raises(ValueError):
+        lsh_params(0.5, 0)
+    with _p.raises(ValueError):
+        lsh_params(0.5, 64, fn_weight=0.0)
