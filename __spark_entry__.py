@@ -605,6 +605,26 @@ def q_ann_bruteforce(spark, sf_dir):
     return brute_force_topk(emb, qs, k=ANN_K).orderBy("query_id", "rank")
 
 
+def q_hard_negatives(spark, sf_dir):
+    # exact hard-negative mining for contrastive training pairs
+    # (operators/similarity.py hard_negative_topk): per query vector,
+    # the ANN_K most-similar vectors with a DIFFERENT label — the
+    # brute-force plan shape of ann_bruteforce plus the label-mismatch
+    # predicate in the broadcast-join filter. Oracle replays cosine,
+    # label filter, and rank bit-for-bit.
+    from merchant_classification_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return hard_negative_topk(emb, qs, k=ANN_K).orderBy("query_id", "rank")
+
+
 NEARDUP_MAX_ID = 300
 NEARDUP_TAU = 0.4
 
@@ -3048,6 +3068,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "ann_bruteforce": q_ann_bruteforce,
+    "hard_negatives": q_hard_negatives,
     "embedding_neardup": q_embedding_neardup,
     "event_time_windows": q_event_time_windows,
     "sessionize_batch": q_sessionize_batch,
@@ -3504,6 +3525,24 @@ ORACLES.update(
             )
             SELECT query_id, vec_id, cosine_sim, rank FROM (
                 SELECT query_id, vec_id, cosine_sim,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+                FROM scored
+            ) WHERE rank <= {ANN_K}
+        """,
+        "hard_negatives": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            n AS (SELECT vec_id, label, v, sqrt({_sql_dot('v', 'v')}) AS nv FROM e),
+            q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nv AS nq
+                  FROM n WHERE vec_id < {N_ANN_QUERIES}),
+            scored AS (
+                SELECT q.query_id, n.vec_id, n.label AS vec_label,
+                       CASE WHEN n.nv * q.nq = 0.0 THEN 0.0
+                            ELSE ({_sql_dot('n.v', 'q.qv')}) / (n.nv * q.nq) END AS cosine_sim
+                FROM n, q WHERE n.label <> q.qlabel
+            )
+            SELECT query_id, vec_id, vec_label, cosine_sim, rank FROM (
+                SELECT query_id, vec_id, vec_label, cosine_sim,
                        CAST(row_number() OVER (PARTITION BY query_id
                                                ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
                 FROM scored
@@ -5900,7 +5939,7 @@ SUITES: dict[str, list[str]] = {
         "edit_distance_neardup",
         "winnow_pairs",
     ],
-    "ann_exact_suite": ["ann_bruteforce", "ann_quantized"],
+    "ann_exact_suite": ["ann_bruteforce", "ann_quantized", "hard_negatives"],
     "embedding_suite": ["embedding_quantize", "embedding_stats"],
     "multimodal_decode": ["multimodal_decode"],
     "vocab_suite": ["ngram_top", "tfidf_vocab"],

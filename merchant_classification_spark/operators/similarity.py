@@ -787,3 +787,63 @@ def semantic_dedup_portable(
     )
     d.unpersist(blocking=False)
     return out
+
+
+def hard_negative_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    data_label: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_label: str = "query_label",
+) -> DataFrame:
+    """Exact hard-negative mining: for each query vector, the ``k``
+    most-cosine-similar vectors carrying a DIFFERENT label — the
+    standard way to build contrastive/triplet training pairs and the
+    error-prone tail of embedding-model data pipelines (easy negatives
+    teach nothing; the hardest ones are the nearest wrong-label
+    neighbors).
+
+    Same plan shape as :func:`brute_force_topk` (one scan of ``data``,
+    queries broadcast, WindowGroupLimit top-k — the honest exact answer
+    for a bounded query set): the label-mismatch predicate rides in the
+    broadcast-join filter, so self-pairs drop for free (a vector shares
+    its own label). Rows with a NULL label on either side never pair
+    (SQL ``<>`` semantics) — mirror-checked by the oracle. At corpus
+    scale, mine within SRP-LSH buckets first (:func:`lsh_topk`) and
+    post-filter labels, trading the exactness guarantee for the bucket
+    join — the same dial every ANN tier here exposes.
+
+    Returns (query_id, vec_id, vec_label, cosine_sim, rank); ties break
+    on vec_id so results are total-ordered and reproducible.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        to_double_array(query_vec).alias("qv"),
+        F.col(query_label).alias("qlabel"),
+    )
+    d = data.select(
+        F.col(data_id).alias("vec_id"),
+        to_double_array(data_vec).alias("dv"),
+        F.col(data_label).alias("vec_label"),
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("vec_label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            "vec_label",
+            cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine_sim"),
+        )
+    )
+    return group_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("vec_id")],
+        k,
+        keep_rank=True,
+    )

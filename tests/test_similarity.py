@@ -285,3 +285,46 @@ def test_semantic_dedup_exact_duplicates_keep_one(spark):
     kept = sorted(r.vec_id for r in out.where("keep").collect())
     assert kept == [0, 10, 20]
     assert out.count() == 9
+
+
+def test_hard_negative_topk_vs_numpy(spark):
+    """Hard negatives: nearest wrong-label neighbors only, self excluded
+    via its own label, NULL labels never pair, ranks total-ordered."""
+    import numpy as np
+
+    from merchant_classification_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20, 8)).astype("float64")
+    labels = [i % 3 for i in range(18)] + [None, None]
+    rows = [
+        (i, [float(x) for x in vecs[i]], labels[i]) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    qs = df.where("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec", "label AS query_label"
+    )
+    out = hard_negative_topk(df, qs, k=5).collect()
+
+    norms = np.linalg.norm(vecs, axis=1)
+    for qid in range(4):
+        got = sorted(
+            [(r.rank, r.vec_id, r.vec_label, r.cosine_sim) for r in out if r.query_id == qid]
+        )
+        sims = []
+        for j in range(20):
+            if labels[j] is None or labels[j] == labels[qid]:
+                continue  # same-label (incl. self) and NULL-label never pair
+            c = float(vecs[qid] @ vecs[j] / (norms[qid] * norms[j]))
+            sims.append((-c, j))
+        want = [
+            (rank + 1, j, labels[j]) for rank, (_, j) in enumerate(sorted(sims)[:5])
+        ]
+        assert [(r, v, l) for r, v, l, _ in got] == want
+        # hardest negative first, monotone down the ranks
+        for a, b in zip(got, got[1:]):
+            assert a[3] >= b[3]
