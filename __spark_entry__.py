@@ -2462,6 +2462,12 @@ BM25_TERMS = ["spark", "query", "window", "merge"]
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+#: BPE tokenizer fit bounds (functions/bpe.py): merge rounds, vocab cap
+#: (top-k words by freq — the bounded fit aggregate), min pair freq
+BPE_MERGES = 50
+BPE_MAX_VOCAB = 4096
+BPE_MIN_PAIR_FREQ = 2
+
 
 def q_bm25_retrieval(spark, sf_dir):
     # Okapi BM25 lexical retrieval scoring (operators/retrieval.py):
@@ -2500,6 +2506,29 @@ def q_dsir_weights(spark, sf_dir):
         docs, "text", F.col("lang") == DSIR_TARGET_LANG, DSIR_BUCKETS
     )
     return dsir_scores(docs, lr, "text", "doc_id")
+
+
+def q_bpe_tokens(spark, sf_dir):
+    # deterministic subword/BPE tokenization (Sennrich et al. 2016,
+    # arXiv:1508.07909) under the corpus-screen discipline: the word-
+    # frequency table is ONE bounded explode+count aggregate (top
+    # BPE_MAX_VOCAB by freq desc, word asc — total tie-break), the merge
+    # sequence is a deterministic driver-side fit over it (ties break
+    # lexicographically), and scoring is explode → broadcast vocab join
+    # → per-doc partial-agg sum. OOV words count at character
+    # granularity (exactly BPE's no-merges-apply segmentation); the
+    # oracle recomputes the word counts in DuckDB and replays the same
+    # fit, so every count is integer-exact (functions/bpe.py).
+    from merchant_classification_spark.functions.bpe import (
+        bpe_token_counts,
+        corpus_word_freq,
+        fit_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = corpus_word_freq(docs, "text", BPE_MAX_VOCAB)
+    _, wnt = fit_bpe(wf, BPE_MERGES, BPE_MIN_PAIR_FREQ)
+    return bpe_token_counts(spark, docs, wnt, "text", "doc_id")
 
 
 def q_pack_documents(spark, sf_dir):
@@ -3149,6 +3178,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "dsir_weights": q_dsir_weights,
     "bm25_retrieval": q_bm25_retrieval,
+    "bpe_tokens": q_bpe_tokens,
     "corpus_mix": q_corpus_mix,
     "pack_documents": q_pack_documents,
     "salted_join_agg": q_salted_join_agg,
@@ -4656,6 +4686,78 @@ if _bm25_sql is not None:
     ORACLES["bm25_retrieval"] = _bm25_sql
 
 
+def _bpe_oracle_sql() -> str | None:
+    """Full replay of q_bpe_tokens: recompute the word-frequency table
+    in DuckDB (same tokenization replay as token_stats, same top-k cap
+    with the same total tie-break), run the SAME deterministic fit on
+    those exact integer counts (the fit is a pure function of the
+    table — shared like ``math.log`` in the perplexity/DSIR oracles;
+    the distributed plumbing the oracle independently verifies is the
+    tokenize/aggregate/join/sum path), inline the fitted word →
+    token-count table as VALUES, and score with unnest + left join +
+    integer sums. Same guard as the other corpus screens: unreadable
+    grading data at import → None → the member degrades to absent.
+    """
+    import os
+
+    import duckdb as _dd
+
+    from merchant_classification_spark.functions.bpe import fit_bpe
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        con = _dd.connect()
+        rows = con.sql(
+            f"""
+            WITH d AS (SELECT text FROM read_parquet('{path}')),
+            t AS (SELECT {_SQL_TOKENS} AS toks FROM d),
+            e AS (SELECT unnest(toks) AS word FROM t)
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM e GROUP BY word
+            ORDER BY freq DESC, word ASC
+            LIMIT {BPE_MAX_VOCAB}
+            """
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    wf = {str(w): int(f) for w, f in rows}
+    _, wnt = fit_bpe(wf, BPE_MERGES, BPE_MIN_PAIR_FREQ)
+    vals = ", ".join(
+        f"('{w.replace(chr(39), chr(39) * 2)}', {n})"
+        for w, n in sorted(wnt.items())
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        e AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        v(word, word_tokens) AS (SELECT * FROM (VALUES {vals})),
+        j AS (SELECT e.doc_id, e.word, v.word_tokens
+              FROM e LEFT JOIN v ON e.word = v.word),
+        a AS (SELECT doc_id,
+                     CAST(count(*) AS INTEGER) AS n_words,
+                     CAST(sum(coalesce(word_tokens, length(word))) AS BIGINT)
+                         AS n_bpe_tokens,
+                     CAST(sum(CASE WHEN word_tokens IS NULL THEN 1 ELSE 0 END)
+                          AS INTEGER) AS n_oov
+              FROM j GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(a.n_words, 0) AS n_words,
+               coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+               coalesce(a.n_oov, 0) AS n_oov
+        FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+    """
+
+
+_bpe_sql = _bpe_oracle_sql()
+if _bpe_sql is not None:
+    ORACLES["bpe_tokens"] = _bpe_sql
+
+
 def _pii_oracle_sql() -> str:
     """Progressive scrub chain mirroring functions/pii.py exactly: same
     patterns (dialect-portable, so the literal strings are reused), same
@@ -6014,6 +6116,11 @@ if "dsir_weights" in ORACLES:
 # data-dependent-oracle guard.
 if "bm25_retrieval" in ORACLES:
     SUITES["vocab_suite"].append("bm25_retrieval")
+# deterministic BPE subword tokenization joins the corpus-vocabulary
+# suite (round 6); same data-dependent-oracle guard — the oracle refits
+# the merge table from DuckDB-recomputed word counts at import.
+if "bpe_tokens" in ORACLES:
+    SUITES["vocab_suite"].append("bpe_tokens")
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
 # suite — KMeans/seeded-rand/sketch/ML ops

@@ -11,12 +11,17 @@ tail-capture always gets it) the headline:
 Full results (per-query, per-member, streaming rps) are also written to
 $SPARK_GRAFT_BENCH_OUT (default bench_results.json) as a committed
 artifact — the driver's tail capture truncates, the file doesn't. The
-streaming probe carries a regression floor ($SPARK_GRAFT_STREAM_FLOOR,
-default 20000 rows/s warmed): below it the bench exits nonzero. Warmed
-steady-state measures ~45-50k rows/s; session-to-session noise is ~2x,
-while the regressions the floor exists to catch (per-row Python in the
-stream path, a lost state-store shortcut) are ~10x — so the default sits
-above any plausible regression but below the noise band.
+streaming probe runs FIRST, on the fresh JVM, in isolation from the
+batch set (round 6: tail position inherited batch-churn contention),
+and carries a regression floor ($SPARK_GRAFT_STREAM_FLOOR, default
+30000 rows/s warmed): below it the bench exits nonzero. Warmed
+steady-state in isolation measures 43-55k rows/s, while the regressions
+the floor exists to catch (per-row Python in the stream path, a lost
+state-store shortcut) are ~10x — so the default sits above any
+plausible regression but below the isolated noise band. Per-suite
+member timings are the MEDIAN of $SPARK_GRAFT_BENCH_MEMBER_REPS
+(default 3) serial single-shot runs, so one ambient hiccup no longer
+lands verbatim in the recorded number.
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 parallelism from $SPARK_GRAFT_CPUS (default all cores). Each query is
@@ -131,6 +136,45 @@ def main() -> None:
     spark = build_session(app_name="mcs-bench")
     timings: dict[str, float] = {}
 
+    # streaming tier probe FIRST, in isolation: records/sec through the
+    # ingest path (enrich_stream cleaning + fingerprint dedup-on-ingest),
+    # one micro-batch of a deterministic rate source. Round 5's driver
+    # run measured 26.5k rows/s here vs 43-55k in committed same-code
+    # runs — the probe used to run LAST, after ~150 batch query
+    # executions had churned the JVM heap and the block manager, so it
+    # inherited whatever contention the grown batch set left behind.
+    # Running it on the fresh JVM (its own warm-up batch amortizes
+    # codegen) measures the streaming path, not the batch set's wake.
+    # Its own JSON line so the batch headline stays comparable.
+    stream_rps = None
+    stream_floor = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR", "30000"))
+    stream_floor_violated = False
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        try:
+            stream_rps = _streaming_throughput(spark)
+            # regression floor (warmed steady-state measures 43-55k
+            # rows/s in isolation): below the floor the bench FAILS
+            # loudly (nonzero exit after printing) instead of letting
+            # throughput drift. Raised 20k->30k in round 6 once the
+            # probe ran first — the old floor had to sit under the
+            # contention the tail position added.
+            stream_floor_violated = stream_rps < stream_floor
+            print(
+                json.dumps(
+                    {
+                        "metric": "streaming_throughput_rps",
+                        "value": stream_rps,
+                        "unit": "rows/sec",
+                        "floor": stream_floor,
+                        "floor_violated": stream_floor_violated,
+                    }
+                )
+            )
+        except Exception as e:  # never let the probe sink the batch bench
+            print(json.dumps({"metric": "streaming_throughput_rps", "error": str(e)[:200]}))
+        gc.collect()
+        _jvm_gc(spark)
+
     # warm the JVM/codegen once so timings measure the queries, not startup
     force(entry_mod.q_class_histogram(spark, sf_dir))
 
@@ -167,49 +211,35 @@ def main() -> None:
 
     # per-member timings: suite totals alone cannot attribute a
     # member-level regression (the suite unions 2-6 probes built
-    # concurrently), so time each member probe individually once.
+    # concurrently), so time each member probe individually — SERIALLY,
+    # and as the MEDIAN of N single-shot runs (default 3,
+    # SPARK_GRAFT_BENCH_MEMBER_REPS overrides). Round 5's single-shot
+    # member numbers swung up to 5x between same-code runs
+    # (ngram_jaccard 12.5 s in the driver run vs 2.4-2.9 s in five
+    # committed runs): one ambient hiccup — a GC pause, a competing
+    # process on the shared box — lands verbatim in a single-shot
+    # number, which blinded regression detection. The median of 3
+    # tolerates one hiccup per member; the min would hide a REAL
+    # regression that manifests as consistent slowness, so median it is.
     # SPARK_GRAFT_BENCH_MEMBERS=0 skips the pass.
     members: dict[str, dict[str, float]] = {}
+    member_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MEMBER_REPS", "3")))
     if os.environ.get("SPARK_GRAFT_BENCH_MEMBERS", "1") != "0":
         for suite, names in entry_mod.SUITES.items():
             if len(names) < 2:
                 continue
             members[suite] = {}
             for name in names:
-                t0 = time.perf_counter()
-                force(entry_mod.BRANCH_QUERIES[name](spark, sf_dir))
-                members[suite][name] = round(time.perf_counter() - t0, 3)
-                spark.catalog.clearCache()
+                obs = []
+                for _ in range(member_reps):
+                    t0 = time.perf_counter()
+                    force(entry_mod.BRANCH_QUERIES[name](spark, sf_dir))
+                    obs.append(time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                obs.sort()
+                members[suite][name] = round(obs[len(obs) // 2], 3)
             gc.collect()
             _jvm_gc(spark)
-
-    # streaming tier probe: records/sec through the ingest path
-    # (enrich_stream cleaning + fingerprint dedup-on-ingest), one
-    # micro-batch of a deterministic rate source. Its own JSON line so
-    # the batch headline stays comparable across rounds.
-    stream_rps = None
-    stream_floor = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR", "20000"))
-    stream_floor_violated = False
-    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
-        try:
-            stream_rps = _streaming_throughput(spark)
-            # regression floor (warmed steady-state has measured ~45-50k
-            # rows/s): below the floor the bench FAILS loudly (nonzero
-            # exit after printing) instead of letting throughput drift
-            stream_floor_violated = stream_rps < stream_floor
-            print(
-                json.dumps(
-                    {
-                        "metric": "streaming_throughput_rps",
-                        "value": stream_rps,
-                        "unit": "rows/sec",
-                        "floor": stream_floor,
-                        "floor_violated": stream_floor_violated,
-                    }
-                )
-            )
-        except Exception as e:  # never let the probe sink the batch bench
-            print(json.dumps({"metric": "streaming_throughput_rps", "error": str(e)[:200]}))
 
     # per-query map on its own line FIRST; the compact machine-readable
     # headline is the FINAL line by itself (with many queries the combined
