@@ -840,12 +840,143 @@ def winnow_pairs(
 # ---------------------------------------------------------------------------
 
 
+def edjoin_density_probe(
+    strings: list[str], q: int, max_distance: int
+) -> float:
+    """Estimated Ed-Join candidate FRACTION for gram size ``q`` — the
+    share of all string pairs the banded join would emit as candidates,
+    from a pure-Python miniature of :func:`edit_distance_pairs`'s
+    prefix selection and positional banding over a bounded sample.
+
+    Replays the real pipeline's shape: positional q-grams, sample-local
+    df counts, the (df, gram, pos) rarity order cut at ``q·k + 1``
+    prefix grams per string, then per-(gram, band) bucket counts with
+    the probe side's ±1 band replication: Σ choose(c,2)·3 over buckets,
+    divided by choose(n,2). The fraction is scale-free (bucket counts
+    and total pairs both grow with the sample), so one threshold serves
+    any sample size. Benign corpora measure ≪1%; the documented
+    adversarial input (aligned fixed-width keys over a shared
+    low-entropy alphabet, SCALING.md "Adversarial bound") pushes it
+    toward 1 because every prefix gram is frequent AND co-banded.
+    """
+    k = max_distance
+    band = k + 1
+    per_string: list[list[tuple[str, int]]] = []
+    df_count: dict[str, int] = {}
+    for s in strings:
+        grams = [(s[i : i + q], i + 1) for i in range(len(s) - q + 1)]
+        per_string.append(grams)
+        for g, _ in grams:
+            df_count[g] = df_count.get(g, 0) + 1
+    n = len(per_string)
+    if n < 2:
+        return 0.0
+    buckets: dict[tuple[str, int], int] = {}
+    for grams in per_string:
+        grams.sort(key=lambda t: (df_count[t[0]], t[0], t[1]))
+        for g, pos in grams[: q * k + 1]:
+            key = (g, pos // band)
+            buckets[key] = buckets.get(key, 0) + 1
+    pairs = sum(c * (c - 1) // 2 for c in buckets.values())
+    return min(1.0, 3.0 * pairs / (n * (n - 1) / 2.0))
+
+
+def edjoin_autotune(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 1,
+    q: int = 2,
+    guard_sample: int = 2000,
+    guard_candidate_frac: float = 0.05,
+    max_q: int = 8,
+) -> int:
+    """Pick the gram size for :func:`edit_distance_pairs` by probing
+    candidate density on a sample — the auto-guard for the documented
+    adversarial input (SCALING.md "Adversarial bound": aligned
+    low-entropy fixed-width keys run candidate-quadratic at any fixed
+    q because rarity/position/length stay lossless but only trim
+    constants; the named mitigation is a larger q over the dense
+    field).
+
+    The operator is EXACT for every q (all filters are lossless given
+    q, and strings too short for a q route to the exact short-string
+    block), so this tunes the PLAN only — output is identical at any
+    returned q. That makes the probe's sampling nondeterminism benign.
+
+    Doubles q while the sampled candidate fraction exceeds
+    ``guard_candidate_frac`` (share of all pairs the banded join would
+    emit — scale-free, so the threshold is sample-size independent),
+    stopping at ``max_q`` or when a larger q would push ≥5% of the
+    sampled strings below the long-string threshold (fixed-width keys
+    all drop to the short block together — an all-pairs tier that must
+    stay the tiny-minority path). Warns when even the chosen q stays
+    dense — which includes inputs whose TRUE result is itself
+    near-quadratic (short shared-alphabet keys where most pairs really
+    are within k edits: no algorithm beats its own output size) — the
+    remaining mitigations (normalize layout-constant regions, split the
+    dense column) need schema knowledge the engine cannot infer.
+
+    One ``limit(guard_sample)`` collect (bounded driver bytes) + pure
+    Python; at 100 TB this is noise next to the join it protects.
+    """
+    import warnings
+
+    k = max_distance
+    sample = [
+        r[0]
+        for r in df.select(F.col(text_col).cast("string"))
+        .where(F.col(text_col).isNotNull())
+        .limit(guard_sample)
+        .collect()
+    ]
+    if not sample:
+        return q
+    lengths = sorted(len(s) for s in sample)
+    q_try = q
+    best_q, best_d = q, float("inf")
+    while True:
+        # viability: ≥95% of sampled strings stay on the long-string
+        # path at this q (short tier is all-pairs within a length band)
+        min_long = q_try * k + q_try
+        if lengths[max(0, int(0.05 * len(lengths)) - 1)] < min_long + k:
+            if lengths[0] < min_long + k and q_try > q:
+                break  # escalation would dump the sample into the short block
+        longs = [s for s in sample if len(s) >= min_long]
+        d = edjoin_density_probe(longs, q_try, k) if longs else 0.0
+        if d < best_d:
+            best_q, best_d = q_try, d
+        if d <= guard_candidate_frac:
+            return q_try
+        if q_try >= max_q:
+            break
+        nxt = q_try * 2
+        nxt_min_long = nxt * k + nxt
+        if sum(1 for s in sample if len(s) >= nxt_min_long) < 0.95 * len(
+            sample
+        ):
+            break
+        q_try = nxt
+    warnings.warn(
+        f"edit_distance_pairs input stays candidate-dense at every viable "
+        f"gram size (best q={best_q}, ~{100 * best_d:.1f}% of all pairs become "
+        f"candidates): "
+        f"likely aligned fixed-width low-entropy keys. Normalize away "
+        f"layout-constant regions before gramming, or split the dense "
+        f"column (SCALING.md 'Adversarial bound').",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return best_q
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_distance: int = 1,
     q: int = 2,
+    auto_guard: bool = False,
 ) -> DataFrame:
     """EXACT pairs (id_a < id_b) with levenshtein ≤ ``max_distance``,
     without the naive n² comparison (Xiao/Wang/Lin's Ed-Join shape):
@@ -879,6 +1010,12 @@ def edit_distance_pairs(
     prefix argument doesn't hold — they take an all-pairs block against
     the (tiny at corpus scale) ≤ ``q·k+q−1+k`` length band instead.
 
+    ``auto_guard=True`` routes around the adversarial bound
+    automatically: :func:`edjoin_autotune` probes candidate density on
+    a bounded sample and escalates ``q`` (output-identical at any q —
+    the filters are lossless per q) before the join is planned, warning
+    when no viable q escapes the density.
+
     Scale shape: candidate generation shuffles (gram, id) tokens only —
     q·k+1 per string regardless of string length; the rarity ordering is
     one window over the gram shuffle; verify re-joins the strings once
@@ -888,6 +1025,8 @@ def edit_distance_pairs(
     from pyspark.sql.window import Window
     from pyspark.storagelevel import StorageLevel
 
+    if auto_guard:
+        q = edjoin_autotune(df, id_col, text_col, max_distance, q)
     k = max_distance
     min_long = q * k + q
     base = (

@@ -638,3 +638,100 @@ def test_lsh_params_s_curve():
         lsh_params(0.5, 0)
     with _p.raises(ValueError):
         lsh_params(0.5, 64, fn_weight=0.0)
+
+
+def _aligned_serials(n):
+    # the SCALING.md "Adversarial bound" shape: fixed-width keys over a
+    # shared 10-char alphabet, digits aligned at the same positions
+    return [f"ID{str(i).zfill(12)}" for i in range(n)]
+
+
+def _aligned_keys(n):
+    # the round-5 sf1 adversarial shape: fixed-width keys whose LONG
+    # digit region varies but stays position-aligned on a shared
+    # 10-char alphabet — true matches are rare, candidates quadratic
+    import random
+
+    rnd = random.Random(7)
+    return [
+        "ID" + "".join(rnd.choice("0123456789") for _ in range(14))
+        for _ in range(n)
+    ]
+
+
+def test_edjoin_density_probe_separates_adversarial_from_benign():
+    from merchant_classification_spark.operators.dedup import (
+        edjoin_density_probe,
+    )
+
+    adv = _aligned_keys(1500)
+    d2 = edjoin_density_probe(adv, q=2, max_distance=2)
+    assert d2 > 0.05  # every prefix gram frequent AND co-banded
+    # a larger q over the dense field thins the buckets below threshold
+    assert edjoin_density_probe(adv, q=4, max_distance=2) < 0.05
+
+
+def test_edjoin_autotune_benign_keeps_base_q(spark, tables):
+    from merchant_classification_spark.operators.dedup import edjoin_autotune
+
+    assert (
+        edjoin_autotune(tables["customer"], "c_custkey", "c_name", 2, q=2)
+        == 2
+    )
+
+
+def test_edjoin_autotune_escalates_on_aligned_serials(spark):
+    from merchant_classification_spark.operators.dedup import edjoin_autotune
+
+    df = spark.createDataFrame(
+        list(enumerate(_aligned_keys(1500))), ["doc_id", "s"]
+    )
+    q = edjoin_autotune(df, "doc_id", "s", max_distance=2, q=2)
+    assert q > 2  # escalated off the dense gram size
+
+
+def test_edjoin_autotune_warns_when_no_viable_escape(spark):
+    import warnings
+
+    from merchant_classification_spark.operators.dedup import edjoin_autotune
+
+    # 7-char aligned serials: q=4,k=2 needs len >= 12, so q cannot
+    # escalate — the guard must warn and fall back to the best viable q
+    df = spark.createDataFrame(
+        [(i, str(i).zfill(7)) for i in range(1200)], ["doc_id", "s"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        q = edjoin_autotune(df, "doc_id", "s", max_distance=2, q=2)
+    assert q == 2
+    assert any("candidate-dense" in str(x.message) for x in w)
+
+
+def test_edit_distance_pairs_auto_guard_output_identical(spark):
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    # adversarial-shaped input, small enough to verify naively
+    df = spark.createDataFrame(
+        list(enumerate(_aligned_serials(300))), ["doc_id", "s"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in edit_distance_pairs(
+            df, "doc_id", "s", max_distance=2, auto_guard=True
+        ).collect()
+    }
+    l = df.select(F.col("doc_id").alias("id_a"), F.col("s").alias("na"))
+    r_ = df.select(F.col("doc_id").alias("id_b"), F.col("s").alias("nb"))
+    naive = {
+        (row.id_a, row.id_b): row.d
+        for row in l.crossJoin(r_)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("d", F.levenshtein("na", "nb").cast("long"))
+        .where(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == naive and len(naive) > 0
