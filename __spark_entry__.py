@@ -3961,10 +3961,15 @@ def _minhash_oracle_sql() -> str:
         MERSENNE31,
         minhash_perms,
     )
+    from merchant_classification_spark.operators.dedup import lsh_params
 
     a, b = minhash_perms(64)
     a_lit = "[" + ",".join(map(str, a)) + "]::BIGINT[]"
     b_lit = "[" + ",".join(map(str, b)) + "]::BIGINT[]"
+    # the probe leaves banding to the S-curve solver (round 6): replay
+    # the same (bands, rows) the operator derives for threshold 0.6 at
+    # its default recall bias (fn_weight=2)
+    nb, rpb = lsh_params(0.6, 64, 2.0)
     return f"""
         WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
         shg AS (
@@ -3986,9 +3991,10 @@ def _minhash_oracle_sql() -> str:
             FROM hh, consts),
         banded AS (
             SELECT doc_id,
-                   unnest(range(0, 16)) AS band,
-                   unnest(list_transform(range(0, 16),
-                       b -> array_to_string(sg[b * 4 + 1 : b * 4 + 4], ':'))) AS band_val
+                   unnest(range(0, {nb})) AS band,
+                   unnest(list_transform(range(0, {nb}),
+                       b -> array_to_string(
+                           sg[b * {rpb} + 1 : b * {rpb} + {rpb}], ':'))) AS band_val
             FROM sig),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

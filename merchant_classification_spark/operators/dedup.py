@@ -458,12 +458,25 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     shingle_size: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     eager: bool = True,
     scheme: str = "md5",
+    fn_weight: float = 2.0,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by EXACT
     n-gram Jaccard ≥ threshold → (id_a, id_b, jaccard_sim).
+
+    ``bands=None`` (default) derives the banding from
+    :func:`lsh_params` at the verify ``threshold`` with ``fn_weight``
+    (default 2 — dedup biases toward recall: a missed duplicate leaks,
+    a false candidate is merely verified away). The S-curve solver
+    centers the collision curve on the threshold instead of whatever a
+    hardcoded banding happens to target: at sf1/t=0.8 the solver's 7×9
+    measured 7.6 s median vs 9.2 s for the legacy 16×4 with 99.5% of
+    its verified pairs (16×4 over-collides at low similarity — its
+    curve centers near s≈0.5 — and pays the banding shuffle 16/7≈2.3×;
+    `SCALING.md`). Passing ``bands`` explicitly keeps the legacy
+    ``num_hashes // bands`` rows split.
 
     Same eager-materialize/release contract as ``minhash_candidate_pairs``
     — with ``eager=True`` only the verified (id_a, id_b, jaccard_sim)
@@ -471,7 +484,10 @@ def minhash_dedup_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    rows_per_band = num_hashes // bands
+    if bands is None:
+        bands, rows_per_band = lsh_params(threshold, num_hashes, fn_weight)
+    else:
+        rows_per_band = num_hashes // bands
     base = _minhash_base(df, id_col, text_col, shingle_size, num_hashes, scheme)
 
     def verified(b: DataFrame) -> DataFrame:

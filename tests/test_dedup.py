@@ -735,3 +735,28 @@ def test_edit_distance_pairs_auto_guard_output_identical(spark):
         .collect()
     }
     assert got == naive and len(naive) > 0
+
+
+def test_minhash_default_banding_derives_from_solver(spark, tables):
+    from merchant_classification_spark.operators.dedup import (
+        lsh_params,
+        minhash_dedup_pairs,
+    )
+
+    docs = tables["documents"]
+    b, r = lsh_params(0.6, 64, 2.0)
+    assert (b, r) != (16, 4)  # the solver actually moved the default
+    auto = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.6)
+    # explicit solver banding must reproduce the default exactly; the
+    # legacy 16x4 split uses num_hashes // bands, so pin rows via the
+    # solver's b where divisible
+    got = sorted((x.id_a, x.id_b) for x in auto.collect())
+    assert len(got) > 0
+    # determinism: the derived default is stable call-to-call
+    again = sorted(
+        (x.id_a, x.id_b)
+        for x in minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    )
+    assert got == again
