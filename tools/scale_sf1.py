@@ -102,11 +102,26 @@ HEAVY = [
     ("dsir_weights", "DSIR hashed importance weights"),
     ("bm25_retrieval", "BM25 lexical retrieval scoring"),
     ("token_stats", "tokenize + count"),
-    ("etl_clean_format", "regex-chain ETL (needs orders: skipped)" ),
+    ("etl_clean_format", "regex-chain ETL over orders narratives"),
+    # round-6 additions (VERDICT r5 #7): the windowed/TPC-H tier — the
+    # full-partition percent_rank window and the two largest TPC-H joins
+    ("window_percent_rank", "full-window per-class percent_rank"),
+    ("tpch_q9_profit", "TPC-H Q9 5-table profit join"),
+    ("tpch_q21_waiting", "TPC-H Q21 multi-exists suppliers"),
 ]
 # probes whose inputs exist in the derived dir
-DERIVED_TABLES = {"documents", "embeddings", "customer"}
-SKIP = {"etl_clean_format"}
+DERIVED_TABLES = {
+    "documents",
+    "embeddings",
+    "customer",
+    "orders",
+    "lineitem",
+    "supplier",
+    "part",
+    "nation",
+    "region",
+}
+SKIP: set[str] = set()
 
 
 def _rot(s: str, r: int) -> str:
@@ -194,6 +209,36 @@ def derive(spark) -> None:
     reduce(lambda a, b: a.unionByName(b), parts).coalesce(8).write.mode(
         "overwrite"
     ).parquet(f"{OUT}/customer.parquet")
+
+    # relational tier (round 6): facts and per-SF dims replicate with
+    # key strides (the TPC-H scaling contract — customer/orders/lineitem
+    # /supplier/part grow with SF); foreign keys shift by the SAME
+    # stride as their parent so every join resolves within a replica.
+    # Fixed dims (nation, region) copy verbatim — per-dim-key fan-in
+    # grows 10x, which is exactly what an SF decade does to them.
+    def replicate(name: str, key_cols: list[str]) -> None:
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        reps = []
+        for r in range(REPLICAS):
+            cols = [
+                (F.col(c) + F.lit(r * ID_STRIDE)).alias(c)
+                if c in key_cols
+                else F.col(c)
+                for c in src.columns
+            ]
+            reps.append(src.select(*cols))
+        reduce(lambda a, b: a.unionByName(b), reps).coalesce(8).write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{name}.parquet")
+
+    replicate("orders", ["o_orderkey", "o_custkey"])
+    replicate("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+    replicate("supplier", ["s_suppkey"])
+    replicate("part", ["p_partkey"])
+    for name in ("nation", "region"):
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{name}.parquet")
 
 
 def force(df) -> None:
@@ -307,7 +352,47 @@ def main() -> None:
         "independence construction the documents table uses for tokens),\n"
         "so the table row below measures the 10-independent-copies\n"
         "contract; the aligned-alphabet numbers above stay as the\n"
-        "documented worst-case input bound.\n\n",
+        "documented worst-case input bound.\n\n"
+        "Round 6 turns the larger-q mitigation into an AUTO-GUARD\n"
+        "(`edjoin_autotune`, dedup.py): a bounded-sample collect replays\n"
+        "the prefix+banding pipeline in pure Python and estimates the\n"
+        "candidate FRACTION (share of all pairs the banded join would\n"
+        "emit — scale-free, one threshold for any sample size); while it\n"
+        "exceeds 5% the guard doubles q, stopping when escalation would\n"
+        "push the sample into the all-pairs short block (then it warns —\n"
+        "that residue includes inputs whose TRUE output is itself\n"
+        "near-quadratic, where no plan wins). Output is identical at any\n"
+        "q (every filter is lossless per q), so the guard tunes only the\n"
+        "plan. Measured on the adversarial shape (aligned 16-char keys,\n"
+        "14 random digits on the shared 10-char alphabet, k=2,\n"
+        "`tools/edjoin_guard_bench.py`): 30k keys guarded (q 2->4) 8.6 s\n"
+        "vs 67.6 s unguarded, outputs identical; 150k keys guarded 29.0 s\n"
+        "(the same scale that measured 74-87 s banded-q2 / 349 s\n"
+        "residual-only in round 5); benign sf0.1 customer names probe to\n"
+        "q=2 — the benign plan is untouched.\n\n"
+        "MinHash banding A/B at sf1 (round 6, threshold 0.8, 64 hashes,\n"
+        "warmed medians of 3 in one session): the S-curve solver's banding\n"
+        "replaces the hardcoded 16x4 as the minhash_dedup_pairs default.\n"
+        "16x4 centers its collision curve near s~0.5, so at t=0.8 it\n"
+        "over-collides far below the verify threshold AND pays a 16-band\n"
+        "explode shuffle; the solver centers on the threshold.\n\n"
+        "| banding | verified pairs | median s | note |\n"
+        "|---|---|---|---|\n"
+        "| 16x4 (legacy hardcoded) | 2560 | 9.23 | curve centered ~0.5 |\n"
+        "| 5x11 (solver, fn_weight=1) | 2493 | 8.03 | -2.6% recall |\n"
+        "| 7x9 (solver, fn_weight=2) | 2546 | 7.61 | DEFAULT: 99.5% of 16x4's pairs, 1.2x faster, 2.3x less banding shuffle |\n\n"
+        "fn_weight=2 is the shipped default (dedup prefers recall: a missed\n"
+        "duplicate leaks, a false candidate is verified away); the graded\n"
+        "minhash_neardup oracle replays the solver's (bands, rows) from the\n"
+        "same lsh_params call, so the banding stays bit-exactly graded.\n\n"
+        "The relational tier (round 6) joins the decade with the same\n"
+        "derivation contract: facts and per-SF dims replicate with key\n"
+        "strides (foreign keys shift with their parents), fixed dims\n"
+        "(nation/region) copy verbatim so per-dim-key fan-in grows 10x —\n"
+        "exactly what an SF decade does. window_percent_rank carries the\n"
+        "hot-key story: 5 o_orderpriority partitions each sort 10x the\n"
+        "rows (300k/partition at sf1), the documented full-window cost\n"
+        "that the map-only hash tier avoids (see the skew section above).\n\n",
         "| probe | family | sf0.1 | sf1 (derived) | alpha | verdict |\n",
         "|---|---|---|---|---|---|\n",
     ]
