@@ -2531,6 +2531,34 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe_token_counts(spark, docs, wnt, "text", "doc_id")
 
 
+def q_bpe_pack(spark, sf_dir):
+    # the BPE → packing composition: fit the subword vocab (bounded
+    # aggregate + deterministic driver fit, as q_bpe_tokens), score
+    # per-doc BPE token counts, and cut packs with pack_documents'
+    # start-offset rule IN BPE TOKENS (n_tokens_col) — proving the
+    # token-budget operators accept real subword counts end-to-end
+    # (operators/chunking.py pack_documents, functions/bpe.py).
+    from merchant_classification_spark.functions.bpe import (
+        bpe_token_counts,
+        corpus_word_freq,
+        fit_bpe,
+    )
+    from merchant_classification_spark.operators.chunking import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = corpus_word_freq(docs, "text", BPE_MAX_VOCAB)
+    _, wnt = fit_bpe(wf, BPE_MERGES, BPE_MIN_PAIR_FREQ)
+    counts = bpe_token_counts(spark, docs, wnt, "text", "doc_id")
+    sized = docs.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id")
+    return pack_documents(
+        sized,
+        "doc_id",
+        "text",
+        budget=BPE_PACK_BUDGET,
+        n_tokens_col="n_bpe_tokens",
+    )
+
+
 def q_pack_documents(spark, sf_dir):
     # deterministic sequence packing by start-offset rule — a prefix sum,
     # so the oracle replays it exactly with window functions
@@ -3179,6 +3207,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "bm25_retrieval": q_bm25_retrieval,
     "bpe_tokens": q_bpe_tokens,
+    "bpe_pack": q_bpe_pack,
     "corpus_mix": q_corpus_mix,
     "pack_documents": q_pack_documents,
     "salted_join_agg": q_salted_join_agg,
@@ -4692,6 +4721,10 @@ if _bm25_sql is not None:
     ORACLES["bm25_retrieval"] = _bm25_sql
 
 
+#: pack budget for the BPE-token packing probe (bpe_pack)
+BPE_PACK_BUDGET = 512
+
+
 def _bpe_oracle_sql() -> str | None:
     """Full replay of q_bpe_tokens: recompute the word-frequency table
     in DuckDB (same tokenization replay as token_stats, same top-k cap
@@ -4738,6 +4771,9 @@ def _bpe_oracle_sql() -> str | None:
         f"('{w.replace(chr(39), chr(39) * 2)}', {n})"
         for w, n in sorted(wnt.items())
     )
+    # stash for the bpe_pack oracle (same fitted vocab, same corpus)
+    global _BPE_VALS
+    _BPE_VALS = vals
     return f"""
         WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
         e AS (SELECT doc_id, unnest(toks) AS word FROM t),
@@ -4759,9 +4795,53 @@ def _bpe_oracle_sql() -> str | None:
     """
 
 
+_BPE_VALS: str | None = None
 _bpe_sql = _bpe_oracle_sql()
 if _bpe_sql is not None:
     ORACLES["bpe_tokens"] = _bpe_sql
+
+
+def _bpe_pack_oracle_sql() -> str | None:
+    """Replay of q_bpe_pack — the BPE → pack_documents composition:
+    per-doc BPE token counts from the SAME fitted vocab literal the
+    bpe_tokens oracle inlines, then pack_documents' start-offset rule
+    (prefix-sum window, pack = cum_before DIV budget) in BPE tokens.
+    Proves the token-budget operators compose with real subword counts
+    end-to-end, integer-exact."""
+    if _BPE_VALS is None:
+        return None
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        e AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        v(word, word_tokens) AS (SELECT * FROM (VALUES {_BPE_VALS})),
+        a AS (SELECT e.doc_id,
+                     CAST(sum(coalesce(v.word_tokens, length(e.word)))
+                          AS BIGINT) AS n_tokens
+              FROM e LEFT JOIN v ON e.word = v.word
+              GROUP BY e.doc_id),
+        sized AS (SELECT doc_id, n_tokens FROM a WHERE n_tokens > 0),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM sized
+        )
+        SELECT doc_id, n_tokens,
+               CAST(cum_before // {BPE_PACK_BUDGET} AS BIGINT) AS pack_id,
+               CAST(row_number() OVER (
+                   PARTITION BY cum_before // {BPE_PACK_BUDGET}
+                   ORDER BY doc_id
+               ) AS INTEGER) AS pack_pos,
+               CAST(cum_before % {BPE_PACK_BUDGET} AS BIGINT) AS pack_offset
+        FROM c
+    """
+
+
+_bpe_pack_sql = _bpe_pack_oracle_sql()
+if _bpe_pack_sql is not None:
+    ORACLES["bpe_pack"] = _bpe_pack_sql
 
 
 def _pii_oracle_sql() -> str:
@@ -6127,6 +6207,10 @@ if "bm25_retrieval" in ORACLES:
 # the merge table from DuckDB-recomputed word counts at import.
 if "bpe_tokens" in ORACLES:
     SUITES["vocab_suite"].append("bpe_tokens")
+# the BPE → pack_documents composition joins the chunk/pack suite
+# (round 6): packs cut in fitted subword tokens, same oracle guard.
+if "bpe_pack" in ORACLES:
+    SUITES["chunk_pack_suite"].append("bpe_pack")
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
 # suite — KMeans/seeded-rand/sketch/ML ops
