@@ -47,6 +47,7 @@ __all__ = [
     "encode_word",
     "corpus_word_freq",
     "bpe_token_counts",
+    "bpe_segment",
 ]
 
 
@@ -153,6 +154,67 @@ def corpus_word_freq(
         .collect()
     )
     return {r["word"]: int(r["freq"]) for r in rows}
+
+
+def bpe_segment(
+    spark: SparkSession,
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_freq: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document subword token ARRAYS under the fitted merges —
+    the materialized form of :func:`bpe_token_counts` (whose n_bpe_tokens
+    equals ``size(bpe_tokens)`` here by construction; tests assert the
+    identity), for pipelines that need the tokens themselves (hashed
+    subword features, token-level dedup, inspection).
+
+    In-vocab words carry the fit's own segmentation (encoded once on
+    the driver, shipped as a broadcast word → segments dimension); OOV
+    words split to characters — the same vocabulary-capped semantics as
+    the count path. Word order is preserved via posexplode + an
+    array_sort on (pos, segs) structs before flattening; zero-token
+    documents yield an empty array.
+
+    Plan shape: one broadcast hash join + one doc-key aggregate — same
+    as the count path, plus the flatten. The segments dimension is
+    vocab-sized (bounded), never corpus-sized.
+
+    Returns (doc_id, bpe_tokens array<string>, n_bpe_tokens int).
+    """
+    if not word_freq:
+        raise ValueError("word_freq must be non-empty (fit first)")
+    seg_rows = [(w, encode_word(w, merges)) for w in sorted(word_freq)]
+    vt = spark.createDataFrame(seg_rows, "word string, segs array<string>")
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(tokens(text_col)).alias("pos", "word"),
+    )
+    joined = ex.join(F.broadcast(vt), "word", "left").withColumn(
+        "_segs",
+        F.when(F.col("word").isNull(), F.array().cast("array<string>"))
+        .when(F.col("segs").isNotNull(), F.col("segs"))
+        .otherwise(F.filter(F.split("word", ""), lambda x: x != F.lit(""))),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "_segs"))
+                    ),
+                    lambda x: x["_segs"],
+                )
+            ).alias("bpe_tokens")
+        )
+        .select(
+            "doc_id",
+            "bpe_tokens",
+            F.size("bpe_tokens").alias("n_bpe_tokens"),
+        )
+    )
 
 
 def bpe_token_counts(

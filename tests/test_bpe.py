@@ -236,3 +236,42 @@ def test_pack_and_budget_mix_accept_bpe_counts(spark, tiny_docs):
         rows.sort(key=lambda r: r["mix_rank"])
         for r in rows:
             assert r["cum_size"] - r["n_bpe_tokens"] < 5  # started in budget
+
+
+def test_bpe_segment_matches_counts_and_replay(spark, tiny_docs):
+    from merchant_classification_spark.functions.bpe import bpe_segment
+
+    wf = corpus_word_freq(tiny_docs, "text", 4096)
+    merges, wnt = fit_bpe(wf, 10)
+    segs = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in bpe_segment(spark, tiny_docs, merges, wf).collect()
+    }
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(spark, tiny_docs, wnt).collect()
+    }
+    assert set(segs) == set(counts)
+    for d, (toks, n) in segs.items():
+        assert n == len(toks) == counts[d], d
+    # replay doc 0 in python: fitted segmentation per word, in order
+    expect = []
+    for w in py_tokens("low low lower newest"):
+        expect.extend(encode_word(w, merges))
+    assert segs[0][0] == expect
+    # empty/null docs -> empty arrays
+    assert segs[2] == ([], 0) and segs[3] == ([], 0)
+
+
+def test_bpe_segment_oov_chars(spark, tiny_docs):
+    from merchant_classification_spark.functions.bpe import bpe_segment
+
+    wf = corpus_word_freq(tiny_docs, "text", 3)  # tight cap -> zebra OOV
+    merges, _ = fit_bpe(wf, 10)
+    row = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_segment(spark, tiny_docs, merges, wf).collect()
+    }[4]
+    # 'zebra' (OOV) splits to chars; 'low' uses the fitted segmentation
+    assert row[: 5] == ["z", "e", "b", "r", "a"]
+    assert "".join(row[5:]) == "low"
