@@ -223,23 +223,53 @@ def main() -> None:
     # regression that manifests as consistent slowness, so median it is.
     # SPARK_GRAFT_BENCH_MEMBERS=0 skips the pass.
     members: dict[str, dict[str, float]] = {}
+    # [lo, hi] of the rep observations per member — artifact-only, so
+    # the next round can tell contention (wide spread, stable median)
+    # from a real regression (shifted median, tight spread)
+    member_spread: dict[str, dict[str, list[float]]] = {}
     member_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MEMBER_REPS", "3")))
     if os.environ.get("SPARK_GRAFT_BENCH_MEMBERS", "1") != "0":
         for suite, names in entry_mod.SUITES.items():
             if len(names) < 2:
                 continue
             members[suite] = {}
+            member_spread[suite] = {}
             for name in names:
+                # the member's STANDALONE plan was never executed — the
+                # main pass warms the suite-union plan, whose codegen is
+                # different — so without its own warmup the first timed
+                # rep pays compile+JIT, and JIT tiering is erratic
+                # enough that a whole session's reps can stay in the
+                # cold mode (measured: embedding_neardup 6.7-10.3 s for
+                # all 3 reps in one run, 1.3 s in the next; a fresh
+                # session probe shows 7.8 s cold -> 1.2 s warm)
+                if warmup:
+                    force(entry_mod.BRANCH_QUERIES[name](spark, sf_dir))
+                    spark.catalog.clearCache()
+                    gc.collect()
+                    _jvm_gc(spark)
                 obs = []
                 for _ in range(member_reps):
                     t0 = time.perf_counter()
                     force(entry_mod.BRANCH_QUERIES[name](spark, sf_dir))
                     obs.append(time.perf_counter() - t0)
                     spark.catalog.clearCache()
+                    # PER REP, not per suite: localCheckpoint blocks are
+                    # freed only after the driver-side refs are GC'd, so
+                    # a checkpoint-heavy member's own reps accumulate
+                    # blocks inside the timing loop — measured as
+                    # escalating reps (edit_distance 2.4 -> 10.9 ->
+                    # 19.8 s in one session, flat 2.2-2.5 s in the
+                    # next, GC-timing dependent). Collecting between
+                    # reps keeps every rep's BlockManager state equal.
+                    gc.collect()
+                    _jvm_gc(spark)
                 obs.sort()
                 members[suite][name] = round(obs[len(obs) // 2], 3)
-            gc.collect()
-            _jvm_gc(spark)
+                member_spread[suite][name] = [
+                    round(obs[0], 3),
+                    round(obs[-1], 3),
+                ]
 
     # per-query map on its own line FIRST; the compact machine-readable
     # headline is the FINAL line by itself (with many queries the combined
@@ -260,6 +290,7 @@ def main() -> None:
                         "n_queries": len(timings),
                         "queries": timings,
                         "members": members,
+                        "member_spread": member_spread,
                         "streaming_throughput_rps": stream_rps,
                         "streaming_floor": stream_floor,
                         "streaming_floor_violated": stream_floor_violated,
