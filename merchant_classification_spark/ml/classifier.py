@@ -65,6 +65,13 @@ class NarrativeClassifier:
     #: disjoint vocabularies.
     char_ngram_min: int = 0
     char_ngram_max: int = 0
+    #: name of a PRE-COMPUTED array<string> token column to hash into
+    #: the same feature space (e.g. fitted BPE segments from
+    #: functions/bpe.bpe_segment, domain tags). The column must be
+    #: present on every DataFrame passed to fit() AND transform() —
+    #: the pipeline consumes it, it does not compute it (a corpus-fitted
+    #: vocabulary is data, not a serializable stage).
+    extra_tokens_col: str | None = None
 
     def _stages(self):
         tokenizer = RegexTokenizer(
@@ -102,6 +109,8 @@ class NarrativeClassifier:
                     )
                 )
                 gram_cols.append(out)
+        if self.extra_tokens_col:
+            gram_cols.append(self.extra_tokens_col)
         concat = SQLTransformer(
             statement=(
                 "SELECT *, concat(" + ", ".join(gram_cols) + ") AS _all_grams "

@@ -143,3 +143,32 @@ def test_subword_char_ngrams(labeled, spark):
 
     with pytest.raises(ValueError, match="char_ngram"):
         NarrativeClassifier(char_ngram_min=0, char_ngram_max=3).fit(labeled)
+
+
+def test_extra_tokens_col_consumed(labeled, spark):
+    # round 6: a pre-computed token-array column (e.g. fitted BPE
+    # segments) hashes into the same feature space when named via
+    # extra_tokens_col — and its features actually matter: two labels
+    # whose TEXT is identical can only be separated by the extra column
+    rows = []
+    for i in range(120):
+        lbl = "alpha" if i % 2 == 0 else "beta"
+        rows.append((lbl, "payment ref due", [f"tag_{lbl}"]))
+    df = spark.createDataFrame(
+        rows, "tr_merchant string, tr_description_clean string, side array<string>"
+    )
+    clf = NarrativeClassifier(
+        ngram_max=1,
+        num_features=1 << 12,
+        max_iter=30,
+        extra_tokens_col="side",
+    )
+    model = clf.fit(df)
+    scored = model.transform(df)
+    acc = (
+        scored.where(F.col("pr_merchant") == F.col("tr_merchant")).count()
+        / scored.count()
+    )
+    # text alone cannot separate the labels (ref numbers are shared);
+    # the tag column can — near-perfect accuracy proves it was hashed in
+    assert acc > 0.95, acc
