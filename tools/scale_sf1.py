@@ -108,6 +108,8 @@ HEAVY = [
     ("window_percent_rank", "full-window per-class percent_rank"),
     ("tpch_q9_profit", "TPC-H Q9 5-table profit join"),
     ("tpch_q21_waiting", "TPC-H Q21 multi-exists suppliers"),
+    ("bpe_tokens", "BPE fit + broadcast-vocab token counts"),
+    ("bpe_pack", "BPE counts -> global-window packing"),
 ]
 # probes whose inputs exist in the derived dir
 DERIVED_TABLES = {
