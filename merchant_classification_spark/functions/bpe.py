@@ -48,7 +48,51 @@ __all__ = [
     "corpus_word_freq",
     "bpe_token_counts",
     "bpe_segment",
+    "save_bpe",
+    "load_bpe",
 ]
+
+
+def save_bpe(
+    path: str,
+    merges: list[tuple[str, str]],
+    word_freq: dict[str, int],
+) -> None:
+    """Persist a fitted tokenizer (merge sequence + the word-frequency
+    table it was fitted from) as JSON — the artifact a pipeline ships so
+    every later stage (scoring, packing, budget mixing) tokenizes with
+    the SAME vocabulary instead of refitting per run. Merge order is
+    load-bearing (encode replays it), so it is stored as an ordered
+    list.
+    """
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "format": "mcs-bpe-v1",
+                "merges": [list(p) for p in merges],
+                "word_freq": word_freq,
+            },
+            f,
+        )
+
+
+def load_bpe(path: str) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Load a :func:`save_bpe` artifact → (merges, word_freq). The
+    derived tables (`word → n_tokens` for counting, `word → segments`
+    for :func:`bpe_segment`) re-derive deterministically from these via
+    :func:`encode_word`, so only the fit inputs are stored.
+    """
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("format") != "mcs-bpe-v1":
+        raise ValueError(f"not a BPE artifact: {path}")
+    return [tuple(p) for p in d["merges"]], {
+        str(w): int(c) for w, c in d["word_freq"].items()
+    }
 
 
 def _apply_merge(

@@ -275,3 +275,22 @@ def test_bpe_segment_oov_chars(spark, tiny_docs):
     # 'zebra' (OOV) splits to chars; 'low' uses the fitted segmentation
     assert row[: 5] == ["z", "e", "b", "r", "a"]
     assert "".join(row[5:]) == "low"
+
+
+def test_save_load_bpe_roundtrip(tmp_path, spark, tiny_docs):
+    from merchant_classification_spark.functions.bpe import load_bpe, save_bpe
+
+    wf = corpus_word_freq(tiny_docs, "text", 4096)
+    merges, wnt = fit_bpe(wf, 10)
+    p = str(tmp_path / "bpe.json")
+    save_bpe(p, merges, wf)
+    merges2, wf2 = load_bpe(p)
+    assert merges2 == merges and wf2 == wf
+    # re-deriving the count table from the loaded artifact is identical
+    wnt2 = {w: len(encode_word(w, merges2)) for w in wf2}
+    assert wnt2 == wnt
+    # format guard
+    bad = str(tmp_path / "bad.json")
+    open(bad, "w").write('{"format": "other"}')
+    with pytest.raises(ValueError):
+        load_bpe(bad)
