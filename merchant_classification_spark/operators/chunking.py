@@ -1,6 +1,6 @@
 """Document chunking and sequence packing for LLM training pipelines.
 
-Two map-only operators (no shuffle except packing's one window):
+Two operators (chunking is map-only; packing pays bounded shuffles):
 
   * ``chunk_documents`` — split each document's token sequence into
     overlapping windows (window/stride), the standard long-document →
@@ -9,15 +9,19 @@ Two map-only operators (no shuffle except packing's one window):
     Python.
   * ``pack_documents`` — deterministic sequence packing: documents are
     laid end-to-end in id order and cut into fixed token budgets; a doc's
-    pack is decided by its START offset, so assignment is a prefix-sum
-    (one window over a single global ordering), not a sequential greedy
-    loop — the property that makes it both distributable and exactly
-    SQL-expressible (the driver oracle replays it as window sums).
+    pack is decided by its START offset, so assignment is a prefix-sum,
+    not a sequential greedy loop — the property that makes it both
+    distributable and exactly SQL-expressible (the driver oracle replays
+    it as global window sums).
 
-Scale: chunking is embarrassingly parallel. Packing's single global
-window is the honest cost of a globally-deterministic layout; for 100 TB
-run it per partition-sized shard (e.g. per date bucket) — the operator
-takes an optional ``shard_cols`` for exactly that.
+Scale: chunking is embarrassingly parallel. Packing's global prefix sum
+runs as the two-phase bucket-offset pattern
+(:func:`~merchant_classification_spark.operators.ids.prefix_sum`:
+width_bucket partials → tiny offsets window → broadcast join +
+partitioned windows), so NO stage ever funnels the corpus through one
+task — bit-identical to the single global window it replaces. With
+``shard_cols`` (e.g. a date bucket) packing is instead independent per
+shard, the natural layout when packs must not cross shard boundaries.
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from merchant_classification_spark.functions.text_analysis import tokens
+from merchant_classification_spark.operators.ids import prefix_sum
 
 
 def chunk_documents(
@@ -124,18 +129,22 @@ def pack_documents(
         size_expr.alias("n_tokens"),
     ).where(F.col("n_tokens") > 0)
     part = list(shard_cols) if shard_cols else []
-    w = (
-        Window.partitionBy(*part).orderBy("doc_id")
-        if part
-        else Window.partitionBy().orderBy("doc_id")
-    )
-    before = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0).cast("long"),
-    )
-    packed = base.withColumn("cum_before", before).withColumn(
-        "pack_id", F.expr(f"cum_before DIV {budget}")
-    )
+    if part:
+        w = Window.partitionBy(*part).orderBy("doc_id")
+        before = F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        )
+        cum = base.withColumn("cum_before", before)
+    else:
+        # unsharded: a global Window.partitionBy().orderBy would funnel
+        # the whole corpus through ONE task — use the two-phase prefix
+        # sum (width_bucket partials + broadcast offset join), which is
+        # bit-identical to the global window but every stage is parallel
+        cum = prefix_sum(base, ["doc_id"], "n_tokens", "cum_before")
+    packed = cum.withColumn("pack_id", F.expr(f"cum_before DIV {budget}"))
     w_pack = Window.partitionBy(*part, "pack_id").orderBy("doc_id")
     return packed.select(
         "doc_id",

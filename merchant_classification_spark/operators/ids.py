@@ -30,6 +30,92 @@ _BUCKET = "_dense_bucket__"
 _OFFSET = "_dense_offset__"
 
 
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "prefix_sum",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Append ``out_col`` = sum of ``val_col`` over all rows STRICTLY
+    before this row in the total order of ``order_cols`` — bit-identical
+    to ``SUM(val) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING)`` (NULL → 0), without the single-partition pass that a
+    global window costs.
+
+    Same three-phase shape as :func:`dense_ids`, generalised from prefix
+    COUNT to prefix SUM:
+
+      1. range-bucket rows on the lead order column — ``width_bucket``
+         when it is numeric (a map-only projection, no shuffle), else a
+         ``repartitionByRange`` + ``spark_partition_id`` fallback (one
+         range exchange). NULL lead values take bucket 0, matching the
+         NULLS FIRST ascending order of the global window they replace.
+      2. sum ``val_col`` per bucket and prefix-sum those partials into
+         per-bucket offsets — the only unpartitioned window runs over
+         ≤ ``buckets`` aggregated rows, never the data.
+      3. broadcast the offsets back and run the running sum WITHIN each
+         bucket (partitioned window — parallel), adding the offset.
+
+    Correctness does not depend on where bucket boundaries fall — any
+    order-contiguous bucketing yields the same prefix sums — so the
+    sampled boundaries of the range-partitioner fallback are safe.
+    """
+    lead = order_cols[0]
+    lead_type = df.schema[lead].dataType
+    from pyspark.sql.types import NumericType
+
+    if isinstance(lead_type, NumericType):
+        mm = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).collect()
+        lo = mm[0]["lo"] if mm else None
+        if lo is None:
+            # empty or all-NULL lead: one bucket (degenerate but exact)
+            bucketed = df.withColumn(_BUCKET, F.lit(0))
+        else:
+            hi = float(mm[0]["hi"])
+            # cast→double is monotone (non-strict), so bucket assignment
+            # is order-contiguous even past 2^53 precision loss
+            bucketed = df.withColumn(
+                _BUCKET,
+                F.when(F.col(lead).isNull(), F.lit(0)).otherwise(
+                    F.width_bucket(
+                        F.col(lead).cast("double"),
+                        F.lit(float(lo)),
+                        F.lit(hi + 1.0),
+                        F.lit(buckets),
+                    )
+                ),
+            )
+    else:
+        bucketed = df.repartitionByRange(
+            buckets, *[F.col(c) for c in order_cols]
+        ).withColumn(_BUCKET, F.spark_partition_id())
+    sums = bucketed.groupBy(_BUCKET).agg(F.sum(val_col).alias("_s"))
+    w_off = Window.orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        _BUCKET,
+        F.coalesce(F.sum("_s").over(w_off), F.lit(0))
+        .cast("long")
+        .alias(_OFFSET),
+    )
+    w_in = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), _BUCKET)
+        .withColumn(
+            out_col,
+            (
+                F.col(_OFFSET)
+                + F.coalesce(F.sum(val_col).over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+        .drop(_BUCKET, _OFFSET)
+    )
+
+
 def dense_ids(
     df: DataFrame,
     order_cols: list[str],

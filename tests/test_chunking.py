@@ -54,6 +54,39 @@ def test_pack_offset_rule(spark):
     assert [out[i].pack_pos for i in range(4)] == [1, 2, 1, 2]
 
 
+def test_pack_unsharded_matches_global_window(spark, tables):
+    """The distributed two-phase prefix sum must be bit-identical to the
+    single global window it replaced (the round-6 scale-killer)."""
+    from pyspark.sql.window import Window
+
+    docs = tables["documents"]
+    got = pack_documents(docs, "doc_id", "text", budget=256)
+    # reference formulation: the old Window.partitionBy().orderBy path
+    from merchant_classification_spark.functions.text_analysis import tokens
+
+    base = docs.select(
+        F.col("doc_id"),
+        F.size(F.element_at(F.array(tokens("text")), 1)).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = Window.partitionBy().orderBy("doc_id")
+    before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    want = base.withColumn("cum_before", before).select(
+        "doc_id",
+        F.expr("cum_before DIV 256").alias("pack_id"),
+        F.expr("cum_before % 256").alias("pack_offset"),
+    )
+    # collect-and-sort comparison: a self-join on shared lineage
+    # mis-resolves the two windowed columns
+    cols = ["doc_id", "pack_id", "pack_offset"]
+    got_rows = sorted(map(tuple, got.select(*cols).collect()))
+    want_rows = sorted(map(tuple, want.select(*cols).collect()))
+    assert got_rows == want_rows
+    assert got.schema["pack_id"].dataType.simpleString() == "bigint"
+
+
 def test_pack_sharded_is_per_shard(spark):
     rows = [
         (0, "a", " ".join(["t"] * 6)),

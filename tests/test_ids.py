@@ -3,7 +3,7 @@
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from merchant_classification_spark.operators.ids import dense_ids
+from merchant_classification_spark.operators.ids import dense_ids, prefix_sum
 
 
 def test_dense_ids_match_global_row_number(spark, tables):
@@ -66,3 +66,65 @@ def test_dense_ids_no_global_single_partition_window(spark, tables):
         # the tiny aggregate branch (which contains no row_number)
         if "_dense_bucket__" not in frag:
             assert "row_number" not in frag
+
+
+def _global_prefix(df, order_cols, val_col):
+    w = (
+        Window.orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(
+        "want",
+        F.coalesce(F.sum(val_col).over(w), F.lit(0)).cast("long"),
+    )
+
+
+def test_prefix_sum_matches_global_window_numeric(spark, tables):
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).withColumn("q", F.col("l_quantity").cast("long"))
+    keys = ["l_orderkey", "l_linenumber"]
+    got = prefix_sum(li, keys, "q", "ps", buckets=64)
+    want = _global_prefix(li, keys, "q")
+    # collect-and-sort comparison: a DataFrame self-join on shared
+    # lineage mis-resolves the two window columns
+    got_rows = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["ps"])
+        for r in got.select(*keys, "ps").collect()
+    )
+    want_rows = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["want"])
+        for r in want.select(*keys, "want").collect()
+    )
+    assert got_rows == want_rows
+    assert got.schema["ps"].dataType.simpleString() == "bigint"
+
+
+def test_prefix_sum_non_numeric_order_col(spark):
+    # string lead column exercises the repartitionByRange fallback
+    rows = [(f"k{i:03d}", i % 7 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k: string, v: int")
+    got = {r["k"]: r["ps"] for r in prefix_sum(df, ["k"], "v", "ps", buckets=8).collect()}
+    acc = 0
+    for k, v in sorted(rows):
+        assert got[k] == acc
+        acc += v
+
+
+def test_prefix_sum_null_lead_sorts_first(spark):
+    rows = [(None, 10), (1, 1), (2, 2), (None, 5)]
+    df = spark.createDataFrame(rows, "k: int, v: int")
+    got = prefix_sum(df, ["k"], "v", "ps", buckets=4)
+    by_k = {(r["k"], r["v"]): r["ps"] for r in got.collect()}
+    # NULL keys take bucket 0 (NULLS FIRST): the two nulls sum to 15
+    # before k=1; within-null order is unspecified so check the pair set
+    assert sorted(ps for (k, _), ps in by_k.items() if k is None) == [0, 5] or sorted(
+        ps for (k, _), ps in by_k.items() if k is None
+    ) == [0, 10]
+    assert by_k[(1, 1)] == 15
+    assert by_k[(2, 2)] == 16
+
+
+def test_prefix_sum_empty(spark):
+    df = spark.createDataFrame([], "k: long, v: long")
+    assert prefix_sum(df, ["k"], "v", "ps").count() == 0

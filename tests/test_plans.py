@@ -191,3 +191,21 @@ def test_equidepth_bins_excludes_nulls(spark):
     assert [r.bin for r in got] == [0, 1, 2, 3]
     assert [r.n_rows for r in got] == [10, 10, 10, 10]
     assert got[0].lo == 0.0 and got[-1].hi == 39.0
+
+
+def test_pack_documents_no_global_window(spark, sf_dir):
+    """Round-7 lead item: the unsharded pack path must not funnel the
+    corpus through a single-partition window. Every Window node either
+    partitions by the prefix-sum bucket or runs over the bounded
+    bucket-offsets aggregate / per-pack row_number (both partitioned)."""
+    import re
+
+    df = entry.q_pack_documents(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        frag = m.group(0)
+        if "_dense_bucket__" in frag or "pack_id" in frag:
+            continue  # bucket-partitioned running sum / per-pack rank
+        # anything else must be the tiny offsets window (sums _s over
+        # <= `buckets` aggregated rows), never a sum of n_tokens
+        assert "_s" in frag and "n_tokens" not in frag, frag
