@@ -110,7 +110,12 @@ class NarrativeClassifier:
                 )
                 gram_cols.append(out)
         if self.extra_tokens_col:
-            gram_cols.append(self.extra_tokens_col)
+            # NULL-proof: concat() returns NULL if ANY operand is NULL,
+            # which would crash HashingTF downstream — a row with no
+            # extra tokens contributes an empty array instead
+            gram_cols.append(
+                f"coalesce({self.extra_tokens_col}, array())"
+            )
         concat = SQLTransformer(
             statement=(
                 "SELECT *, concat(" + ", ".join(gram_cols) + ") AS _all_grams "

@@ -56,9 +56,14 @@ def bloom_bitmap(
 ) -> list[int]:
     """Bloom-filter bitmap of a key column, as ``m_bits/64`` signed longs.
 
-    Bit positions use Kirsch-Mitzenmacher double hashing — ``(xxhash64 +
-    i·murmur3) & (m−1)`` for i in [0, k) — both hashes JVM-native, so
-    build AND probe stay in whole-stage codegen. The bitmap is built
+    Bit positions use Kirsch-Mitzenmacher double hashing — ``((xxhash64
+    & (m−1)) + i·(murmur3 & (m−1))) & (m−1)`` for i in [0, k) — both
+    hashes JVM-native, so build AND probe stay in whole-stage codegen.
+    Both hashes are masked BEFORE the add: the raw ``xxhash64 + i·h2``
+    form can overflow bigint (ANSI mode makes that a job-killing
+    ARITHMETIC_OVERFLOW at ~1e12-gram scale), while masking first bounds
+    every operand by ``m`` and low-bit arithmetic makes the masked form
+    bit-identical to the wrapping sum's low bits. The bitmap is built
     DISTRIBUTED: explode the k positions, OR bits per 64-bit word in one
     ``bit_or`` aggregate, and collect at most ``m_bits/64`` (word, bits)
     rows — the driver never sees the keys themselves, so the collect is
@@ -75,7 +80,8 @@ def bloom_bitmap(
             F.explode(
                 F.expr(
                     f"transform(sequence(0, {k - 1}), i -> "
-                    f"(xxhash64({key_col}) + i * cast(hash({key_col}) as bigint))"
+                    f"((xxhash64({key_col}) & {m_bits - 1}) + "
+                    f"i * (cast(hash({key_col}) as bigint) & {m_bits - 1}))"
                     f" & {m_bits - 1})"
                 )
             ).alias("p")
@@ -96,8 +102,10 @@ def bloom_bitmap(
 
 def _bloom_might_contain(m_bits: int, k: int) -> str:
     """SQL predicate testing columns (h1, h2) against the ``_bf`` bitmap
-    column: every one of the k double-hashed bit positions is set."""
-    pos = f"(h1 + i * h2) & {m_bits - 1}"
+    column: every one of the k double-hashed bit positions is set.
+    Hashes masked before the add — must stay bit-identical to
+    :func:`bloom_bitmap`'s build expression (overflow-free under ANSI)."""
+    pos = f"((h1 & {m_bits - 1}) + i * (h2 & {m_bits - 1})) & {m_bits - 1}"
     return (
         f"forall(sequence(0, {k - 1}), i -> "
         f"(shiftright(element_at(_bf, cast(shiftright({pos}, 6) as int) + 1), "

@@ -933,16 +933,27 @@ def edjoin_autotune(
     remaining mitigations (normalize layout-constant regions, split the
     dense column) need schema knowledge the engine cannot infer.
 
-    One ``limit(guard_sample)`` collect (bounded driver bytes) + pure
-    Python; at 100 TB this is noise next to the join it protects.
+    The probe draws a REPRESENTATIVE sample: rows ordered by a seeded
+    ``xxhash64(text, id)`` and the top ``guard_sample`` taken — Spark
+    runs that as TakeOrderedAndProject (per-partition top-K, bounded
+    memory, merged on the driver), so the slice is uniform over the
+    whole input rather than whatever ``limit()`` happens to read from
+    the first partitions (a head-only probe under- or over-escalates q
+    whenever the dense adversarial key region isn't in the head). One
+    bounded collect + pure Python; at 100 TB this one projected-column
+    pass is noise next to the join it protects.
     """
     import warnings
 
     k = max_distance
     sample = [
         r[0]
-        for r in df.select(F.col(text_col).cast("string"))
-        .where(F.col(text_col).isNotNull())
+        for r in df.select(
+            F.col(text_col).cast("string").alias("_t"),
+            F.xxhash64(F.col(text_col), F.col(id_col)).alias("_h"),
+        )
+        .where(F.col("_t").isNotNull())
+        .orderBy("_h", "_t")
         .limit(guard_sample)
         .collect()
     ]

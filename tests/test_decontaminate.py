@@ -237,3 +237,29 @@ def test_bloom_prefilter_plan_shape(spark, tables):
     assert any(
         "Filter" in ln and "shiftright" in ln for ln in lines[join_i:]
     )
+
+
+def test_bloom_positions_match_wrapping_sum_and_never_overflow(spark):
+    """The masked double-hash `((h1&m-1) + i*(h2&m-1)) & (m-1)` must equal
+    the low bits of the mathematically-wrapping `h1 + i*h2` (the pre-fix
+    form, which ANSI mode can abort with ARITHMETIC_OVERFLOW near
+    Long.MAX) — checked in arbitrary-precision Python."""
+    m_bits, k = 1024, 4
+    rows = [(f"gram-{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, ["gram"])
+    hashed = df.select(
+        "gram",
+        F.xxhash64("gram").alias("h1"),
+        F.expr("cast(hash(gram) as bigint)").alias("h2"),
+        F.expr(
+            f"transform(sequence(0, {k - 1}), i -> "
+            f"((xxhash64(gram) & {m_bits - 1}) + "
+            f"i * (cast(hash(gram) as bigint) & {m_bits - 1}))"
+            f" & {m_bits - 1})"
+        ).alias("pos"),
+    ).collect()
+    for r in hashed:
+        for i in range(k):
+            # Python ints don't overflow: the true wrapped low bits
+            want = (r["h1"] + i * r["h2"]) & (m_bits - 1)
+            assert r["pos"][i] == want, (r["gram"], i)

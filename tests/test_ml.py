@@ -172,3 +172,21 @@ def test_extra_tokens_col_consumed(labeled, spark):
     # text alone cannot separate the labels (ref numbers are shared);
     # the tag column can — near-perfect accuracy proves it was hashed in
     assert acc > 0.95, acc
+
+
+def test_extra_tokens_col_null_rows_survive(labeled, spark):
+    # a NULL extra-token array must behave as "no extra tokens", not
+    # NULL-poison concat() and crash HashingTF (round-7 advice fix)
+    rows = []
+    for i in range(60):
+        lbl = "alpha" if i % 2 == 0 else "beta"
+        side = [f"tag_{lbl}"] if i % 3 else None
+        rows.append((lbl, f"payment ref {lbl}", side))
+    df = spark.createDataFrame(
+        rows, "tr_merchant string, tr_description_clean string, side array<string>"
+    )
+    clf = NarrativeClassifier(
+        ngram_max=1, num_features=1 << 12, max_iter=10, extra_tokens_col="side"
+    )
+    model = clf.fit(df)  # previously raised on the NULL rows
+    assert model.transform(df).count() == 60
