@@ -2556,6 +2556,9 @@ def q_bpe_pack(spark, sf_dir):
         "text",
         budget=BPE_PACK_BUDGET,
         n_tokens_col="n_bpe_tokens",
+        # the bucket-range min/max scan reads the raw table, not the
+        # joined BPE pipeline (range superset is harmless)
+        range_of=docs,
     )
 
 

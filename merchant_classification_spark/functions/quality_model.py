@@ -1,0 +1,222 @@
+"""Model-based quality filtering — the CCNet/GPT-3 curated-vs-crawl screen.
+
+The standard LLM-data quality gate (CCNet, Wenzek et al. 2019,
+arXiv:1911.00359 §4; GPT-3, Brown et al. 2020, Appendix A): train a
+linear classifier to distinguish a CURATED reference corpus (Wikipedia /
+books / the labeled "good" slice) from raw crawl text, then keep crawl
+documents the model scores curated-like. The reference repo has no
+equivalent (it classifies merchants, not corpus quality); this module
+belongs to the engine's beyond-reference corpus toolkit next to the
+heuristic screens in ``text_analysis`` and composes with
+``pipelines/corpus.py`` as an optional model gate.
+
+Engine discipline — the same three moves that made the DSIR and
+perplexity screens oracle-replayable at any scale:
+
+  * **bounded training sample**: CCNet-style screens train on a SMALL
+    labeled set by design, so the trainer's input is a deterministic
+    content-hash top-N per class (md5-ranked — replayable in any engine,
+    no RNG, no layout dependence), each row reduced to its hashed-bucket
+    feature counts. The collect is ``2N × n_buckets`` integers — the
+    bounded-driver-scalar pattern, never the corpus.
+  * **deterministic pure-Python fit**: full-batch gradient-descent
+    logistic regression over those integer count vectors, fixed
+    iteration count, fixed fold order — a pure function of the sample
+    (shared with external checkers the way ``math.log`` and ``fit_bpe``
+    are). No MLlib in the fit: LBFGS weight bits depend on partition-
+    order float summation, which would break bit-exact replay.
+  * **map-only scoring**: the weight vector rides the plan as a double
+    literal array; a document's logit is the left-to-right fold of
+    per-feature bucket weights (seeded at 0.0 — fixed IEEE order),
+    divided once by the feature count, plus the bias. One codegen
+    projection: no join, no shuffle, linear in corpus bytes.
+
+Features are the DSIR uni+bigram hashed buckets (same ``_dsir_features``
+expression, same ``md5_long60 % n_buckets`` bucketing), so the two
+screens share one tokenization vocabulary discipline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from merchant_classification_spark.functions.portable_hash import md5_long60
+from merchant_classification_spark.functions.text_analysis import (
+    _dsir_features,
+)
+
+__all__ = [
+    "quality_training_counts",
+    "fit_quality_lr",
+    "quality_logits",
+]
+
+
+def quality_training_counts(
+    df: DataFrame,
+    text_col: str,
+    is_curated: Column,
+    id_col: str,
+    n_buckets: int = 64,
+    sample_per_class: int = 200,
+) -> list[tuple[int, list[int]]]:
+    """Deterministic bounded training sample → integer feature counts.
+
+    Selects the ``sample_per_class`` documents per class with the
+    smallest ``(md5_long60(text), id)`` — a content-hash rank, so the
+    sample is a pure function of the DATA (replayable in DuckDB as
+    ``row_number() OVER (PARTITION BY label ORDER BY h, id)``), not of
+    partition layout. Each selected document becomes its per-bucket
+    feature-count vector (uni+bigram features hashed into ``n_buckets``).
+
+    Returns ``[(label, counts[n_buckets]), ...]`` ordered by
+    (label, hash, id) — the fixed order :func:`fit_quality_lr` consumes.
+    The rank-limit window is per-class top-N, which Spark ≥3.5 executes
+    with map-side WindowGroupLimit (each task forwards at most N rows
+    per class), so the two-partition window never sees the corpus.
+    """
+    if n_buckets <= 0 or sample_per_class <= 0:
+        raise ValueError("n_buckets and sample_per_class must be positive")
+    ranked = df.select(
+        F.col(id_col).alias("_id"),
+        is_curated.cast("boolean").alias("_w"),
+        F.col(text_col).alias("_text"),
+        md5_long60(F.col(text_col)).alias("_h"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("_w").orderBy("_h", "_id")
+        ),
+    )
+    sample = ranked.where(F.col("_rk") <= sample_per_class)
+    rows = (
+        sample.select(
+            "_id",
+            "_w",
+            "_h",
+            F.explode(
+                F.transform(
+                    _dsir_features("_text"),
+                    lambda f: F.pmod(md5_long60(f), F.lit(n_buckets)),
+                )
+            ).alias("_b"),
+        )
+        .groupBy("_id", "_w", "_h", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    docs: dict[tuple[bool, int, object], list[int]] = {}
+    for r in rows:
+        key = (bool(r["_w"]), int(r["_h"]), r["_id"])
+        vec = docs.setdefault(key, [0] * n_buckets)
+        vec[int(r["_b"])] = int(r["_c"])
+    return [
+        (1 if w else 0, docs[(w, h, i)])
+        for (w, h, i) in sorted(docs, key=lambda k: (k[0], k[1], str(k[2])))
+    ]
+
+
+def fit_quality_lr(
+    samples: list[tuple[int, list[int]]],
+    n_buckets: int,
+    iters: int = 300,
+    step: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[list[float], float]:
+    """Deterministic full-batch logistic regression.
+
+    Pure Python over the integer count vectors from
+    :func:`quality_training_counts`: features are per-document
+    NORMALIZED counts (count / total features — the same x the scoring
+    fold reproduces as ``fold_sum / n_features``), weights start at
+    zero, and ``iters`` fixed gradient steps run with one global step
+    size and L2 (bias excluded). Every operation is ordered (documents
+    in input order, buckets 0..n-1), so the returned
+    ``(weights, bias)`` is a bit-reproducible pure function of the
+    sample — shareable with an external oracle like ``math.log``.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    if not samples:
+        raise ValueError("samples must be non-empty (fit needs data)")
+    xs: list[list[float]] = []
+    ys: list[int] = []
+    for y, counts in samples:
+        if len(counts) != n_buckets:
+            raise ValueError("count vector length != n_buckets")
+        tot = float(sum(counts))
+        xs.append([c / tot if tot > 0.0 else 0.0 for c in counts])
+        ys.append(1 if y else 0)
+    m = float(len(xs))
+    w = [0.0] * n_buckets
+    b = 0.0
+    for _ in range(iters):
+        gw = [0.0] * n_buckets
+        gb = 0.0
+        for x, y in zip(xs, ys):
+            z = b
+            for j in range(n_buckets):
+                z += w[j] * x[j]
+            # numerically-stable sigmoid, branch on sign (deterministic)
+            if z >= 0.0:
+                p = 1.0 / (1.0 + math.exp(-z))
+            else:
+                e = math.exp(z)
+                p = e / (1.0 + e)
+            d = p - y
+            for j in range(n_buckets):
+                gw[j] += d * x[j]
+            gb += d
+        for j in range(n_buckets):
+            w[j] -= step * (gw[j] / m + l2 * w[j])
+        b -= step * (gb / m)
+    return w, b
+
+
+def quality_logits(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a fitted curated-vs-crawl model.
+
+    ``quality_logit`` = (left-to-right fold of per-feature bucket
+    weights, seeded 0.0) / n_features + bias — i.e. the LR logit under
+    the normalized bag-of-buckets features the fit used; positive means
+    curated-leaning. Documents with no features score the bias alone
+    and are never kept.
+
+    Scale shape: the model is an ``n_buckets`` double-literal array
+    (``F.lit(list)`` — ONE array literal, O(1) ``element_at``), so
+    scoring is a single map-only codegen projection.
+
+    Returns (id_col, n_features, quality_logit, keep).
+    """
+    n_buckets = len(weights)
+    if n_buckets == 0:
+        raise ValueError("weights must be non-empty")
+    lit = F.lit([float(x) for x in weights])
+    feats = _dsir_features(text_col)
+    vals = F.transform(
+        feats,
+        lambda f: F.element_at(
+            lit, (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int")
+        ),
+    )
+    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    n = F.size(feats)
+    logit = F.when(
+        n > 0, s / n.cast("double") + F.lit(float(bias))
+    ).otherwise(F.lit(float(bias)))
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_features"),
+        logit.alias("quality_logit"),
+        ((n > 0) & (logit > F.lit(0.0))).alias("keep"),
+    )

@@ -93,6 +93,7 @@ def pack_documents(
     budget: int = 256,
     shard_cols: list[str] | None = None,
     n_tokens_col: str | None = None,
+    range_of: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget pack.
 
@@ -102,6 +103,13 @@ def pack_documents(
     offset rule (instead of best-fit greedy) keeps assignment a pure
     prefix sum — order-deterministic, one window, replayable in any
     engine.
+
+    ``range_of`` (optional) is a frame whose ``id_col`` range covers
+    ``df``'s — e.g. the raw table a derived/joined ``df`` came from.
+    The prefix sum's cheap min/max bucket-range scan then reads THAT
+    instead of evaluating ``df``'s full pipeline a second time (wider
+    bounds only unbalance buckets, never change output). Defaults to
+    ``df.select(id_col)``.
 
     ``n_tokens_col`` swaps the budgeting unit: when given, that column
     (e.g. ``n_bpe_tokens`` from
@@ -142,8 +150,17 @@ def pack_documents(
         # unsharded: a global Window.partitionBy().orderBy would funnel
         # the whole corpus through ONE task — use the two-phase prefix
         # sum (width_bucket partials + broadcast offset join), which is
-        # bit-identical to the global window but every stage is parallel
-        cum = prefix_sum(base, ["doc_id"], "n_tokens", "cum_before")
+        # bit-identical to the global window but every stage is parallel.
+        # range_of points the bucket-range scan at the raw id column so
+        # it never pays the tokenize
+        rng = range_of if range_of is not None else df
+        cum = prefix_sum(
+            base,
+            ["doc_id"],
+            "n_tokens",
+            "cum_before",
+            range_of=rng.select(F.col(id_col).alias("doc_id")),
+        )
     packed = cum.withColumn("pack_id", F.expr(f"cum_before DIV {budget}"))
     w_pack = Window.partitionBy(*part, "pack_id").orderBy("doc_id")
     return packed.select(

@@ -36,6 +36,7 @@ def prefix_sum(
     val_col: str,
     out_col: str = "prefix_sum",
     buckets: int = 1024,
+    range_of: DataFrame | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = sum of ``val_col`` over all rows STRICTLY
     before this row in the total order of ``order_cols`` — bit-identical
@@ -59,14 +60,28 @@ def prefix_sum(
 
     Correctness does not depend on where bucket boundaries fall — any
     order-contiguous bucketing yields the same prefix sums — so the
-    sampled boundaries of the range-partitioner fallback are safe.
+    sampled boundaries of the range-partitioner fallback are safe. For
+    the same reason ``range_of`` may point the cheap min/max scan at ANY
+    frame whose lead-column range covers ``df``'s (e.g. the raw table
+    before an expensive derived filter): wider bounds only unbalance
+    buckets, never change the output — and the min/max pass then skips
+    ``df``'s derivation entirely.
+
+    Cost: ONE pass over ``df``'s expensive expressions. The bucket
+    totals aggregate consumes the same bucket-hash exchange the
+    within-bucket window sorts on (Spark's exchange reuse), so ``df`` is
+    evaluated once even though the plan reads it on two branches; the
+    min/max scan projects only the lead column (or ``range_of``).
     """
     lead = order_cols[0]
     lead_type = df.schema[lead].dataType
     from pyspark.sql.types import NumericType
 
     if isinstance(lead_type, NumericType):
-        mm = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).collect()
+        rng = range_of if range_of is not None else df
+        mm = rng.agg(
+            F.min(lead).alias("lo"), F.max(lead).alias("hi")
+        ).collect()
         lo = mm[0]["lo"] if mm else None
         if lo is None:
             # empty or all-NULL lead: one bucket (degenerate but exact)
@@ -90,29 +105,43 @@ def prefix_sum(
         bucketed = df.repartitionByRange(
             buckets, *[F.col(c) for c in order_cols]
         ).withColumn(_BUCKET, F.spark_partition_id())
-    sums = bucketed.groupBy(_BUCKET).agg(F.sum(val_col).alias("_s"))
+    # no-op filter (the bucket expression never yields NULL) that both
+    # plan branches share: without it the broadcast join infers
+    # isnotnull(_BUCKET) on the stream side only, the two bucket-hash
+    # exchanges stop being canonically equal, and exchange reuse is lost
+    # (two full evaluations of df's expressions instead of one)
+    bucketed = bucketed.where(F.col(_BUCKET).isNotNull())
+    # inclusive within-bucket running sum: its per-bucket MAX is the
+    # bucket total, so the totals aggregate reads the SAME bucket-hash
+    # exchange the window sorts on (reused — df's expressions evaluate
+    # once, in the map stage feeding that shuffle)
+    w_in = Window.partitionBy(_BUCKET).orderBy(*order_cols)
+    cum_in = "_cum_in__"
+    win = bucketed.withColumn(
+        cum_in,
+        F.sum(F.col(val_col))
+        .over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    totals = win.groupBy(_BUCKET).agg(F.max(cum_in).alias("_s"))
     w_off = Window.orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sums.select(
+    offsets = totals.select(
         _BUCKET,
         F.coalesce(F.sum("_s").over(w_off), F.lit(0))
         .cast("long")
         .alias(_OFFSET),
     )
-    w_in = (
-        Window.partitionBy(_BUCKET)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return (
-        bucketed.join(F.broadcast(offsets), _BUCKET)
+        win.join(F.broadcast(offsets), _BUCKET)
         .withColumn(
             out_col,
             (
                 F.col(_OFFSET)
-                + F.coalesce(F.sum(val_col).over(w_in), F.lit(0))
+                + F.coalesce(F.col(cum_in), F.lit(0))
+                - F.coalesce(F.col(val_col), F.lit(0))
             ).cast("long"),
         )
-        .drop(_BUCKET, _OFFSET)
+        .drop(_BUCKET, _OFFSET, cum_in)
     )
 
 
