@@ -2457,6 +2457,14 @@ def q_substring_dedup(spark, sf_dir):
 DSIR_BUCKETS = 64
 DSIR_TARGET_LANG = "en"
 
+#: Quality-classifier screen (functions/quality_model.py): hashed-bucket
+#: count, per-class sample size, and the "curated" label predicate the
+#: probe uses (a fixed source slice — arbitrary but deterministic, the
+#: point is the fit/score discipline, not the labels)
+QUALITY_BUCKETS = 64
+QUALITY_SAMPLE_PER_CLASS = 100
+QUALITY_CURATED_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
 #: BM25 probe query — corpus-frequent terms so scores spread meaningfully
 BM25_TERMS = ["spark", "query", "window", "merge"]
 BM25_K1 = 1.2
@@ -2506,6 +2514,36 @@ def q_dsir_weights(spark, sf_dir):
         docs, "text", F.col("lang") == DSIR_TARGET_LANG, DSIR_BUCKETS
     )
     return dsir_scores(docs, lr, "text", "doc_id")
+
+
+def q_quality_model(spark, sf_dir):
+    # CCNet/GPT-3-style model-based quality screen (Wenzek et al. 2019,
+    # arXiv:1911.00359; Brown et al. 2020 Appendix A): a curated-vs-
+    # crawl logistic regression over hashed uni+bigram bucket features.
+    # Training sample = deterministic md5-rank top-N per class (bounded
+    # 2N x QUALITY_BUCKETS integer collect), fit = pure-Python
+    # full-batch GD (a shared deterministic function, like fit_bpe),
+    # scoring = one map-only literal-weights projection with a fixed
+    # left-to-right fold — the DSIR discipline, so the oracle recomputes
+    # the sample in DuckDB, shares the fit, and replays every double
+    # bit-for-bit (functions/quality_model.py).
+    from merchant_classification_spark.functions.quality_model import (
+        fit_quality_lr,
+        quality_logits,
+        quality_training_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    samples = quality_training_counts(
+        docs,
+        "text",
+        F.col("source").isin(*QUALITY_CURATED_SOURCES),
+        "doc_id",
+        n_buckets=QUALITY_BUCKETS,
+        sample_per_class=QUALITY_SAMPLE_PER_CLASS,
+    )
+    w, b = fit_quality_lr(samples, QUALITY_BUCKETS)
+    return quality_logits(docs, w, b, "text", "doc_id")
 
 
 def q_bpe_tokens(spark, sf_dir):
@@ -3208,6 +3246,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_scrub": q_boilerplate_scrub,
     "substring_dedup": q_substring_dedup,
     "dsir_weights": q_dsir_weights,
+    "quality_model": q_quality_model,
     "bm25_retrieval": q_bm25_retrieval,
     "bpe_tokens": q_bpe_tokens,
     "bpe_pack": q_bpe_pack,
@@ -4645,6 +4684,100 @@ def _dsir_oracle_sql() -> str | None:
 _dsir_sql = _dsir_oracle_sql()
 if _dsir_sql is not None:
     ORACLES["dsir_weights"] = _dsir_sql
+
+
+def _quality_oracle_sql() -> str | None:
+    """Full replay of q_quality_model: recompute the SAME deterministic
+    md5-ranked training sample and integer bucket counts in DuckDB, run
+    the SAME shared pure-Python ``fit_quality_lr`` on them (the fit is a
+    deterministic function of the sample, shared like ``math.log`` /
+    ``fit_bpe``), inline the identical weight/bias double literals, and
+    replay scoring as a list_transform bucket lookup + left fold seeded
+    at 0.0 + one division — matching Spark's expression order, so every
+    quality_logit is bit-exact. Same unreadable-data guard as the
+    DSIR/perplexity oracles.
+    """
+    import os
+
+    import duckdb as _dd
+
+    from merchant_classification_spark.functions.quality_model import (
+        fit_quality_lr,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    nb = QUALITY_BUCKETS
+    n_cls = QUALITY_SAMPLE_PER_CLASS
+    srcs = ", ".join(f"'{s}'" for s in QUALITY_CURATED_SOURCES)
+    try:
+        con = _dd.connect()
+        rows = con.sql(
+            f"""
+            WITH d AS (SELECT doc_id, source, text
+                       FROM read_parquet('{path}')
+                       WHERE text IS NOT NULL),
+            h AS (SELECT doc_id, (source IN ({srcs})) AS w, text,
+                         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                  FROM d),
+            r AS (SELECT *, row_number()
+                      OVER (PARTITION BY w ORDER BY h, doc_id) AS rk
+                  FROM h),
+            s AS (SELECT doc_id, w, h, {_SQL_TOKENS} AS toks
+                  FROM r WHERE rk <= {n_cls}),
+            f AS (SELECT doc_id, w, h, {_SQL_DSIR_FEATS} AS feats FROM s),
+            e AS (SELECT doc_id, w, h, unnest(feats) AS feat FROM f)
+            SELECT w, h, doc_id,
+                   CAST(('0x' || substr(md5(feat), 1, 15))::BIGINT
+                        % {nb} AS INT) AS bk,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY 1, 2, 3, 4
+            """
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    docs: dict = {}
+    for w, h, i, bk, c in rows:
+        vec = docs.setdefault((bool(w), int(h), i), [0] * nb)
+        vec[int(bk)] = int(c)
+    samples = [
+        (1 if w else 0, docs[(w, h, i)])
+        for (w, h, i) in sorted(docs, key=lambda k: (k[0], k[1], k[2]))
+    ]
+    weights, bias = fit_quality_lr(samples, nb)
+    wl = "[" + ", ".join(_dlit(x) for x in weights) + "]"
+    bl = _dlit(bias)
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        f AS (SELECT doc_id, {_SQL_DSIR_FEATS} AS feats FROM t),
+        s AS (SELECT doc_id, feats,
+              list_reduce(list_prepend(0.0e0,
+                  list_transform(feats, x -> ({wl})[
+                      CAST(('0x' || substr(md5(x), 1, 15))::BIGINT
+                           % {nb} AS INT) + 1])),
+                  (a, y) -> a + y) AS fold
+              FROM f),
+        g AS (SELECT doc_id, feats,
+              CASE WHEN len(feats) > 0
+                   THEN fold / CAST(len(feats) AS DOUBLE) + {bl}
+                   ELSE {bl} END AS quality_logit
+              FROM s)
+        SELECT doc_id,
+               CAST(len(feats) AS INTEGER) AS n_features,
+               quality_logit,
+               (len(feats) > 0 AND quality_logit > 0.0e0) AS keep
+        FROM g
+    """
+
+
+_quality_sql = _quality_oracle_sql()
+if _quality_sql is not None:
+    ORACLES["quality_model"] = _quality_sql
 
 
 def _bm25_oracle_sql() -> str | None:
@@ -6205,6 +6338,12 @@ if "dsir_weights" in ORACLES:
 # data-dependent-oracle guard.
 if "bm25_retrieval" in ORACLES:
     SUITES["vocab_suite"].append("bm25_retrieval")
+# CCNet-style curated-vs-crawl quality classifier joins the same suite
+# (round 7): the oracle recomputes the md5-ranked training sample in
+# DuckDB, shares the deterministic pure-Python LR fit, and replays
+# scoring with literal weights; same data-dependent-oracle guard.
+if "quality_model" in ORACLES:
+    SUITES["vocab_suite"].append("quality_model")
 # deterministic BPE subword tokenization joins the corpus-vocabulary
 # suite (round 6); same data-dependent-oracle guard — the oracle refits
 # the merge table from DuckDB-recomputed word counts at import.

@@ -52,6 +52,7 @@ from merchant_classification_spark.functions.text_analysis import (
 __all__ = [
     "quality_training_counts",
     "fit_quality_lr",
+    "quality_logit_col",
     "quality_logits",
 ]
 
@@ -75,13 +76,15 @@ def quality_training_counts(
 
     Returns ``[(label, counts[n_buckets]), ...]`` ordered by
     (label, hash, id) — the fixed order :func:`fit_quality_lr` consumes.
+    NULL-text rows are excluded up front (the hash rank stays total and
+    external replays need no NULL-ordering pact).
     The rank-limit window is per-class top-N, which Spark ≥3.5 executes
     with map-side WindowGroupLimit (each task forwards at most N rows
     per class), so the two-partition window never sees the corpus.
     """
     if n_buckets <= 0 or sample_per_class <= 0:
         raise ValueError("n_buckets and sample_per_class must be positive")
-    ranked = df.select(
+    ranked = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         is_curated.cast("boolean").alias("_w"),
         F.col(text_col).alias("_text"),
@@ -116,7 +119,7 @@ def quality_training_counts(
         vec[int(r["_b"])] = int(r["_c"])
     return [
         (1 if w else 0, docs[(w, h, i)])
-        for (w, h, i) in sorted(docs, key=lambda k: (k[0], k[1], str(k[2])))
+        for (w, h, i) in sorted(docs, key=lambda k: (k[0], k[1], k[2]))
     ]
 
 
@@ -177,6 +180,29 @@ def fit_quality_lr(
     return w, b
 
 
+def quality_logit_col(
+    text_col: Column | str, weights: list[float], bias: float
+) -> Column:
+    """The LR logit as a composable Column (see :func:`quality_logits`);
+    empty documents score the bias alone."""
+    n_buckets = len(weights)
+    if n_buckets == 0:
+        raise ValueError("weights must be non-empty")
+    lit = F.lit([float(x) for x in weights])
+    feats = _dsir_features(text_col)
+    vals = F.transform(
+        feats,
+        lambda f: F.element_at(
+            lit, (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int")
+        ),
+    )
+    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    n = F.size(feats)
+    return F.when(
+        n > 0, s / n.cast("double") + F.lit(float(bias))
+    ).otherwise(F.lit(float(bias)))
+
+
 def quality_logits(
     df: DataFrame,
     weights: list[float],
@@ -198,22 +224,8 @@ def quality_logits(
 
     Returns (id_col, n_features, quality_logit, keep).
     """
-    n_buckets = len(weights)
-    if n_buckets == 0:
-        raise ValueError("weights must be non-empty")
-    lit = F.lit([float(x) for x in weights])
-    feats = _dsir_features(text_col)
-    vals = F.transform(
-        feats,
-        lambda f: F.element_at(
-            lit, (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int")
-        ),
-    )
-    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
-    n = F.size(feats)
-    logit = F.when(
-        n > 0, s / n.cast("double") + F.lit(float(bias))
-    ).otherwise(F.lit(float(bias)))
+    logit = quality_logit_col(text_col, weights, bias)
+    n = F.size(_dsir_features(text_col))
     return df.select(
         F.col(id_col),
         n.cast("int").alias("n_features"),

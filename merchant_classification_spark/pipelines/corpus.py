@@ -4,7 +4,8 @@ What the beyond-reference operator families exist FOR, chained into the
 shape every web-scale corpus actually runs:
 
     ingest (JSONL/parquet) → language filter → quality gate →
-    repetition gate → PII scrub → exact dedup → fingerprint dedup →
+    repetition gate → [optional model gate: CCNet curated-vs-crawl LR]
+    → PII scrub → exact dedup → fingerprint dedup →
     MinHash near-dedup → stats → seeded split → sharded JSONL out
 
 Every stage is a pure DataFrame transform from this package, so the whole
@@ -52,6 +53,8 @@ def prepare_corpus(
     k_anonymity_quasi: list[str] | None = None,
     k_anonymity_k: int = 8,
     export_token_salt: str | None = None,
+    quality_model: tuple[list[float], float] | None = None,
+    quality_model_min_logit: float = 0.0,
 ) -> tuple[DataFrame, dict]:
     """Run the full corpus-prep funnel; returns (clean_docs, report).
 
@@ -100,6 +103,20 @@ def prepare_corpus(
     kept = kept.join(rep, "id").where(
         F.col("top_token_share") <= max_top_token_share
     ).drop("top_token_share")
+    # --- optional model gate (CCNet-style curated-vs-crawl LR) ---------
+    # a fitted (weights, bias) pair from functions/quality_model — the
+    # logit is one more map-only codegen projection fused into the same
+    # filter pass, so the gate costs no extra shuffle
+    if quality_model is not None:
+        from merchant_classification_spark.functions.quality_model import (
+            quality_logit_col,
+        )
+
+        w_lr, b_lr = quality_model
+        kept = kept.where(
+            quality_logit_col("text", w_lr, b_lr)
+            > F.lit(float(quality_model_min_logit))
+        )
     kept = kept.withColumn("text", scrub_pii("text"))
     report["after_filters"] = kept.count()
 
