@@ -23,6 +23,12 @@ member timings are the MEDIAN of $SPARK_GRAFT_BENCH_MEMBER_REPS
 (default 3) serial single-shot runs, so one ambient hiccup no longer
 lands verbatim in the recorded number.
 
+The bench also FAILS (exit 3) on a member-level regression against the
+last committed artifact: tools/bench_compare.py flags a member whose
+median shifted beyond tolerance with NON-overlapping rep spreads —
+uniform session drift and one-off hiccups don't trip it
+($SPARK_GRAFT_BENCH_COMPARE=0 reports without failing).
+
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 parallelism from $SPARK_GRAFT_CPUS (default all cores). Each query is
 forced with the `noop` sink so the full plan executes without driver
@@ -271,6 +277,39 @@ def main() -> None:
                     round(obs[-1], 3),
                 ]
 
+    # regression gate vs the LAST COMMITTED artifact (round 7): a member
+    # whose MEDIAN shifted beyond tolerance with NON-OVERLAPPING rep
+    # spreads is a real regression (uniform session drift and one-off
+    # hiccups don't trip it — see tools/bench_compare.py). The previous
+    # bench_results.json on disk IS the last committed run when the tree
+    # is clean, which is how the driver invokes this.
+    # SPARK_GRAFT_BENCH_COMPARE=0 disables the nonzero exit (the report
+    # still prints).
+    compare_report = None
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    if members and out_path and os.path.exists(out_path):
+        try:
+            import importlib.util as _ilu
+
+            _spec = _ilu.spec_from_file_location(
+                "bench_compare",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools",
+                    "bench_compare.py",
+                ),
+            )
+            _bc = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_bc)
+            with open(out_path) as f:
+                prev = json.load(f)
+            compare_report = _bc.compare(
+                prev,
+                {"members": members, "member_spread": member_spread},
+            )
+        except Exception as e:  # a broken/old artifact never sinks the bench
+            compare_report = {"error": str(e)[:200]}
+
     # per-query map on its own line FIRST; the compact machine-readable
     # headline is the FINAL line by itself (with many queries the combined
     # line outgrew the driver's tail capture and the headline was lost)
@@ -302,6 +341,11 @@ def main() -> None:
                 f.write("\n")
         except OSError as e:
             print(json.dumps({"bench_artifact_error": str(e)[:200]}))
+    if compare_report is not None:
+        line = dict(compare_report)
+        if isinstance(line.get("offenders"), list):
+            line["offenders"] = len(line["offenders"])
+        print(json.dumps({"metric": "bench_regression_gate", **line}))
     print(
         json.dumps(
             {
@@ -315,6 +359,12 @@ def main() -> None:
     )
     if stream_floor_violated:
         sys.exit(2)
+    if (
+        compare_report is not None
+        and compare_report.get("offenders")
+        and os.environ.get("SPARK_GRAFT_BENCH_COMPARE", "1") != "0"
+    ):
+        sys.exit(3)
 
 
 if __name__ == "__main__":

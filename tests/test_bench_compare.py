@@ -1,0 +1,61 @@
+"""Regression-gate decision rule (tools/bench_compare.py compare())."""
+
+import importlib.util
+import os
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "bench_compare.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+BC = _load()
+
+
+def _run(median, spread):
+    return {
+        "members": {"s": {"m": median}},
+        "member_spread": {"s": {"m": spread}},
+    }
+
+
+def test_shifted_median_nonoverlapping_spread_flags():
+    rep = BC.compare(_run(2.0, [1.8, 2.2]), _run(6.0, [5.5, 6.5]))
+    assert [o["member"] for o in rep["offenders"]] == ["s/m"]
+
+
+def test_overlapping_spread_never_flags():
+    # median doubled but the spreads overlap: ambient contention shape
+    rep = BC.compare(_run(2.0, [1.8, 5.9]), _run(4.0, [2.1, 6.0]))
+    assert rep["offenders"] == []
+
+
+def test_within_tolerance_never_flags():
+    rep = BC.compare(_run(2.0, [1.9, 2.1]), _run(2.8, [2.7, 2.9]))
+    assert rep["offenders"] == []  # 1.4x < 1.5x default
+
+
+def test_improvement_never_flags():
+    rep = BC.compare(_run(6.0, [5.5, 6.5]), _run(2.0, [1.8, 2.2]))
+    assert rep["offenders"] == []
+
+
+def test_sub_threshold_members_skipped():
+    rep = BC.compare(_run(0.05, [0.04, 0.06]), _run(0.2, [0.19, 0.21]))
+    assert rep["offenders"] == []  # both under MIN_SEC
+
+
+def test_missing_spread_degrades_to_ratio_only():
+    a = {"members": {"s": {"m": 2.0}}}
+    b = {"members": {"s": {"m": 6.0}}}
+    rep = BC.compare(a, b)
+    assert len(rep["offenders"]) == 1
