@@ -59,3 +59,32 @@ def test_missing_spread_degrades_to_ratio_only():
     b = {"members": {"s": {"m": 6.0}}}
     rep = BC.compare(a, b)
     assert len(rep["offenders"]) == 1
+
+
+def _many(median_map, spread_map):
+    return {
+        "members": {"s": dict(median_map)},
+        "member_spread": {"s": dict(spread_map)},
+    }
+
+
+def test_session_drift_normalized_out():
+    # 12 members all uniformly 1.6x slower (a slow machine): no offender
+    a = _many({f"m{i}": 2.0 for i in range(12)},
+              {f"m{i}": [1.9, 2.1] for i in range(12)})
+    b = _many({f"m{i}": 3.2 for i in range(12)},
+              {f"m{i}": [3.1, 3.3] for i in range(12)})
+    rep = BC.compare(a, b)
+    assert rep["session_drift"] == 1.6
+    assert rep["offenders"] == []
+
+
+def test_real_regression_survives_drift_normalization():
+    # same slow session, but one member is 4x: still flagged
+    med_a = {f"m{i}": 2.0 for i in range(12)}
+    spr_a = {f"m{i}": [1.9, 2.1] for i in range(12)}
+    med_b = {f"m{i}": 3.2 for i in range(12)}
+    spr_b = {f"m{i}": [3.1, 3.3] for i in range(12)}
+    med_b["m5"], spr_b["m5"] = 8.0, [7.8, 8.2]
+    rep = BC.compare(_many(med_a, spr_a), _many(med_b, spr_b))
+    assert [o["member"] for o in rep["offenders"]] == ["s/m5"]
