@@ -184,23 +184,30 @@ def quality_logit_col(
     text_col: Column | str, weights: list[float], bias: float
 ) -> Column:
     """The LR logit as a composable Column (see :func:`quality_logits`);
-    empty documents score the bias alone."""
+    empty documents score the bias alone. The feature array is bound as
+    a lambda variable so the tokenize regex runs once per row even
+    though size/fold/branch all reference it."""
     n_buckets = len(weights)
     if n_buckets == 0:
         raise ValueError("weights must be non-empty")
     lit = F.lit([float(x) for x in weights])
-    feats = _dsir_features(text_col)
-    vals = F.transform(
-        feats,
-        lambda f: F.element_at(
-            lit, (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int")
-        ),
+    b = F.lit(float(bias))
+
+    def one(fs):
+        vals = F.transform(
+            fs,
+            lambda f: F.element_at(
+                lit,
+                (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int"),
+            ),
+        )
+        s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+        n = F.size(fs)
+        return F.when(n > 0, s / n.cast("double") + b).otherwise(b)
+
+    return F.element_at(
+        F.transform(F.array(_dsir_features(text_col)), one), 1
     )
-    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
-    n = F.size(feats)
-    return F.when(
-        n > 0, s / n.cast("double") + F.lit(float(bias))
-    ).otherwise(F.lit(float(bias)))
 
 
 def quality_logits(
@@ -220,13 +227,47 @@ def quality_logits(
 
     Scale shape: the model is an ``n_buckets`` double-literal array
     (``F.lit(list)`` — ONE array literal, O(1) ``element_at``), so
-    scoring is a single map-only codegen projection.
+    scoring is a single map-only codegen projection. The feature array
+    (which embeds the tokenize regex) is BOUND ONCE per row via the
+    one-element-array lambda + dedicated-select idiom: written naively,
+    (fold, size, keep) reference it ~5× row-level and codegen CSE does
+    not share across lambda boundaries — each reference re-runs the
+    regex (the measured Catalyst trap from the DSIR tier).
 
     Returns (id_col, n_features, quality_logit, keep).
     """
-    logit = quality_logit_col(text_col, weights, bias)
-    n = F.size(_dsir_features(text_col))
-    return df.select(
+    n_buckets = len(weights)
+    if n_buckets == 0:
+        raise ValueError("weights must be non-empty")
+    lit = F.lit([float(x) for x in weights])
+    b = F.lit(float(bias))
+
+    def fold(fs):
+        vals = F.transform(
+            fs,
+            lambda f: F.element_at(
+                lit,
+                (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int"),
+            ),
+        )
+        return F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+
+    bound = df.select(
+        F.col(id_col),
+        F.element_at(
+            F.transform(
+                F.array(_dsir_features(text_col)),
+                lambda fs: F.struct(
+                    F.size(fs).alias("n"), fold(fs).alias("s")
+                ),
+            ),
+            1,
+        ).alias("_sn"),
+    )
+    n = F.col("_sn").getField("n")
+    s = F.col("_sn").getField("s")
+    logit = F.when(n > 0, s / n.cast("double") + b).otherwise(b)
+    return bound.select(
         F.col(id_col),
         n.cast("int").alias("n_features"),
         logit.alias("quality_logit"),

@@ -504,16 +504,37 @@ def dsir_scores(
     # CreateArray expression, rebuilt per element inside the transform
     # lambda below
     lit = F.lit([float(x) for x in logratios])
-    feats = _dsir_features(text_col)
-    vals = F.transform(
-        feats,
-        lambda f: F.element_at(
-            lit, (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int")
-        ),
+
+    # bind the feature array ONCE per row (one-element-array lambda +
+    # dedicated select): naively, (fold, size, keep) reference the
+    # feature expression — which embeds the tokenize regex — 4× per row
+    # and codegen CSE does not share across lambda boundaries, so each
+    # reference re-ran the regex (round-7 fix, same trap as the fit)
+    def fold(fs):
+        vals = F.transform(
+            fs,
+            lambda f: F.element_at(
+                lit,
+                (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int"),
+            ),
+        )
+        return F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+
+    bound = df.select(
+        F.col(id_col),
+        F.element_at(
+            F.transform(
+                F.array(_dsir_features(text_col)),
+                lambda fs: F.struct(
+                    F.size(fs).alias("n"), fold(fs).alias("s")
+                ),
+            ),
+            1,
+        ).alias("_sn"),
     )
-    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
-    n = F.size(feats)
-    return df.select(
+    n = F.col("_sn").getField("n")
+    s = F.col("_sn").getField("s")
+    return bound.select(
         F.col(id_col),
         n.cast("int").alias("n_features"),
         s.alias("dsir_logratio"),

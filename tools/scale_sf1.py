@@ -109,6 +109,7 @@ HEAVY = [
     ("tpch_q9_profit", "TPC-H Q9 5-table profit join"),
     ("tpch_q21_waiting", "TPC-H Q21 multi-exists suppliers"),
     ("bpe_tokens", "BPE fit + broadcast-vocab token counts"),
+    ("quality_model", "curated-vs-crawl LR quality screen"),
     ("bpe_pack", "BPE counts -> two-phase prefix-sum packing"),
     ("pack_documents", "whitespace-token two-phase packing"),
 ]
