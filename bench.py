@@ -25,9 +25,13 @@ lands verbatim in the recorded number.
 
 The bench also FAILS (exit 3) on a member-level regression against the
 last committed artifact: tools/bench_compare.py flags a member whose
-median shifted beyond tolerance with NON-overlapping rep spreads —
-uniform session drift and one-off hiccups don't trip it
-($SPARK_GRAFT_BENCH_COMPARE=0 reports without failing).
+median shifted beyond tolerance (session-drift-normalized) with
+NON-overlapping rep spreads — and any offender is RE-MEASURED once
+later in the session before the verdict stands, because an ambient
+load burst shifts every rep of whichever members run inside its window
+while a real regression reproduces ($SPARK_GRAFT_BENCH_COMPARE=0
+reports without failing). The streaming floor gets one retry-batch on
+breach for the same reason.
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 parallelism from $SPARK_GRAFT_CPUS (default all cores). Each query is
@@ -125,6 +129,27 @@ def _streaming_throughput(
     return round(rows / one_batch(rows), 1)
 
 
+def _time_member(spark, sf_dir: str, name: str, reps: int, warmup: bool):
+    """Sorted single-shot observations for one member probe (its own
+    warmup first — the standalone plan's codegen differs from the
+    suite-union plan's), caches + both heaps collected between runs."""
+    if warmup:
+        force(entry_mod.BRANCH_QUERIES[name](spark, sf_dir))
+        spark.catalog.clearCache()
+        gc.collect()
+        _jvm_gc(spark)
+    obs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        force(entry_mod.BRANCH_QUERIES[name](spark, sf_dir))
+        obs.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        gc.collect()
+        _jvm_gc(spark)
+    obs.sort()
+    return obs
+
+
 def _jvm_gc(spark) -> None:
     # clearCache() does NOT free localCheckpoint blocks — those need the
     # driver refs GC'd. Only the classic py4j gateway exposes _jvm; under
@@ -163,7 +188,13 @@ def main() -> None:
             # loudly (nonzero exit after printing) instead of letting
             # throughput drift. Raised 20k->30k in round 6 once the
             # probe ran first — the old floor had to sit under the
-            # contention the tail position added.
+            # contention the tail position added. One retry on breach
+            # (round 7): an ambient-load burst measured 28.3k on
+            # UNCHANGED code in a session that re-measured 50k minutes
+            # later — a single fresh batch separates a transient from
+            # the ~10x regressions the floor exists to catch.
+            if stream_rps < stream_floor:
+                stream_rps = max(stream_rps, _streaming_throughput(spark))
             stream_floor_violated = stream_rps < stream_floor
             print(
                 json.dumps(
@@ -241,36 +272,15 @@ def main() -> None:
             members[suite] = {}
             member_spread[suite] = {}
             for name in names:
-                # the member's STANDALONE plan was never executed — the
-                # main pass warms the suite-union plan, whose codegen is
-                # different — so without its own warmup the first timed
-                # rep pays compile+JIT, and JIT tiering is erratic
-                # enough that a whole session's reps can stay in the
-                # cold mode (measured: embedding_neardup 6.7-10.3 s for
-                # all 3 reps in one run, 1.3 s in the next; a fresh
-                # session probe shows 7.8 s cold -> 1.2 s warm)
-                if warmup:
-                    force(entry_mod.BRANCH_QUERIES[name](spark, sf_dir))
-                    spark.catalog.clearCache()
-                    gc.collect()
-                    _jvm_gc(spark)
-                obs = []
-                for _ in range(member_reps):
-                    t0 = time.perf_counter()
-                    force(entry_mod.BRANCH_QUERIES[name](spark, sf_dir))
-                    obs.append(time.perf_counter() - t0)
-                    spark.catalog.clearCache()
-                    # PER REP, not per suite: localCheckpoint blocks are
-                    # freed only after the driver-side refs are GC'd, so
-                    # a checkpoint-heavy member's own reps accumulate
-                    # blocks inside the timing loop — measured as
-                    # escalating reps (edit_distance 2.4 -> 10.9 ->
-                    # 19.8 s in one session, flat 2.2-2.5 s in the
-                    # next, GC-timing dependent). Collecting between
-                    # reps keeps every rep's BlockManager state equal.
-                    gc.collect()
-                    _jvm_gc(spark)
-                obs.sort()
+                # warmup inside _time_member: the member's STANDALONE
+                # plan was never executed — the main pass warms the
+                # suite-union plan, whose codegen is different — and JIT
+                # tiering is erratic enough that a cold first rep can
+                # keep a whole session in the slow mode. Heaps collect
+                # PER REP: localCheckpoint blocks are freed only after
+                # driver refs are GC'd, measured as escalating reps on
+                # checkpoint-heavy members otherwise.
+                obs = _time_member(spark, sf_dir, name, member_reps, warmup)
                 members[suite][name] = round(obs[len(obs) // 2], 3)
                 member_spread[suite][name] = [
                     round(obs[0], 3),
@@ -307,6 +317,30 @@ def main() -> None:
                 prev,
                 {"members": members, "member_spread": member_spread},
             )
+            # verification pass (round 7): an ambient-load BURST hits
+            # all reps of whichever members run inside its window, so
+            # their spreads are tight-but-shifted and the drift median
+            # (computed over the whole session) doesn't absorb it —
+            # measured: 14 same-code members flagged at up to 4x during
+            # a host-load spike, all back at baseline minutes later.
+            # Re-measuring JUST the offenders later in the session
+            # separates that from a real regression, which reproduces.
+            retried = {}
+            for o in list(compare_report.get("offenders", [])):
+                suite, name = o["member"].split("/", 1)
+                obs = _time_member(spark, sf_dir, name, member_reps, warmup)
+                members[suite][name] = round(obs[len(obs) // 2], 3)
+                member_spread[suite][name] = [
+                    round(obs[0], 3),
+                    round(obs[-1], 3),
+                ]
+                retried[o["member"]] = members[suite][name]
+            if retried:
+                compare_report = _bc.compare(
+                    prev,
+                    {"members": members, "member_spread": member_spread},
+                )
+                compare_report["retried_members"] = retried
         except Exception as e:  # a broken/old artifact never sinks the bench
             compare_report = {"error": str(e)[:200]}
 
