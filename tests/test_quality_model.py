@@ -132,3 +132,46 @@ def test_corpus_pipeline_model_gate_funnel(spark, corpus, fitted):
     # downstream near-dup ladder also collapses templated curated docs,
     # so only a floor: a healthy curated majority survives end-to-end
     assert len(kept_ids) >= 20
+
+
+def test_quality_gate_works_on_streams(spark, corpus, fitted, tmp_path):
+    """The literal-weights logit is a stateless map-only projection, so
+    it applies unchanged to a stream — and batch/stream results over the
+    same rows are identical (the streaming twin discipline)."""
+    import uuid
+
+    from merchant_classification_spark.functions.quality_model import (
+        quality_logit_col,
+    )
+
+    w, b = fitted
+    path = str(tmp_path / "qsrc")
+    corpus.select("doc_id", "text").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    batch = spark.read.parquet(path).select(
+        "doc_id", quality_logit_col("text", w, b).alias("quality_logit")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(path)
+        .select(
+            "doc_id", quality_logit_col("text", w, b).alias("quality_logit")
+        )
+    )
+    assert stream.isStreaming
+    name = f"qgate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / f"ckpt-{uuid.uuid4().hex}")
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want  # bit-exact: same literal weights, same fold
