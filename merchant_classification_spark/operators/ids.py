@@ -72,6 +72,12 @@ def prefix_sum(
     within-bucket window sorts on (Spark's exchange reuse), so ``df`` is
     evaluated once even though the plan reads it on two branches; the
     min/max scan projects only the lead column (or ``range_of``).
+    Reuse precondition (verified via scan metrics): ``df``'s columns
+    must be exactly the ones the sum needs (``order_cols`` + ``val_col``
+    — pre-select before calling, as ``pack_documents`` does). Extra
+    payload columns make column pruning narrow the totals branch, the
+    exchanges stop being canonically equal, and the plan degrades to two
+    (still parallel, still correct) evaluations.
     """
     lead = order_cols[0]
     lead_type = df.schema[lead].dataType
