@@ -2465,6 +2465,12 @@ QUALITY_BUCKETS = 64
 QUALITY_SAMPLE_PER_CLASS = 100
 QUALITY_CURATED_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
+#: Temperature-mix probe (operators/sampling.py temperature_mix):
+#: alpha-flattened source rebalance targeting TEMP_MIX_TOTAL rows
+TEMP_MIX_ALPHA = 0.5
+TEMP_MIX_TOTAL = 300
+TEMP_MIX_SALT = "temp7"
+
 #: BM25 probe query — corpus-frequent terms so scores spread meaningfully
 BM25_TERMS = ["spark", "query", "window", "merge"]
 BM25_K1 = 1.2
@@ -2629,6 +2635,28 @@ def q_corpus_mix(spark, sf_dir):
         {"src0": 6000, "src1": 3000},
         salt="mix24",
     ).orderBy("source", "mix_rank")
+
+
+def q_temperature_mix(spark, sf_dir):
+    # temperature-rebalanced source mixing (XLM-R arXiv:1911.02116
+    # §3.1 alpha-sampling): ONE bounded per-source count aggregate, a
+    # pure driver-side rate computation (shared with the oracle like
+    # fit_bpe), then a map-only content-hash admission filter — rates
+    # and percentiles are bit-exact doubles in any engine
+    # (operators/sampling.py temperature_mix).
+    from merchant_classification_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs,
+        ["doc_id"],
+        "source",
+        TEMP_MIX_ALPHA,
+        TEMP_MIX_TOTAL,
+        salt=TEMP_MIX_SALT,
+    ).orderBy("source", "doc_id")
 
 
 def q_salted_join_agg(spark, sf_dir):
@@ -3251,6 +3279,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokens": q_bpe_tokens,
     "bpe_pack": q_bpe_pack,
     "corpus_mix": q_corpus_mix,
+    "temperature_mix": q_temperature_mix,
     "pack_documents": q_pack_documents,
     "salted_join_agg": q_salted_join_agg,
     "semi_prefilter_agg": q_semi_prefilter_agg,
@@ -4778,6 +4807,67 @@ def _quality_oracle_sql() -> str | None:
 _quality_sql = _quality_oracle_sql()
 if _quality_sql is not None:
     ORACLES["quality_model"] = _quality_sql
+
+
+def _temperature_mix_oracle_sql() -> str | None:
+    """Full replay of q_temperature_mix: recompute the per-source counts
+    in DuckDB, run the SAME shared pure-Python ``temperature_rates`` on
+    them, inline the identical rate double literals, and replay the
+    content-hash percentile admission (the corpus_mix md5 arithmetic) —
+    every mix_p/keep_rate double bit-exact. Same unreadable-data guard
+    as the other data-dependent oracles.
+    """
+    import os
+
+    import duckdb as _dd
+
+    from merchant_classification_spark.operators.sampling import (
+        temperature_rates,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        con = _dd.connect()
+        rows = con.sql(
+            f"SELECT source, CAST(count(*) AS BIGINT) "
+            f"FROM read_parquet('{path}') GROUP BY source"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    counts = {str(s): int(c) for s, c in rows}
+    rates = temperature_rates(counts, TEMP_MIX_ALPHA, TEMP_MIX_TOTAL)
+    case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN {_dlit(rates[s])}" for s in sorted(rates)
+        )
+        + " END"
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT source, doc_id,
+                   (('0x' || substr(md5(concat_ws(chr(31), '{TEMP_MIX_SALT}',
+                        coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'))),
+                     1, 15))::BIGINT
+                    % {1 << 54}) / {float(1 << 54)!r} AS mix_p,
+                   {case} AS keep_rate
+            FROM documents
+        )
+        SELECT source, doc_id, mix_p, keep_rate
+        FROM keyed WHERE mix_p < keep_rate
+        ORDER BY source, doc_id
+    """
+
+
+_temp_mix_sql = _temperature_mix_oracle_sql()
+if _temp_mix_sql is not None:
+    ORACLES["temperature_mix"] = _temp_mix_sql
 
 
 def _bm25_oracle_sql() -> str | None:
@@ -6353,6 +6443,11 @@ if "bpe_tokens" in ORACLES:
 # (round 6): packs cut in fitted subword tokens, same oracle guard.
 if "bpe_pack" in ORACLES:
     SUITES["chunk_pack_suite"].append("bpe_pack")
+# temperature-rebalanced source mixing joins the corpus-composition
+# suite (round 7): counts recomputed in DuckDB, shared pure-Python rate
+# fit, literal-rate percentile admission; same oracle guard.
+if "temperature_mix" in ORACLES:
+    SUITES["chunk_pack_suite"].append("temperature_mix")
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
 # suite — KMeans/seeded-rand/sketch/ML ops

@@ -411,3 +411,86 @@ def budget_mix(
             "mix_rank",
         )
     )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, total_rows: int
+) -> dict[str, float]:
+    """Per-source admission rates for temperature sampling (the
+    multilingual-pretraining rebalance: XLM-R, Conneau et al. 2019,
+    arXiv:1911.02116 §3.1; mT5's alpha-sampling): source ``s`` is drawn
+    with probability ∝ p_s^alpha where p_s is its corpus share —
+    ``alpha < 1`` up-weights small sources, ``alpha = 1`` is natural
+    proportions, ``alpha = 0`` is uniform-by-source.
+
+    Pure deterministic function of the integer count table (summation
+    in sorted source order, one ``**``/division chain per source) so an
+    external oracle replaying the same counts computes bit-identical
+    rate doubles — the same shared-fit discipline as ``fit_bpe`` /
+    ``fit_quality_lr``. Rates are capped at 1.0: temperature sampling
+    DOWN-samples big sources; it never duplicates rows (for true
+    up-sampling compose with an epoch multiplier downstream).
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if total_rows <= 0:
+        raise ValueError("total_rows must be positive")
+    if not counts or any(c <= 0 for c in counts.values()):
+        raise ValueError("counts must be non-empty with positive values")
+    n = 0
+    for s in sorted(counts):
+        n += counts[s]
+    qs = {s: (counts[s] / n) ** alpha for s in sorted(counts)}
+    z = 0.0
+    for s in sorted(qs):
+        z += qs[s]
+    return {
+        s: min(1.0, (total_rows * (qs[s] / z)) / counts[s])
+        for s in sorted(counts)
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_cols: list[str],
+    source_col: str,
+    alpha: float = 0.5,
+    total_rows: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-rebalanced corpus mix: admit each row iff its
+    content-hash percentile falls under its source's
+    :func:`temperature_rates` rate, targeting ``total_rows`` in
+    expectation with source proportions flattened by ``alpha``.
+
+    Engine discipline: ONE bounded aggregate (per-source counts —
+    sources are few by nature, the sampler-rate-dict pattern), a pure
+    driver-side rate computation, then a map-only admission filter —
+    no shuffle beyond the count's partial aggregate, membership stable
+    under repartitioning/retries/engines because the percentile is a
+    pure row function (:func:`hash_percentile`). The rate rides as a
+    literal map (bounded by the source count — under the ~100-entry
+    threshold where a broadcast join beats ``GetMapValue``'s linear
+    scan).
+
+    Returns admitted rows: (``source_col``, id cols, mix_p, keep_rate).
+    """
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1))).collect()
+    }
+    rates = temperature_rates(counts, alpha, total_rows)
+    rate_map = F.create_map(
+        *[F.lit(x) for s in sorted(rates) for x in (s, float(rates[s]))]
+    )
+    return (
+        df.withColumn("_mixp", hash_percentile(id_cols, salt))
+        .withColumn("keep_rate", rate_map[F.col(source_col)])
+        .where(F.col("_mixp") < F.col("keep_rate"))
+        .select(
+            source_col,
+            *id_cols,
+            F.col("_mixp").alias("mix_p"),
+            "keep_rate",
+        )
+    )

@@ -331,3 +331,53 @@ def test_stratified_hash_sample_invariants(tables):
     perf = Counter(r.o_orderpriority for r in floored.collect())
     for k in counts:
         assert perf.get(k, 0) >= 5, (k, perf.get(k, 0))
+
+
+def test_temperature_rates_math():
+    from merchant_classification_spark.operators.sampling import (
+        temperature_rates,
+    )
+
+    counts = {"a": 800, "b": 150, "c": 50}
+    # alpha=1: natural proportions -> every source keeps the same rate
+    r1 = temperature_rates(counts, 1.0, 500)
+    assert all(abs(v - 0.5) < 1e-12 for v in r1.values())
+    # alpha=0: uniform source targets -> each source targets total/3
+    r0 = temperature_rates(counts, 0.0, 300)
+    assert abs(r0["a"] - 100 / 800) < 1e-12
+    assert abs(r0["c"] - 1.0) < 1e-12  # capped: target 100 > 50 rows
+    # alpha=0.5 flattens: the small source's rate exceeds the big one's
+    rh = temperature_rates(counts, 0.5, 300)
+    assert rh["c"] > rh["b"] > rh["a"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_rates({}, 0.5, 10)
+    with _pt.raises(ValueError):
+        temperature_rates(counts, -1.0, 10)
+    with _pt.raises(ValueError):
+        temperature_rates(counts, 0.5, 0)
+
+
+def test_temperature_mix_rebalances_and_is_stable(spark):
+    from merchant_classification_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big" if i < 1600 else "small") for i in range(1800)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mix(df, ["doc_id"], "source", 0.3, 600, salt="t")
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    # natural share: big 89% / small 11%; alpha=0.3 pulls the mix toward
+    # parity — small's admitted share must rise far above its natural one
+    tot = sum(by.values())
+    assert by["small"] / tot > 0.3
+    assert 0.7 * 600 < tot < 1.3 * 600  # expectation targeting
+    # membership is a pure row function: repartitioning changes nothing
+    again = temperature_mix(
+        df.repartition(13), ["doc_id"], "source", 0.3, 600, salt="t"
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, out.collect())
+    )
