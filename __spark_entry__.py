@@ -1147,6 +1147,14 @@ def q_repetition_scores(spark, sf_dir):
 PPLX_TOP_K = 24
 PPLX_TAU = 4.7
 
+#: bigram stupid-backoff screen: unigram/bigram table caps, backoff
+#: alpha (Brants 2007's 0.4), keep threshold (bigram context lowers
+#: in-distribution avg_neg_logprob well under the unigram tau)
+BIPPLX_TOP_K = 24
+BIPPLX_TOP_K2 = 256
+BIPPLX_ALPHA = 0.4
+BIPPLX_TAU = 3.5
+
 
 def q_perplexity_filter(spark, sf_dir):
     # CCNet-style unigram-LM perplexity screen (Wenzek et al.,
@@ -1164,6 +1172,27 @@ def q_perplexity_filter(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     model, oov = unigram_model(docs, "text", PPLX_TOP_K)
     return perplexity_scores(docs, model, oov, tau=PPLX_TAU)
+
+
+def q_bigram_perplexity(spark, sf_dir):
+    # stupid-backoff bigram LM screen (Brants et al. 2007 — the
+    # distributed-LM scoring rule: unnormalized c(w1w2)/c(w1) when the
+    # bigram is seen, else alpha * unigram) — one level of context above
+    # the unigram perplexity screen, same bounded-fit → literal-table →
+    # map-only-fold discipline, so every double replays bit-exactly
+    # (functions/text_analysis.py bigram_backoff_model).
+    from merchant_classification_spark.functions.text_analysis import (
+        bigram_backoff_model,
+        bigram_perplexity_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi, oov, la = bigram_backoff_model(
+        docs, "text", BIPPLX_TOP_K, BIPPLX_TOP_K2, BIPPLX_ALPHA
+    )
+    return bigram_perplexity_scores(
+        docs, uni, bi, oov, la, tau=BIPPLX_TAU
+    )
 
 
 def q_ngram_top(spark, sf_dir):
@@ -3275,6 +3304,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "dsir_weights": q_dsir_weights,
     "quality_model": q_quality_model,
+    "bigram_perplexity": q_bigram_perplexity,
     "bm25_retrieval": q_bm25_retrieval,
     "bpe_tokens": q_bpe_tokens,
     "bpe_pack": q_bpe_pack,
@@ -4631,6 +4661,132 @@ def _perplexity_oracle_sql() -> str | None:
 _perplexity_sql = _perplexity_oracle_sql()
 if _perplexity_sql is not None:
     ORACLES["perplexity_filter"] = _perplexity_sql
+
+
+def _bigram_perplexity_oracle_sql() -> str | None:
+    """Full replay of q_bigram_perplexity: recompute the SAME unigram
+    AND bigram integer counts in DuckDB, apply the same caps/tie-breaks
+    and the same Python ``math.log`` chain (stupid-backoff:
+    log(c(w1w2)/c(w1)) for table bigrams, log(alpha)+unigram for
+    backoff), inline identical double literals, and replay the fold
+    SEEDED at the first token's unigram score — matching Spark's
+    ``aggregate(pairs, first, +)`` order — so every logprob_sum is
+    bit-exact. Same unreadable-data guard as the other oracles.
+    """
+    import math
+    import os
+
+    import duckdb as _dd
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        con = _dd.connect()
+        uni = con.sql(
+            f"""
+            WITH d AS (SELECT text FROM read_parquet('{path}')),
+            t AS (SELECT {_SQL_TOKENS} AS toks FROM d),
+            e AS (SELECT unnest(toks) AS tok FROM t)
+            SELECT tok, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY tok
+            """
+        ).fetchall()
+        bi = con.sql(
+            f"""
+            WITH d AS (SELECT text FROM read_parquet('{path}')),
+            t AS (SELECT {_SQL_TOKENS} AS toks FROM d),
+            p AS (SELECT unnest([
+                      struct_pack(w1 := toks[i], w2 := toks[i+1])
+                      for i in range(1, len(toks))]) AS pr FROM t)
+            SELECT pr.w1, pr.w2, CAST(count(*) AS BIGINT) AS c
+            FROM p GROUP BY pr.w1, pr.w2
+            """
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not uni:
+        return None
+    n_tot = sum(c for _, c in uni)
+    v = len(uni)
+    top = sorted(uni, key=lambda r: (-r[1], r[0]))[:BIPPLX_TOP_K]
+    denom = float(n_tot + v + 1)
+    uni_model = [(t, math.log((c + 1) / denom)) for t, c in top]
+    oov = _dlit(math.log(1.0 / denom))
+    la = _dlit(math.log(BIPPLX_ALPHA))
+    prev_c = dict(top)
+    top_bi = sorted(
+        (r for r in bi if r[0] in prev_c),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:BIPPLX_TOP_K2]
+    bi_model = [
+        (w1 + "\x1f" + w2, math.log(c / prev_c[w1])) for w1, w2, c in top_bi
+    ]
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    uvocab = "[" + ", ".join(f"'{esc(t)}'" for t, _ in uni_model) + "]"
+    ulps = "[" + ", ".join(_dlit(lp) for _, lp in uni_model) + "]"
+    # bigram keys carry the 0x1F separator via chr(31) so the SQL text
+    # stays printable
+    bvocab = (
+        "["
+        + ", ".join(
+            "'{}' || chr(31) || '{}'".format(
+                esc(k.split("\x1f")[0]), esc(k.split("\x1f")[1])
+            )
+            for k, _ in bi_model
+        )
+        + "]"
+    ) if bi_model else "CAST([] AS VARCHAR[])"
+    blps = (
+        "[" + ", ".join(_dlit(lp) for _, lp in bi_model) + "]"
+        if bi_model
+        else "CAST([] AS DOUBLE[])"
+    )
+    uni_of = (
+        f"coalesce(({ulps})[list_position({uvocab}, {{x}})], {oov})"
+    )
+    pair_lp = (
+        f"coalesce(({blps})[list_position({bvocab}, "
+        f"toks[i] || chr(31) || toks[i+1])], "
+        f"{la} + " + uni_of.format(x="toks[i+1]") + ")"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+              CASE WHEN len(toks) = 0 THEN 0.0e0
+                   ELSE list_reduce(list_prepend(
+                        {uni_of.format(x="toks[1]")},
+                        [{pair_lp} for i in range(1, len(toks))]),
+                        (a, b) -> a + b)
+              END AS lp_sum,
+              len(list_filter(
+                  [list_position({bvocab},
+                       toks[i] || chr(31) || toks[i+1]) = 0
+                   for i in range(1, len(toks))],
+                  f -> f)) AS n_backoff
+              FROM t)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(n_backoff AS INTEGER) AS n_backoff,
+               lp_sum AS logprob_sum,
+               CASE WHEN len(toks) = 0 THEN NULL
+                    ELSE -(lp_sum / CAST(len(toks) AS DOUBLE)) END
+                   AS avg_neg_logprob,
+               CASE WHEN len(toks) = 0 THEN FALSE
+                    ELSE -(lp_sum / CAST(len(toks) AS DOUBLE))
+                         <= {_dlit(BIPPLX_TAU)}
+               END AS keep
+        FROM s
+    """
+
+
+_bigram_pplx_sql = _bigram_perplexity_oracle_sql()
+if _bigram_pplx_sql is not None:
+    ORACLES["bigram_perplexity"] = _bigram_pplx_sql
 
 
 #: DuckDB mirror of text_analysis._dsir_features: unigrams then adjacent
@@ -6419,6 +6575,11 @@ if "semantic_dedup" in ORACLES:
 # (round 5); same data-dependent-oracle guard as ann_ivf/semantic_dedup.
 if "perplexity_filter" in ORACLES:
     SUITES["doc_metrics_suite"].append("perplexity_filter")
+# stupid-backoff bigram LM screen joins the same suite (round 7): both
+# count tables recomputed in DuckDB, same Python log chain, fold seeded
+# at the first token's score; same data-dependent-oracle guard.
+if "bigram_perplexity" in ORACLES:
+    SUITES["doc_metrics_suite"].append("bigram_perplexity")
 # DSIR importance weights fold into the corpus-vocabulary suite (round
 # 5); same data-dependent-oracle guard — without an oracle the member is
 # left out (the operator stays pytest-covered).

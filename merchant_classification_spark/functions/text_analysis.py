@@ -372,6 +372,193 @@ def perplexity_scores(
     return bound.select(*cols)
 
 
+#: bigram-key separator: 0x1F cannot occur inside a token (tokens keep
+#: only [a-z0-9']), so "ab␟c" and "a␟bc" never collide
+_BIGRAM_SEP = "\x1f"
+
+
+def bigram_backoff_model(
+    df,
+    text_col: str = "text",
+    top_k: int = 256,
+    top_k2: int = 512,
+    alpha: float = 0.4,
+) -> tuple[list[tuple[str, float]], list[tuple[str, float]], float, float]:
+    """Fit a stupid-backoff bigram LM (Brants et al. 2007, EMNLP —
+    "Large Language Models in Machine Translation": the scoring rule
+    built for DISTRIBUTED LMs, score = c(w₁w₂)/c(w₁) when the bigram is
+    seen, else α·s_uni(w₂); no normalization at the bigram level, which
+    is exactly what makes every score precomputable) over a corpus.
+
+    Returns ``(uni_model, bigram_model, oov_logprob, log_alpha)``:
+    ``uni_model`` is the add-one-smoothed unigram table of
+    :func:`unigram_model`; ``bigram_model`` maps "w₁␟w₂" →
+    ``log(c(w₁w₂)/c(w₁))`` for the ``top_k2`` most frequent bigrams
+    (ties by pair ascending) whose FIRST word is in the unigram top-k —
+    the bound that keeps c(w₁) available from the already-collected
+    unigram table, so both literal tables stay bounded by construction.
+    Backoff positions score ``log_alpha + uni`` — engines only ever ADD
+    the Python-computed literals, so an external oracle replaying the
+    same integer counts is bit-exact.
+
+    Scale shape: the unigram fit of :func:`unigram_model` plus ONE more
+    explode-pairs + map-side-combined count aggregate and one
+    TakeOrderedAndProject top-k — driver materialization stays
+    ``top_k + top_k2`` rows.
+    """
+    import math
+
+    if top_k <= 0 or top_k2 <= 0:
+        raise ValueError("top_k and top_k2 must be positive")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    # inline the unigram fit (same math and tie-breaks as
+    # :func:`unigram_model`, asserted by tests) so the counts pass runs
+    # once and the integer counts stay available for c(w₁)
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    try:
+        tot = counts.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+            F.count(F.lit(1)).alias("v"),
+        ).collect()[0]
+        n_tot, v = int(tot["n"]), int(tot["v"])
+        top = counts.orderBy(F.col("c").desc(), "tok").limit(top_k).collect()
+    finally:
+        counts.unpersist(blocking=False)
+    denom = float(n_tot + v + 1)
+    uni_model = [
+        (r["tok"], math.log((int(r["c"]) + 1) / denom)) for r in top
+    ]
+    oov_lp = math.log(1.0 / denom)
+    prev_c = {r["tok"]: int(r["c"]) for r in top}
+    pair_col = F.element_at(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda t: F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ),
+        1,
+    )
+    pairs = df.select(F.explode(pair_col).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    top_bi = (
+        pairs.where(F.col("w1").isin(*prev_c.keys()))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(top_k2)
+        .collect()
+    )
+    bigram_model = [
+        (
+            r["w1"] + _BIGRAM_SEP + r["w2"],
+            math.log(int(r["c"]) / prev_c[r["w1"]]),
+        )
+        for r in top_bi
+    ]
+    return uni_model, bigram_model, oov_lp, math.log(alpha)
+
+
+def bigram_perplexity_scores(
+    df,
+    uni_model: list[tuple[str, float]],
+    bigram_model: list[tuple[str, float]],
+    oov_logprob: float,
+    log_alpha: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau: float | None = None,
+):
+    """Score documents under a fitted :func:`bigram_backoff_model`.
+
+    Position 1 scores the unigram table (OOV fallback); positions ≥ 2
+    score the bigram table when the pair is present, else backoff:
+    ``log_alpha +`` the unigram score of the current token.
+    ``logprob_sum`` folds left-to-right seeded at the FIRST token's
+    score (fixed IEEE order — replayable); ``n_backoff`` counts the
+    pair positions that fell back. ``keep`` = ``n_tokens > 0 AND
+    avg_neg_logprob <= tau``.
+
+    Scale shape: both models ride as literal maps (bounded by
+    top_k/top_k2), one map-only projection — the token array is bound
+    once per row and all four outputs come back in one struct (the
+    binding idiom; see :func:`perplexity_scores`). For vocabularies too
+    large to inline, the same semantics become broadcast joins on the
+    exploded pairs plus a sorted refold.
+
+    Returns (id, n_tokens, n_backoff, logprob_sum, avg_neg_logprob
+    [, keep]).
+    """
+    ukv: list[Column] = []
+    for t, lp in uni_model:
+        ukv += [F.lit(t), F.lit(float(lp))]
+    umap = F.create_map(*ukv) if ukv else F.create_map()
+    bkv: list[Column] = []
+    for k, lp in bigram_model:
+        bkv += [F.lit(k), F.lit(float(lp))]
+    bmap = F.create_map(*bkv) if bkv else F.create_map()
+    oov = F.lit(float(oov_logprob))
+    la = F.lit(float(log_alpha))
+
+    def uni(x):
+        return F.coalesce(F.try_element_at(umap, x), oov)
+
+    def stats(t):
+        s1 = F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0)))
+        s2 = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+        pair_lps = F.zip_with(
+            s1,
+            s2,
+            lambda a, b: F.coalesce(
+                F.try_element_at(bmap, F.concat(a, F.lit(_BIGRAM_SEP), b)),
+                la + uni(b),
+            ),
+        )
+        backoff_flags = F.zip_with(
+            s1,
+            s2,
+            lambda a, b: F.try_element_at(
+                bmap, F.concat(a, F.lit(_BIGRAM_SEP), b)
+            ).isNull(),
+        )
+        first = uni(F.element_at(t, 1))
+        return F.struct(
+            F.size(t).alias("n"),
+            F.when(
+                F.size(t) > 0,
+                F.aggregate(pair_lps, first, lambda a, x: a + x),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lp_sum"),
+            F.size(F.filter(backoff_flags, lambda x: x)).alias("n_backoff"),
+        )
+
+    bound = df.select(
+        F.col(id_col),
+        F.element_at(
+            F.transform(F.array(tokens(text_col)), stats), 1
+        ).alias("_s"),
+    )
+    s = F.col("_s")
+    n = s["n"]
+    avg_neg = F.when(n > 0, -(s["lp_sum"] / n.cast("double")))
+    cols = [
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        s["n_backoff"].cast("int").alias("n_backoff"),
+        s["lp_sum"].alias("logprob_sum"),
+        avg_neg.alias("avg_neg_logprob"),
+    ]
+    if tau is not None:
+        cols.append(((n > 0) & (avg_neg <= F.lit(float(tau)))).alias("keep"))
+    return bound.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # DSIR: data selection via hashed n-gram importance resampling
 # ---------------------------------------------------------------------------

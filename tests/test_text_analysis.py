@@ -265,3 +265,61 @@ def test_dsir_validates_buckets(spark):
         dsir_logratios(df, "text", F.col("t"), n_buckets=0)
     with _pytest.raises(ValueError):
         dsir_scores(df, [], "text", "doc_id")
+
+
+def test_bigram_backoff_model_and_scores(spark):
+    """Stupid-backoff bigram screen: fit math, backoff accounting, and
+    the context sensitivity a unigram model cannot have."""
+    import math
+
+    from merchant_classification_spark.functions.text_analysis import (
+        bigram_backoff_model,
+        bigram_perplexity_scores,
+        unigram_model,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)] + [
+        (100 + i, "the dog ran to the barn") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni, bi, oov, la = bigram_backoff_model(
+        df, "text", top_k=16, top_k2=32, alpha=0.4
+    )
+    # unigram part identical to the standalone fit
+    uni_ref, oov_ref = unigram_model(df, "text", top_k=16)
+    assert uni == uni_ref and oov == oov_ref
+    assert la == math.log(0.4)
+    bmap = dict(bi)
+    # c("the cat")=10, c("the")=40 -> log(0.25); seen in every bigram key
+    assert abs(bmap["the\x1fcat"] - math.log(10 / 40)) < 1e-15
+    assert abs(bmap["cat\x1fsat"] - math.log(1.0)) < 1e-15  # 10/10
+
+    scored = {
+        r["doc_id"]: r
+        for r in bigram_perplexity_scores(
+            df, uni, bi, oov, la, tau=3.0
+        ).collect()
+    }
+    r = scored[0]
+    assert r["n_tokens"] == 6 and r["n_backoff"] == 0  # all bigrams seen
+    # exact replay: first-token uni + the five bigram logprobs
+    umap = dict(uni)
+    toks = "the cat sat on the mat".split()
+    want = umap["the"]
+    for a, b in zip(toks, toks[1:]):
+        want = want + bmap[f"{a}\x1f{b}"]
+    assert r["logprob_sum"] == want
+    assert r["keep"] == (-(want / 6) <= 3.0)
+
+    # context sensitivity: same multiset of tokens, scrambled order ->
+    # unseen bigrams -> backoff positions and a WORSE (higher) score
+    df2 = spark.createDataFrame([(1, "cat the on sat mat the")], ["doc_id", "text"])
+    r2 = bigram_perplexity_scores(df2, uni, bi, oov, la).collect()[0]
+    assert r2["n_backoff"] > 0
+    assert -(r2["logprob_sum"] / 6) > -(r["logprob_sum"] / 6)
+
+    # empty/null docs: zero sum, NULL avg
+    df3 = spark.createDataFrame([(1, ""), (2, None)], ["doc_id", "text"])
+    for row in bigram_perplexity_scores(df3, uni, bi, oov, la).collect():
+        assert row["n_tokens"] == 0 and row["logprob_sum"] == 0.0
+        assert row["avg_neg_logprob"] is None
