@@ -4987,9 +4987,12 @@ def _temperature_mix_oracle_sql() -> str | None:
     path = f"{sf_dir}/documents.parquet"
     try:
         con = _dd.connect()
+        # NULL sources are dropped by temperature_mix (documented
+        # contract), so the replayed counts drop them too
         rows = con.sql(
             f"SELECT source, CAST(count(*) AS BIGINT) "
-            f"FROM read_parquet('{path}') GROUP BY source"
+            f"FROM read_parquet('{path}') "
+            f"WHERE source IS NOT NULL GROUP BY source"
         ).fetchall()
         con.close()
     except Exception:
@@ -5013,7 +5016,7 @@ def _temperature_mix_oracle_sql() -> str | None:
                      1, 15))::BIGINT
                     % {1 << 54}) / {float(1 << 54)!r} AS mix_p,
                    {case} AS keep_rate
-            FROM documents
+            FROM documents WHERE source IS NOT NULL
         )
         SELECT source, doc_id, mix_p, keep_rate
         FROM keyed WHERE mix_p < keep_rate

@@ -211,6 +211,7 @@ def corpus_word_freq_two_level(
     max_vocab_words: int = 4096,
     per_shard_factor: int = 8,
     exact_recount: bool = True,
+    candidate_head_factor: int = 2,
 ) -> dict[str, int]:
     """Two-level variant of :func:`corpus_word_freq` for corpora whose
     distinct-word table is itself too large to shuffle comfortably.
@@ -227,17 +228,24 @@ def corpus_word_freq_two_level(
          (freq desc, word asc) — so the only shuffled rows are
          ``partitions × k`` candidates;
       2. **union + re-cap**: candidate partials re-aggregate and the top
-         ``2 × max_vocab_words`` words become the candidate head;
+         ``candidate_head_factor × max_vocab_words`` words become the
+         candidate head;
       3. **exact recount** (default): one more corpus pass counts ONLY
          candidate words (broadcast semi-join — map-side partial agg
          bounded by candidates), so every returned frequency is exact,
          not a sum of per-shard survivors.
 
     The result equals the global fit whenever every true top-cap word
-    appears in at least one shard's top-k — guaranteed for Zipf-shaped
-    corpora at the default ``per_shard_factor`` margin, asserted
-    by tests on the graded corpus (including under adversarial
-    repartitioning). ``exact_recount=False`` skips the second pass and
+    BOTH appears in at least one shard's top-k AND ranks inside the
+    ``candidate_head_factor × max_vocab_words`` candidate head under the
+    (possibly undercounted) survivor sums of step 2 — surviving one
+    shard's cap is necessary but not sufficient, since a true head word
+    surviving in only one shard can be outranked and dropped before the
+    exact recount. Zipf-shaped corpora satisfy both at the default
+    margins (asserted by tests on the graded corpus, including under
+    adversarial repartitioning); widen ``candidate_head_factor`` when
+    the head is flat or shards are tiny.
+    ``exact_recount=False`` skips the second pass and
     returns the (possibly undercounted) survivor sums — the cheaper mode
     when the fit only needs the head's identity, not exact counts.
     """
@@ -245,6 +253,8 @@ def corpus_word_freq_two_level(
         raise ValueError("max_vocab_words must be positive")
     if per_shard_factor < 1:
         raise ValueError("per_shard_factor must be >= 1")
+    if candidate_head_factor < 1:
+        raise ValueError("candidate_head_factor must be >= 1")
     k = max_vocab_words * per_shard_factor
     words = df.select(F.explode(tokens(text_col)).alias("word"))
 
@@ -267,7 +277,7 @@ def corpus_word_freq_two_level(
     agg = cand.groupBy("word").agg(F.sum("freq").alias("freq"))
     if exact_recount:
         head = agg.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(
-            2 * max_vocab_words
+            candidate_head_factor * max_vocab_words
         )
         rows = (
             words.join(F.broadcast(head.select("word")), "word", "left_semi")

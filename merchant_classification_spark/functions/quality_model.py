@@ -53,6 +53,7 @@ __all__ = [
     "quality_training_counts",
     "fit_quality_lr",
     "quality_logit_col",
+    "quality_keep_col",
     "quality_logits",
 ]
 
@@ -204,6 +205,43 @@ def quality_logit_col(
         s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
         n = F.size(fs)
         return F.when(n > 0, s / n.cast("double") + b).otherwise(b)
+
+    return F.element_at(
+        F.transform(F.array(_dsir_features(text_col)), one), 1
+    )
+
+
+def quality_keep_col(
+    text_col: Column | str,
+    weights: list[float],
+    bias: float,
+    min_logit: float = 0.0,
+) -> Column:
+    """Boolean gate with the SAME keep rule as :func:`quality_logits`:
+    ``n_features > 0 AND logit > min_logit``. Featureless documents
+    (empty / non-tokenizable text) are never kept — a positive-bias
+    model must not pass empty text through a quality gate (the bare
+    :func:`quality_logit_col` > threshold comparison did exactly that).
+    The feature array is bound once per row (one-element-array lambda),
+    so the gate costs one tokenize like the logit column alone."""
+    n_buckets = len(weights)
+    if n_buckets == 0:
+        raise ValueError("weights must be non-empty")
+    lit = F.lit([float(x) for x in weights])
+    b = F.lit(float(bias))
+    thr = F.lit(float(min_logit))
+
+    def one(fs):
+        vals = F.transform(
+            fs,
+            lambda f: F.element_at(
+                lit,
+                (F.pmod(md5_long60(f), F.lit(n_buckets)) + 1).cast("int"),
+            ),
+        )
+        s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+        n = F.size(fs)
+        return (n > 0) & ((s / n.cast("double") + b) > thr)
 
     return F.element_at(
         F.transform(F.array(_dsir_features(text_col)), one), 1

@@ -117,19 +117,35 @@ def prefix_sum(
     # exchanges stop being canonically equal, and exchange reuse is lost
     # (two full evaluations of df's expressions instead of one)
     bucketed = bucketed.where(F.col(_BUCKET).isNotNull())
-    # inclusive within-bucket running sum: its per-bucket MAX is the
-    # bucket total, so the totals aggregate reads the SAME bucket-hash
-    # exchange the window sorts on (reused — df's expressions evaluate
-    # once, in the map stage feeding that shuffle)
+    # Two window expressions over ONE Window node (same partition/order
+    # spec): the inclusive running sum, and the full-frame bucket total.
+    # The total rides the window (rather than a separate groupBy on the
+    # pre-window frame) so the totals aggregate still consumes the SAME
+    # bucket-hash exchange the window sorts on (reused — df's expressions
+    # evaluate once, in the map stage feeding that shuffle). A full-frame
+    # SUM is the bucket total for ANY sign mix; the earlier
+    # max(running sum) formulation was only correct for non-negative
+    # val_col (it silently under-reported totals once a bucket's running
+    # sum dipped below its final value).
     w_in = Window.partitionBy(_BUCKET).orderBy(*order_cols)
     cum_in = "_cum_in__"
+    tot_in = "_tot_in__"
     win = bucketed.withColumn(
         cum_in,
         F.sum(F.col(val_col))
         .over(w_in.rowsBetween(Window.unboundedPreceding, 0))
         .cast("long"),
+    ).withColumn(
+        tot_in,
+        F.sum(F.col(val_col))
+        .over(
+            w_in.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long"),
     )
-    totals = win.groupBy(_BUCKET).agg(F.max(cum_in).alias("_s"))
+    totals = win.groupBy(_BUCKET).agg(F.max(tot_in).alias("_s"))
     w_off = Window.orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         _BUCKET,
@@ -147,7 +163,7 @@ def prefix_sum(
                 - F.coalesce(F.col(val_col), F.lit(0))
             ).cast("long"),
         )
-        .drop(_BUCKET, _OFFSET, cum_in)
+        .drop(_BUCKET, _OFFSET, cum_in, tot_in)
     )
 
 

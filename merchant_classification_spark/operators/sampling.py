@@ -437,6 +437,11 @@ def temperature_rates(
         raise ValueError("total_rows must be positive")
     if not counts or any(c <= 0 for c in counts.values()):
         raise ValueError("counts must be non-empty with positive values")
+    if any(s is None for s in counts):
+        # sorted() below would die with an opaque str-vs-None TypeError;
+        # name the actual problem instead (callers decide NULL policy —
+        # temperature_mix drops NULL-source rows before counting)
+        raise ValueError("counts must not contain a None source key")
     n = 0
     for s in sorted(counts):
         n += counts[s]
@@ -473,8 +478,14 @@ def temperature_mix(
     threshold where a broadcast join beats ``GetMapValue``'s linear
     scan).
 
+    NULL-source rows are dropped up front (a NULL has no corpus share to
+    temper; admitting it would need an arbitrary rate policy, and letting
+    it reach :func:`temperature_rates` used to sink the job with an
+    opaque sort TypeError).
+
     Returns admitted rows: (``source_col``, id cols, mix_p, keep_rate).
     """
+    df = df.where(F.col(source_col).isNotNull())
     counts = {
         r[0]: int(r[1])
         for r in df.groupBy(source_col).agg(F.count(F.lit(1))).collect()

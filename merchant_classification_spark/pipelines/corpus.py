@@ -109,13 +109,18 @@ def prepare_corpus(
     # filter pass, so the gate costs no extra shuffle
     if quality_model is not None:
         from merchant_classification_spark.functions.quality_model import (
-            quality_logit_col,
+            quality_keep_col,
         )
 
         w_lr, b_lr = quality_model
+        # quality_keep_col, not a bare logit comparison: the gate keeps
+        # the same rule as quality_logits (n_features > 0 AND logit >
+        # threshold), so a positive-bias model can never pass
+        # empty/non-tokenizable text through the quality gate
         kept = kept.where(
-            quality_logit_col("text", w_lr, b_lr)
-            > F.lit(float(quality_model_min_logit))
+            quality_keep_col(
+                "text", w_lr, b_lr, float(quality_model_min_logit)
+            )
         )
     kept = kept.withColumn("text", scrub_pii("text"))
     report["after_filters"] = kept.count()

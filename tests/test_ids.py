@@ -125,6 +125,19 @@ def test_prefix_sum_null_lead_sorts_first(spark):
     assert by_k[(2, 2)] == 16
 
 
+def test_prefix_sum_mixed_sign_values(spark):
+    # negative values: the bucket totals must be the true per-bucket SUM,
+    # not max(running sum) — with sign changes the running sum's max can
+    # exceed its final value and every later bucket's offset shifts
+    rows = [(i, (-1) ** i * ((i * 7) % 11 + 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k: int, v: int")
+    got = {r["k"]: r["ps"] for r in prefix_sum(df, ["k"], "v", "ps", buckets=16).collect()}
+    acc = 0
+    for k, v in sorted(rows):
+        assert got[k] == acc, f"k={k}"
+        acc += v
+
+
 def test_prefix_sum_empty(spark):
     df = spark.createDataFrame([], "k: long, v: long")
     assert prefix_sum(df, ["k"], "v", "ps").count() == 0

@@ -134,6 +134,38 @@ def test_corpus_pipeline_model_gate_funnel(spark, corpus, fitted):
     assert len(kept_ids) >= 20
 
 
+def test_gate_never_passes_featureless_docs_positive_bias(spark, fitted):
+    """A positive-bias model must not wave empty/non-tokenizable text
+    through the gate: quality_keep_col enforces the same n_features > 0
+    conjunct as quality_logits' keep (the bare logit>threshold
+    comparison silently kept featureless docs whenever bias > tau)."""
+    from merchant_classification_spark.functions.quality_model import (
+        quality_keep_col,
+        quality_logits,
+    )
+
+    w, _ = fitted
+    b_pos = 5.0  # forced positive bias: logit alone would pass anything
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "!!! ???"),
+         (5, "a real document with plenty of ordinary words inside it")],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", quality_keep_col("text", w, b_pos, 0.0).alias("k")
+        ).collect()
+    }
+    assert not kept[1] and not kept[2] and not kept[3] and not kept[4]
+    # parity with quality_logits' keep on every row
+    ql = {
+        r["doc_id"]: r["keep"]
+        for r in quality_logits(df, w, b_pos).collect()
+    }
+    assert kept == ql
+
+
 def test_quality_gate_works_on_streams(spark, corpus, fitted, tmp_path):
     """The literal-weights logit is a stateless map-only projection, so
     it applies unchanged to a stream — and batch/stream results over the

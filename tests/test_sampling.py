@@ -357,6 +357,31 @@ def test_temperature_rates_math():
         temperature_rates(counts, -1.0, 10)
     with _pt.raises(ValueError):
         temperature_rates(counts, 0.5, 0)
+    # a None source key must raise a NAMED error, not an opaque
+    # str-vs-None sort TypeError deep inside the rate math
+    with _pt.raises(ValueError, match="None source"):
+        temperature_rates({"a": 10, None: 5}, 0.5, 10)
+
+
+def test_temperature_mix_drops_null_sources(spark):
+    from merchant_classification_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big" if i < 900 else ("small" if i < 1000 else None))
+            for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = temperature_mix(df, ["doc_id"], "source", 0.5, 400, salt="n")
+    # NULL-source rows never reach the rate fit (no TypeError) and are
+    # never admitted; the non-null behavior matches the NULL-free frame
+    assert out.where(F.col("source").isNull()).count() == 0
+    clean = temperature_mix(
+        df.where(F.col("source").isNotNull()),
+        ["doc_id"], "source", 0.5, 400, salt="n",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, clean.collect())
+    )
 
 
 def test_temperature_mix_rebalances_and_is_stable(spark):
