@@ -315,43 +315,54 @@ def perplexity_scores(
     empty docs), and ``keep`` is ``n_tokens > 0 AND avg_neg_logprob <=
     tau`` — low perplexity = in-distribution text, the CCNet keep rule.
 
-    Scale shape: the model rides in the plan as a literal map (bounded by
-    ``top_k``), so the whole operator is ONE map-only projection — no
-    join, no shuffle, linear in corpus bytes. For vocabularies too large
-    to inline, the same semantics become a broadcast join on the exploded
-    tokens plus a sorted-struct refold; the literal tier is the fast path
-    for the bounded models CCNet-style screens actually use.
+    Scale shape: the model rides in the plan as crc32-bucketed literal
+    arrays (``functions/lookup.py`` — a probe costs O(top_k / buckets),
+    not the O(top_k) linear scan a ``create_map`` literal costs under
+    ``GetMapValue``), so the whole operator is ONE map-only projection —
+    no join, no shuffle, linear in corpus bytes. For vocabularies too
+    large to inline, the same semantics become a broadcast join on the
+    exploded tokens plus a sorted-struct refold — measured SLOWER than
+    the literal tier at every graded table size (SCALING.md
+    "literal-table lookup A/B"); the literal tier is the fast path for
+    the bounded models CCNet-style screens actually use.
     """
-    kv: list[Column] = []
-    for t, lp in model:
-        kv += [F.lit(t), F.lit(float(lp))]
-    lmap = F.create_map(*kv) if kv else F.create_map()
+    from merchant_classification_spark.functions.lookup import (
+        bucketed_lookup,
+    )
+
+    look = bucketed_lookup([(t, float(lp)) for t, lp in model])
     oov = F.lit(float(oov_logprob))
     # Expression shape: the token array is bound ONCE per row (the
     # transform(array(tokens), t -> …) binding idiom — see
-    # _dsir_features) and the three aggregates come back as one struct
-    # bound by a dedicated projection. Written as free column
-    # expressions, tokens() re-ran its regex pipeline ~4× per row
-    # (size, fold, filter, size again) — measured 7.0 s → 2.4 s for the
-    # sf0.1 probe. CollapseProject keeps the struct projection separate
-    # because `_s` is non-cheap and referenced repeatedly.
-    # try_element_at: NULL (not ANSI error) on a miss -> OOV fallback
+    # _dsir_features), the per-token lookup values are bound ONCE as a
+    # second-level array (one probe per token — the fold and the OOV
+    # filter both read the bound values, where probing inside each
+    # would double the lookup work), and the three aggregates come back
+    # as one struct bound by a dedicated projection. Written as free
+    # column expressions, tokens() re-ran its regex pipeline ~4× per
+    # row (size, fold, filter, size again) — measured 7.0 s → 2.4 s for
+    # the sf0.1 probe. CollapseProject keeps the struct projection
+    # separate because `_s` is non-cheap and referenced repeatedly.
+    # lookup: NULL (never an ANSI error) on a miss -> OOV fallback
     stats = F.element_at(
         F.transform(
             F.array(tokens(text_col)),
-            lambda t: F.struct(
-                F.size(t).alias("n"),
-                F.aggregate(
-                    F.transform(
-                        t,
-                        lambda x: F.coalesce(F.try_element_at(lmap, x), oov),
+            lambda t: F.element_at(
+                F.transform(
+                    F.array(F.transform(t, look)),
+                    lambda vs: F.struct(
+                        F.size(t).alias("n"),
+                        F.aggregate(
+                            vs,
+                            F.lit(0.0),
+                            lambda a, v: a + F.coalesce(v, oov),
+                        ).alias("lp_sum"),
+                        F.size(
+                            F.filter(vs, lambda v: v.isNull())
+                        ).alias("n_oov"),
                     ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ).alias("lp_sum"),
-                F.size(
-                    F.filter(t, lambda x: F.try_element_at(lmap, x).isNull())
-                ).alias("n_oov"),
+                ),
+                1,
             ),
         ),
         1,
@@ -484,59 +495,65 @@ def bigram_perplexity_scores(
     pair positions that fell back. ``keep`` = ``n_tokens > 0 AND
     avg_neg_logprob <= tau``.
 
-    Scale shape: both models ride as literal maps (bounded by
-    top_k/top_k2), one map-only projection — the token array is bound
-    once per row and all four outputs come back in one struct (the
-    binding idiom; see :func:`perplexity_scores`). For vocabularies too
-    large to inline, the same semantics become broadcast joins on the
-    exploded pairs plus a sorted refold.
+    Scale shape: both models ride as crc32-bucketed literal arrays
+    (``functions/lookup.py`` — O(V/B) probes; the earlier ``create_map``
+    encoding paid ``GetMapValue``'s O(V) linear scan at EVERY pair
+    position and made this the single most expensive bench member), one
+    map-only projection — the token array is bound once per row, the
+    per-pair probe values are bound once (the fold and the backoff
+    counter both read them — one table probe per pair position, where
+    the map encoding probed twice), and all four outputs come back in
+    one struct (the binding idiom; see :func:`perplexity_scores`). For
+    vocabularies too large to inline, the same semantics become
+    broadcast joins on the exploded pairs plus a sorted refold —
+    measured slower at every graded table size (SCALING.md).
 
     Returns (id, n_tokens, n_backoff, logprob_sum, avg_neg_logprob
     [, keep]).
     """
-    ukv: list[Column] = []
-    for t, lp in uni_model:
-        ukv += [F.lit(t), F.lit(float(lp))]
-    umap = F.create_map(*ukv) if ukv else F.create_map()
-    bkv: list[Column] = []
-    for k, lp in bigram_model:
-        bkv += [F.lit(k), F.lit(float(lp))]
-    bmap = F.create_map(*bkv) if bkv else F.create_map()
+    from merchant_classification_spark.functions.lookup import (
+        bucketed_lookup,
+    )
+
+    look_u = bucketed_lookup([(t, float(lp)) for t, lp in uni_model])
+    look_b = bucketed_lookup([(k, float(lp)) for k, lp in bigram_model])
     oov = F.lit(float(oov_logprob))
     la = F.lit(float(log_alpha))
 
     def uni(x):
-        return F.coalesce(F.try_element_at(umap, x), oov)
+        return F.coalesce(look_u(x), oov)
 
     def stats(t):
         s1 = F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0)))
         s2 = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
-        pair_lps = F.zip_with(
+        # one bigram-table probe per pair position, bound as an array:
+        # NULL marks a backoff position, so the score fold and the
+        # backoff counter share the probes
+        pv = F.zip_with(
             s1,
             s2,
-            lambda a, b: F.coalesce(
-                F.try_element_at(bmap, F.concat(a, F.lit(_BIGRAM_SEP), b)),
-                la + uni(b),
-            ),
+            lambda a, b: look_b(F.concat(a, F.lit(_BIGRAM_SEP), b)),
         )
-        backoff_flags = F.zip_with(
-            s1,
-            s2,
-            lambda a, b: F.try_element_at(
-                bmap, F.concat(a, F.lit(_BIGRAM_SEP), b)
-            ).isNull(),
-        )
-        first = uni(F.element_at(t, 1))
-        return F.struct(
-            F.size(t).alias("n"),
-            F.when(
-                F.size(t) > 0,
-                F.aggregate(pair_lps, first, lambda a, x: a + x),
+
+        def agg(pvs):
+            pair_lps = F.zip_with(
+                pvs, s2, lambda p, b: F.coalesce(p, la + uni(b))
             )
-            .otherwise(F.lit(0.0))
-            .alias("lp_sum"),
-            F.size(F.filter(backoff_flags, lambda x: x)).alias("n_backoff"),
-        )
+            first = uni(F.element_at(t, 1))
+            return F.struct(
+                F.size(t).alias("n"),
+                F.when(
+                    F.size(t) > 0,
+                    F.aggregate(pair_lps, first, lambda a, x: a + x),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("lp_sum"),
+                F.size(
+                    F.filter(pvs, lambda p: p.isNull())
+                ).alias("n_backoff"),
+            )
+
+        return F.element_at(F.transform(F.array(pv), agg), 1)
 
     bound = df.select(
         F.col(id_col),

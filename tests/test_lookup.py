@@ -1,0 +1,85 @@
+"""Bucketed literal lookup (functions/lookup.py): crc32 Python↔JVM
+parity, probe correctness vs a plain dict, and the constant-folded
+nested-literal plan shape."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.functions.lookup import (
+    bucketed_lookup,
+    crc32_bucket_col,
+    crc32_bucket_py,
+)
+
+
+def test_crc32_python_jvm_parity_fuzz(spark):
+    # zlib.crc32 and java.util.zip.CRC32 are both CRC-32/ISO-HDLC; the
+    # whole bucketing scheme rests on this equality over utf-8 bytes
+    keys = (
+        [f"tok{i}" for i in range(50)]
+        + ["", "a", "don't", "naïve", "日本語", "a\x1fb", "0" * 40]
+        + [chr(0x20 + (i * 7) % 90) * (i % 5 + 1) for i in range(30)]
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    for n in (1, 7, 64):
+        got = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", crc32_bucket_col(F.col("k"), n).alias("b")
+            ).collect()
+        }
+        for k in keys:
+            assert got[k] == crc32_bucket_py(k, n), (k, n)
+
+
+@pytest.mark.parametrize("n_buckets", [None, 1, 3, 256])
+def test_bucketed_lookup_matches_dict(spark, n_buckets):
+    entries = [(f"w{i}", float(i) * 0.5 - 3.0) for i in range(40)]
+    table = dict(entries)
+    look = bucketed_lookup(entries, n_buckets)
+    probes = [f"w{i}" for i in range(0, 60, 3)] + ["missing", "", "W1"]
+    df = spark.createDataFrame([(p,) for p in probes], "p string")
+    got = {
+        r["p"]: r["v"]
+        for r in df.select("p", look(F.col("p")).alias("v")).collect()
+    }
+    for p in probes:
+        assert got[p] == table.get(p), p
+
+
+def test_bucketed_lookup_empty_table(spark):
+    look = bucketed_lookup([])
+    df = spark.createDataFrame([("x",)], "p string")
+    assert df.select(look(F.col("p")).alias("v")).collect()[0]["v"] is None
+
+
+def test_bucketed_lookup_inside_hof_lambda(spark):
+    # the intended call site: probing per array element inside a
+    # transform lambda — the nested literals must behave as plain values
+    entries = [("a", 1.0), ("b", 2.0), ("c", 4.0)]
+    look = bucketed_lookup(entries, 2)
+    df = spark.createDataFrame([(["a", "x", "c", "b"],)], "t array<string>")
+    out = df.select(
+        F.aggregate(
+            F.transform(F.col("t"), look),
+            F.lit(0.0),
+            lambda acc, v: acc + F.coalesce(v, F.lit(100.0)),
+        ).alias("s")
+    ).collect()[0]["s"]
+    assert out == 1.0 + 100.0 + 4.0 + 2.0
+
+
+def test_nested_literals_constant_fold(spark):
+    # the probe's free references must be Literals after optimization —
+    # a surviving CreateArray would be rebuilt per probed element
+    look = bucketed_lookup([(f"k{i}", float(i)) for i in range(20)], 4)
+    df = spark.createDataFrame([("k3",)], "p string")
+    plan = (
+        df.select(look(F.col("p")).alias("v"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "array(array(" not in plan  # CreateArray(CreateArray(...)) gone
