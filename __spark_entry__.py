@@ -2581,6 +2581,49 @@ def q_quality_model(spark, sf_dir):
     return quality_logits(docs, w, b, "text", "doc_id")
 
 
+#: Model-based language ID (functions/lang_model.py): fastText-langid-
+#: style hashed char-3-gram softmax classifier. Labels are the table's
+#: curated ``lang`` column (the curated-label training path; the
+#: heuristic-self-training path is pytest-covered on a real-language
+#: corpus, where the synthetic corpus is single-class under the
+#: heuristic). Class list FIXED for determinism.
+LANGM_CLASSES = ("de", "en", "es", "fr", "zh")
+LANGM_BUCKETS = 64
+LANGM_SAMPLE_PER_CLASS = 80
+LANGM_ITERS = 80
+
+
+def q_lang_model(spark, sf_dir):
+    # model-based language ID (Joulin et al. 2016, arXiv:1607.01759 —
+    # the fastText langid recipe: hashed char-n-gram linear classifier),
+    # built with the quality_model discipline: md5-ranked bounded
+    # per-class sample, deterministic pure-Python multinomial softmax
+    # fit (shared with the oracle like fit_quality_lr), literal-weights
+    # map-only scoring with fixed fold order — every logit double
+    # replays bit-exactly (functions/lang_model.py).
+    from merchant_classification_spark.functions.lang_model import (
+        fit_lang_softmax,
+        lang_model_scores,
+        lang_training_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    samples = lang_training_counts(
+        docs,
+        "text",
+        F.col("lang"),
+        "doc_id",
+        n_buckets=LANGM_BUCKETS,
+        sample_per_class=LANGM_SAMPLE_PER_CLASS,
+    )
+    w, b = fit_lang_softmax(
+        samples, list(LANGM_CLASSES), LANGM_BUCKETS, iters=LANGM_ITERS
+    )
+    return lang_model_scores(
+        docs, list(LANGM_CLASSES), w, b, "text", "doc_id"
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     # deterministic subword/BPE tokenization (Sennrich et al. 2016,
     # arXiv:1508.07909) under the corpus-screen discipline: the word-
@@ -3220,6 +3263,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint": q_dedup_fingerprint,
     "token_stats": q_token_stats,
     "lang_profile": q_lang_profile,
+    "lang_model": q_lang_model,
     "quality_scores": q_quality_scores,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "ann_bruteforce": q_ann_bruteforce,
@@ -4965,6 +5009,132 @@ if _quality_sql is not None:
     ORACLES["quality_model"] = _quality_sql
 
 
+#: DuckDB mirror of functions.lang_model.char_ngram_features: 3-grams
+#: of '^' || token || '$' per token (L grams for a length-L token),
+#: flattened in document order
+_SQL_CHAR_GRAMS = (
+    "flatten(list_transform(toks, t -> list_transform("
+    "range(1, len(t) + 1), i -> substr('^' || t || '$', i, 3))))"
+)
+
+
+def _lang_model_oracle_sql() -> str | None:
+    """Full replay of q_lang_model: recompute the SAME md5-ranked
+    per-language training sample and integer char-3-gram bucket counts
+    in DuckDB, run the SAME shared pure-Python ``fit_lang_softmax`` on
+    them, inline the identical K weight/bias double literals, and
+    replay scoring as K list_reduce left folds (seeded 0.0, one
+    division, one addition each — Spark's expression order) plus the
+    strict-> first-wins argmax (first class >= all others = earliest
+    max, exactly the Spark loop's tie-break). Same unreadable-data
+    guard as the other data-dependent oracles.
+    """
+    import os
+
+    import duckdb as _dd
+
+    from merchant_classification_spark.functions.lang_model import (
+        fit_lang_softmax,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    nb = LANGM_BUCKETS
+    n_cls = LANGM_SAMPLE_PER_CLASS
+    try:
+        con = _dd.connect()
+        rows = con.sql(
+            f"""
+            WITH d AS (SELECT doc_id, lang, text
+                       FROM read_parquet('{path}')
+                       WHERE text IS NOT NULL AND lang IS NOT NULL),
+            h AS (SELECT doc_id, lang, text,
+                         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                  FROM d),
+            r AS (SELECT *, row_number()
+                      OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+                  FROM h),
+            s AS (SELECT doc_id, lang, h, {_SQL_TOKENS} AS toks
+                  FROM r WHERE rk <= {n_cls}),
+            f AS (SELECT doc_id, lang, h,
+                         {_SQL_CHAR_GRAMS} AS grams FROM s),
+            e AS (SELECT doc_id, lang, h, unnest(grams) AS g FROM f)
+            SELECT lang, h, doc_id,
+                   CAST(('0x' || substr(md5(g), 1, 15))::BIGINT
+                        % {nb} AS INT) AS bk,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY 1, 2, 3, 4
+            """
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    docs: dict = {}
+    for y, h, i, bk, c in rows:
+        vec = docs.setdefault((str(y), int(h), i), [0] * nb)
+        vec[int(bk)] = int(c)
+    samples = [
+        (y, docs[(y, h, i)])
+        for (y, h, i) in sorted(docs, key=lambda k: (k[0], k[1], k[2]))
+    ]
+    try:
+        weights, biases = fit_lang_softmax(
+            samples, list(LANGM_CLASSES), nb, iters=LANGM_ITERS
+        )
+    except ValueError:
+        # a lang value outside the fixed class list: degrade to absent
+        # (the probe would raise identically; the member is left out)
+        return None
+    classes = list(LANGM_CLASSES)
+    folds = "\n".join(
+        "list_reduce(list_prepend(0.0e0, list_transform(bs, i -> (["
+        + ", ".join(_dlit(x) for x in weights[k])
+        + "])[i])), (a, y) -> a + y) AS f_" + classes[k] + ","
+        for k in range(len(classes))
+    ).rstrip(",")
+    logits = ",\n".join(
+        f"CASE WHEN n > 0 THEN f_{c} / CAST(n AS DOUBLE) + {_dlit(biases[k])} END"
+        f" AS logit_{c}"
+        for k, c in enumerate(classes)
+    )
+    arg_branches = []
+    for k, c in enumerate(classes[:-1]):
+        others = [o for o in classes if o != c][k:]
+        conds = " AND ".join(f"logit_{c} >= logit_{o}" for o in others)
+        arg_branches.append(f"WHEN {conds} THEN '{c}'")
+    argmax = (
+        "CASE WHEN n = 0 THEN 'und' "
+        + " ".join(arg_branches)
+        + f" ELSE '{classes[-1]}' END"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        g AS (SELECT doc_id, {_SQL_CHAR_GRAMS} AS grams FROM t),
+        b AS (SELECT doc_id, len(grams) AS n,
+                     list_transform(grams, x ->
+                         CAST(('0x' || substr(md5(x), 1, 15))::BIGINT
+                              % {nb} AS INT) + 1) AS bs
+              FROM g),
+        s AS (SELECT doc_id, n, {folds}
+              FROM b),
+        l AS (SELECT doc_id, n, {logits}
+              FROM s)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_features,
+               {", ".join("logit_" + c for c in classes)},
+               {argmax} AS lang_model
+        FROM l
+    """
+
+
+_lang_model_sql = _lang_model_oracle_sql()
+if _lang_model_sql is not None:
+    ORACLES["lang_model"] = _lang_model_sql
+
+
 def _temperature_mix_oracle_sql() -> str | None:
     """Full replay of q_temperature_mix: recompute the per-source counts
     in DuckDB, run the SAME shared pure-Python ``temperature_rates`` on
@@ -6583,6 +6753,12 @@ if "perplexity_filter" in ORACLES:
 # at the first token's score; same data-dependent-oracle guard.
 if "bigram_perplexity" in ORACLES:
     SUITES["doc_metrics_suite"].append("bigram_perplexity")
+# model-based language ID joins the same suite (round 8): md5-ranked
+# per-language curated-label sample recomputed in DuckDB, shared
+# pure-Python softmax fit, literal-weights K-fold scoring + first-wins
+# argmax replay; same data-dependent-oracle guard.
+if "lang_model" in ORACLES:
+    SUITES["doc_metrics_suite"].append("lang_model")
 # DSIR importance weights fold into the corpus-vocabulary suite (round
 # 5); same data-dependent-oracle guard — without an oracle the member is
 # left out (the operator stays pytest-covered).

@@ -1,0 +1,330 @@
+"""Model-based language identification — the fastText-langid-style tier.
+
+The heuristic ``text_analysis.lang_id`` (stopword-hit-rate argmax) is the
+zero-training screen: cheap, but blind to languages without a stopword
+list and easily fooled by code/boilerplate. The standard production
+screen is a hashed linear classifier over character n-grams (the
+fastText language-ID recipe — Joulin et al. 2016, arXiv:1607.01759;
+langid.py — Lui & Baldwin 2012). This module implements that tier with
+the engine's oracle-replayable discipline, reusing the exact three
+moves that made ``functions/quality_model.py`` bit-exact replayable:
+
+  * **bounded deterministic training sample**: per-language top-N by
+    ``(md5_long60(text), id)`` — a content-hash rank, replayable in any
+    engine, no RNG, no layout dependence. Labels come from the caller
+    (the stopword heuristic's confident predictions in the graded
+    probe — classic self-training bootstrap; any curated label column
+    works the same).
+  * **deterministic pure-Python fit**: full-batch gradient descent on a
+    multinomial (softmax) logistic regression over the per-language
+    hashed char-n-gram bucket counts — fixed iteration count, fixed
+    fold order, stable softmax. A pure function of the sample, shared
+    with external checkers like ``math.log``.
+  * **map-only scoring**: the K weight vectors ride the plan as double
+    literal arrays; a document's per-class logit is the left-to-right
+    fold of bucket weights (seeded 0.0) / n_features + bias. One
+    codegen projection — no join, no shuffle, linear in corpus bytes.
+    The predicted language is a strict-``>`` first-wins argmax over the
+    fixed class order (same tie-break contract as ``lang_id``).
+
+Features are character 3-grams of each ``'^' + token + '$'`` (boundary
+markers make prefixes/suffixes — the morphology signal — distinct from
+word-internal grams), hashed into ``n_buckets`` via ``md5_long60 %
+n_buckets``: engine-portable, and exactly the bounded-vocabulary shape
+that lets the whole model inline as literals.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from merchant_classification_spark.functions.portable_hash import md5_long60
+from merchant_classification_spark.functions.text_analysis import tokens
+
+__all__ = [
+    "char_ngram_features",
+    "lang_training_counts",
+    "fit_lang_softmax",
+    "lang_model_scores",
+]
+
+
+def char_ngram_features(col: Column | str) -> Column:
+    """Character 3-grams of ``'^' + token + '$'`` per token, flattened
+    in document order (array<string>).
+
+    A token of length L yields exactly L grams (positions 1..L of the
+    L+2-char marked word), so every non-empty token contributes ≥ 1
+    gram; empty documents yield an empty array. The marked word is
+    bound per token through a one-element-array lambda so the concat
+    runs once per token, not once per gram (the free-reference
+    re-evaluation trap)."""
+    return F.element_at(
+        F.transform(
+            F.array(tokens(col)),
+            lambda ts: F.flatten(
+                F.transform(
+                    ts,
+                    lambda t: F.element_at(
+                        F.transform(
+                            F.array(
+                                F.concat(F.lit("^"), t, F.lit("$"))
+                            ),
+                            lambda w: F.transform(
+                                F.sequence(
+                                    F.lit(1), F.length(w) - F.lit(2)
+                                ),
+                                lambda i: F.substring(w, i, F.lit(3)),
+                            ),
+                        ),
+                        1,
+                    ),
+                )
+            ),
+        ),
+        1,
+    )
+
+
+def lang_training_counts(
+    df: DataFrame,
+    text_col: str,
+    label_col: Column,
+    id_col: str,
+    n_buckets: int = 64,
+    sample_per_class: int = 100,
+) -> list[tuple[str, list[int]]]:
+    """Deterministic bounded per-language training sample → integer
+    hashed char-n-gram bucket counts.
+
+    Takes the ``sample_per_class`` documents per label with the
+    smallest ``(md5_long60(text), id)`` (content-hash rank — replayable
+    as ``row_number() OVER (PARTITION BY label ORDER BY h, id)``), and
+    reduces each to its per-bucket gram-count vector. NULL-text and
+    NULL-label rows are excluded up front. The rank-limit window is a
+    per-class top-N — map-side WindowGroupLimit on Spark ≥ 3.5, so the
+    window never sees the corpus.
+
+    Returns ``[(label, counts[n_buckets]), ...]`` ordered by
+    (label, hash, id) — the fixed order :func:`fit_lang_softmax`
+    consumes. The collect is bounded: classes × sample_per_class ×
+    n_buckets integers.
+    """
+    if n_buckets <= 0 or sample_per_class <= 0:
+        raise ValueError("n_buckets and sample_per_class must be positive")
+    ranked = (
+        df.where(F.col(text_col).isNotNull() & label_col.isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            label_col.alias("_y"),
+            F.col(text_col).alias("_text"),
+            md5_long60(F.col(text_col)).alias("_h"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("_y").orderBy("_h", "_id")),
+        )
+    )
+    sample = ranked.where(F.col("_rk") <= sample_per_class)
+    rows = (
+        sample.select(
+            "_id",
+            "_y",
+            "_h",
+            F.explode(
+                F.transform(
+                    char_ngram_features("_text"),
+                    lambda g: F.pmod(md5_long60(g), F.lit(n_buckets)),
+                )
+            ).alias("_b"),
+        )
+        .groupBy("_id", "_y", "_h", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    docs: dict[tuple[str, int, object], list[int]] = {}
+    for r in rows:
+        key = (str(r["_y"]), int(r["_h"]), r["_id"])
+        vec = docs.setdefault(key, [0] * n_buckets)
+        vec[int(r["_b"])] = int(r["_c"])
+    return [
+        (y, docs[(y, h, i)])
+        for (y, h, i) in sorted(docs, key=lambda k: (k[0], k[1], k[2]))
+    ]
+
+
+def fit_lang_softmax(
+    samples: list[tuple[str, list[int]]],
+    classes: list[str],
+    n_buckets: int,
+    iters: int = 100,
+    step: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[list[list[float]], list[float]]:
+    """Deterministic full-batch multinomial (softmax) logistic
+    regression — pure Python, fixed fold order, the same shared-fit
+    discipline as ``fit_quality_lr``.
+
+    Features are per-document normalized counts (count / total — the x
+    the scoring fold reproduces as ``fold_sum / n_features``); weights
+    start at zero; ``iters`` fixed gradient steps with one global step
+    size and L2 (biases excluded). Softmax is max-shifted (stable) and
+    every loop runs in a fixed order (samples in input order, classes
+    in ``classes`` order, buckets 0..n−1), so the returned
+    ``(weights[K][n_buckets], biases[K])`` is a bit-reproducible pure
+    function of the sample. Samples whose label is not in ``classes``
+    are rejected (a silent drop would desync external replays).
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    if not samples:
+        raise ValueError("samples must be non-empty (fit needs data)")
+    if len(set(classes)) != len(classes):
+        raise ValueError("classes must be distinct")
+    cls_ix = {c: k for k, c in enumerate(classes)}
+    xs: list[list[float]] = []
+    ys: list[int] = []
+    for y, counts in samples:
+        if y not in cls_ix:
+            raise ValueError(f"sample label {y!r} not in classes")
+        if len(counts) != n_buckets:
+            raise ValueError("count vector length != n_buckets")
+        tot = float(sum(counts))
+        xs.append([c / tot if tot > 0.0 else 0.0 for c in counts])
+        ys.append(cls_ix[y])
+    kk = len(classes)
+    m = float(len(xs))
+    w = [[0.0] * n_buckets for _ in range(kk)]
+    b = [0.0] * kk
+    for _ in range(iters):
+        gw = [[0.0] * n_buckets for _ in range(kk)]
+        gb = [0.0] * kk
+        for x, y in zip(xs, ys):
+            zs = []
+            for k in range(kk):
+                z = b[k]
+                wk = w[k]
+                for j in range(n_buckets):
+                    xj = x[j]
+                    if xj != 0.0:
+                        z += wk[j] * xj
+                zs.append(z)
+            zmax = max(zs)
+            exps = [math.exp(z - zmax) for z in zs]
+            s = 0.0
+            for e in exps:
+                s += e
+            for k in range(kk):
+                d = exps[k] / s - (1.0 if k == y else 0.0)
+                gwk = gw[k]
+                for j in range(n_buckets):
+                    xj = x[j]
+                    if xj != 0.0:
+                        gwk[j] += d * xj
+                gb[k] += d
+        for k in range(kk):
+            wk, gwk = w[k], gw[k]
+            for j in range(n_buckets):
+                wk[j] -= step * (gwk[j] / m + l2 * wk[j])
+            b[k] -= step * (gb[k] / m)
+    return w, b
+
+
+def lang_model_scores(
+    df: DataFrame,
+    classes: list[str],
+    weights: list[list[float]],
+    biases: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a fitted :func:`fit_lang_softmax` model.
+
+    Per class k: ``logit_<k>`` = (left-to-right fold of per-gram bucket
+    weights, seeded 0.0) / n_features + bias_k; ``lang_model`` is the
+    strict-``>`` first-wins argmax over ``classes`` order (the
+    ``lang_id`` tie-break contract). Featureless documents score NULL
+    logits and ``'und'``.
+
+    Scale shape: one map-only codegen projection. The gram array is
+    bound once per row, the per-gram BUCKET array is bound once (so the
+    md5 per gram runs once, not once per class — K fold passes then
+    read the bound int array and do literal-array ``element_at`` hops),
+    and all K+1 outputs come back in one struct via a dedicated select.
+
+    Returns (id_col, n_features, logit_<c>... , lang_model).
+    """
+    kk = len(classes)
+    if kk == 0 or len(weights) != kk or len(biases) != kk:
+        raise ValueError("classes/weights/biases must align and be non-empty")
+    n_buckets = len(weights[0])
+    if any(len(wk) != n_buckets for wk in weights):
+        raise ValueError("all weight vectors must share n_buckets")
+    lits = [F.lit([float(x) for x in wk]) for wk in weights]
+
+    def _one_fold(bs: Column, lit: Column) -> Column:
+        return F.aggregate(
+            bs, F.lit(0.0), lambda a, i: a + F.element_at(lit, i)
+        )
+
+    def folds(bs: Column) -> Column:
+        # closure via argument, not a lambda default: a defaulted
+        # parameter changes the lambda's arity for PySpark's
+        # higher-order-function binding
+        return F.struct(
+            F.size(bs).alias("n"),
+            *[
+                _one_fold(bs, lits[k]).alias(f"s{k}")
+                for k in range(kk)
+            ],
+        )
+
+    bound = df.select(
+        F.col(id_col),
+        F.element_at(
+            F.transform(
+                F.array(char_ngram_features(text_col)),
+                lambda gs: F.element_at(
+                    F.transform(
+                        F.array(
+                            F.transform(
+                                gs,
+                                lambda g: (
+                                    F.pmod(md5_long60(g), F.lit(n_buckets))
+                                    + 1
+                                ).cast("int"),
+                            )
+                        ),
+                        folds,
+                    ),
+                    1,
+                ),
+            ),
+            1,
+        ).alias("_s"),
+    )
+    s = F.col("_s")
+    n = s["n"]
+    logits = [
+        F.when(
+            n > 0,
+            s[f"s{k}"] / n.cast("double") + F.lit(float(biases[k])),
+        )
+        for k in range(kk)
+    ]
+    best = F.lit(classes[0])
+    best_v = logits[0]
+    for k in range(1, kk):
+        is_better = logits[k] > best_v
+        best = F.when(is_better, F.lit(classes[k])).otherwise(best)
+        best_v = F.when(is_better, logits[k]).otherwise(best_v)
+    return bound.select(
+        F.col(id_col),
+        n.cast("int").alias("n_features"),
+        *[logits[k].alias(f"logit_{classes[k]}") for k in range(kk)],
+        F.when(n > 0, best).otherwise(F.lit("und")).alias("lang_model"),
+    )
