@@ -2624,6 +2624,40 @@ def q_lang_model(spark, sf_dir):
     )
 
 
+#: Unigram-LM (SentencePiece-style) tokenizer fit bounds
+#: (functions/unigram_lm.py): final piece-vocab cap, hard-EM rounds,
+#: max candidate piece length — word table reuses BPE_MAX_VOCAB
+UNILM_VOCAB = 64
+UNILM_ROUNDS = 4
+UNILM_MAX_PIECE = 6
+
+
+def q_unigram_tokens(spark, sf_dir):
+    # unigram-LM subword tokenization (Kudo 2018, arXiv:1804.10959 —
+    # SentencePiece's default mode) under the BPE tier's discipline:
+    # ONE bounded word-frequency aggregate (total tie-break), a
+    # deterministic driver-side fit (substring seed → fixed hard-EM
+    # rounds with Viterbi E-steps → total-tie-break pruning, chars
+    # always retained), scoring via explode → broadcast vocab join →
+    # per-doc partial-agg sums, OOV at character granularity. The
+    # oracle recomputes the word counts in DuckDB and replays the same
+    # fit, so every count is integer-exact (functions/unigram_lm.py).
+    from merchant_classification_spark.functions.bpe import (
+        corpus_word_freq,
+    )
+    from merchant_classification_spark.functions.unigram_lm import (
+        fit_unigram_lm,
+        unigram_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = corpus_word_freq(docs, "text", BPE_MAX_VOCAB)
+    _, wnp = fit_unigram_lm(
+        wf, UNILM_VOCAB, UNILM_ROUNDS, UNILM_MAX_PIECE
+    )
+    return unigram_token_counts(spark, docs, wnp, "text", "doc_id")
+
+
 def q_bpe_tokens(spark, sf_dir):
     # deterministic subword/BPE tokenization (Sennrich et al. 2016,
     # arXiv:1508.07909) under the corpus-screen discipline: the word-
@@ -3351,6 +3385,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_perplexity": q_bigram_perplexity,
     "bm25_retrieval": q_bm25_retrieval,
     "bpe_tokens": q_bpe_tokens,
+    "unigram_tokens": q_unigram_tokens,
     "bpe_pack": q_bpe_pack,
     "corpus_mix": q_corpus_mix,
     "temperature_mix": q_temperature_mix,
@@ -5356,6 +5391,77 @@ if _bpe_sql is not None:
     ORACLES["bpe_tokens"] = _bpe_sql
 
 
+def _unigram_oracle_sql() -> str | None:
+    """Full replay of q_unigram_tokens: recompute the word-frequency
+    table in DuckDB (same tokenization, same top-k total tie-break),
+    run the SAME deterministic ``fit_unigram_lm`` on those exact
+    integer counts (shared pure function, like ``fit_bpe``), inline the
+    fitted word → piece-count table as VALUES, and score with unnest +
+    left join + integer sums. Same unreadable-data guard as the BPE
+    oracle.
+    """
+    import os
+
+    import duckdb as _dd
+
+    from merchant_classification_spark.functions.unigram_lm import (
+        fit_unigram_lm,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        con = _dd.connect()
+        rows = con.sql(
+            f"""
+            WITH d AS (SELECT text FROM read_parquet('{path}')),
+            t AS (SELECT {_SQL_TOKENS} AS toks FROM d),
+            e AS (SELECT unnest(toks) AS word FROM t)
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM e GROUP BY word
+            ORDER BY freq DESC, word ASC
+            LIMIT {BPE_MAX_VOCAB}
+            """
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    wf = {str(w): int(f) for w, f in rows}
+    _, wnp = fit_unigram_lm(wf, UNILM_VOCAB, UNILM_ROUNDS, UNILM_MAX_PIECE)
+    vals = ", ".join(
+        f"('{w.replace(chr(39), chr(39) * 2)}', {n})"
+        for w, n in sorted(wnp.items())
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        e AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        v(word, word_pieces) AS (SELECT * FROM (VALUES {vals})),
+        j AS (SELECT e.doc_id, e.word, v.word_pieces
+              FROM e LEFT JOIN v ON e.word = v.word),
+        a AS (SELECT doc_id,
+                     CAST(count(*) AS INTEGER) AS n_words,
+                     CAST(sum(coalesce(word_pieces, length(word))) AS BIGINT)
+                         AS n_uni_tokens,
+                     CAST(sum(CASE WHEN word_pieces IS NULL THEN 1 ELSE 0 END)
+                          AS INTEGER) AS n_oov
+              FROM j GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(a.n_words, 0) AS n_words,
+               coalesce(a.n_uni_tokens, 0) AS n_uni_tokens,
+               coalesce(a.n_oov, 0) AS n_oov
+        FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+    """
+
+
+_unigram_sql = _unigram_oracle_sql()
+if _unigram_sql is not None:
+    ORACLES["unigram_tokens"] = _unigram_sql
+
+
 def _bpe_pack_oracle_sql() -> str | None:
     """Replay of q_bpe_pack — the BPE → pack_documents composition:
     per-doc BPE token counts from the SAME fitted vocab literal the
@@ -6779,6 +6885,11 @@ if "quality_model" in ORACLES:
 # the merge table from DuckDB-recomputed word counts at import.
 if "bpe_tokens" in ORACLES:
     SUITES["vocab_suite"].append("bpe_tokens")
+# unigram-LM (SentencePiece-style) tokenizer joins the same suite
+# (round 8): word counts recomputed in DuckDB, shared deterministic
+# hard-EM fit, VALUES vocab replay; same data-dependent-oracle guard.
+if "unigram_tokens" in ORACLES:
+    SUITES["vocab_suite"].append("unigram_tokens")
 # the BPE → pack_documents composition joins the chunk/pack suite
 # (round 6): packs cut in fitted subword tokens, same oracle guard.
 if "bpe_pack" in ORACLES:

@@ -9,9 +9,15 @@ This probe answers it: same corpus, same BEST_CONFIG, three variants —
                          (functions/bpe.bpe_segment via the round-6
                          extra_tokens_col hook; fit on TRAIN only)
   * bpe_instead_chars  — word n-grams + BPE segments, char grams off
+  * +unigram           — baseline plus unigram-LM (SentencePiece-style)
+                         pieces (functions/unigram_lm, round 8; fit on
+                         TRAIN only)
+  * unigram_instead_chars — word n-grams + unigram pieces, chars off
 
 Prints one JSON line per variant.  Usage:
-    python tools/bpe_quality_probe.py [n_classes] [rows_per_class_max]
+    python tools/bpe_quality_probe.py [n_classes] [rows_per_class_max] [only,...]
+(the third arg restricts to a comma-separated variant subset, so a new
+family can be measured without re-running the committed baselines)
 """
 
 from __future__ import annotations
@@ -72,8 +78,45 @@ def main() -> None:
 
     train_id = train.withColumn("tr_id", F.monotonically_increasing_id())
     test_id = test.withColumn("tr_id", F.monotonically_increasing_id())
-    train_b = with_bpe(train_id).localCheckpoint()
-    test_b = with_bpe(test_id).localCheckpoint()
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+    def wanted(*names):
+        return only is None or any(n in only for n in names)
+
+    if wanted("+bpe", "bpe_instead_chars"):
+        train_b = with_bpe(train_id).localCheckpoint()
+        test_b = with_bpe(test_id).localCheckpoint()
+    else:
+        train_b = test_b = None
+
+    from merchant_classification_spark.functions.unigram_lm import (
+        fit_unigram_lm,
+        unigram_segment,
+    )
+
+    uni_lp = None
+    if wanted("+unigram", "unigram_instead_chars"):
+        uni_lp, _ = fit_unigram_lm(
+            wf, vocab_size=4096, rounds=4, max_piece_len=8
+        )
+
+    def with_uni(df):
+        segs = unigram_segment(
+            spark, df, uni_lp, wf, text_col=text, id_col="tr_id",
+            max_piece_len=8,
+        )
+        return df.join(
+            segs.select(
+                segs.doc_id.alias("tr_id"), segs.uni_tokens.alias("_uni")
+            ),
+            "tr_id",
+        )
+
+    if uni_lp is not None:
+        train_u = with_uni(train_id).localCheckpoint()
+        test_u = with_uni(test_id).localCheckpoint()
+    else:
+        train_u = test_u = None
 
     variants = {
         "baseline": (train, test, {}),
@@ -87,8 +130,20 @@ def main() -> None:
                 "char_ngram_max": 0,
             },
         ),
+        "+unigram": (train_u, test_u, {"extra_tokens_col": "_uni"}),
+        "unigram_instead_chars": (
+            train_u,
+            test_u,
+            {
+                "extra_tokens_col": "_uni",
+                "char_ngram_min": 0,
+                "char_ngram_max": 0,
+            },
+        ),
     }
     for name, (tr, te, over) in variants.items():
+        if not wanted(name):
+            continue
         clf = NarrativeClassifier(**{**BEST_CONFIG, **over})
         model = clf.fit(tr)
         _, summary = evaluate_per_class(
