@@ -2658,6 +2658,60 @@ def q_unigram_tokens(spark, sf_dir):
     return unigram_token_counts(spark, docs, wnp, "text", "doc_id")
 
 
+#: Corpus-funnel composition probe (pipelines/corpus.py prepare_corpus
+#: with the model gate ON): screens -> LR gate -> PII scrub -> dedup
+#: ladder (exact -> fingerprint -> MinHash near-dup). Near-dup at 0.6
+#: so the ladder's last rung actually drops rows on the graded corpus.
+FUNNEL_NEARDUP_T = 0.6
+FUNNEL_MIN_QUALITY = 0.3
+FUNNEL_MIN_TOKENS = 5
+FUNNEL_MAX_TTS = 0.5
+
+
+def q_corpus_funnel(spark, sf_dir):
+    # the north-star composition, graded end-to-end: every stage of
+    # prepare_corpus (lang/quality/repetition screens, the CCNet-style
+    # LR gate incl. its n_features>0 rule, PII scrub, exact +
+    # fingerprint + MinHash near-dup admission) replays in DuckDB the
+    # way bpe_pack graded the fit->score->join->pack composition. The
+    # split column stays out (xxhash64 has no external twin; split
+    # stability is pytest-covered).
+    from merchant_classification_spark.functions.quality_model import (
+        fit_quality_lr,
+        quality_training_counts,
+    )
+    from merchant_classification_spark.pipelines.corpus import (
+        prepare_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    samples = quality_training_counts(
+        docs,
+        "text",
+        F.col("source").isin(*QUALITY_CURATED_SOURCES),
+        "doc_id",
+        n_buckets=QUALITY_BUCKETS,
+        sample_per_class=QUALITY_SAMPLE_PER_CLASS,
+    )
+    w, b = fit_quality_lr(samples, QUALITY_BUCKETS)
+    out, _report = prepare_corpus(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        allowed_langs=("en",),
+        min_quality=FUNNEL_MIN_QUALITY,
+        min_tokens=FUNNEL_MIN_TOKENS,
+        max_top_token_share=FUNNEL_MAX_TTS,
+        near_dup_threshold=FUNNEL_NEARDUP_T,
+        quality_model=(w, b),
+        quality_model_min_logit=0.0,
+        with_report=False,  # no eager stage counts inside a graded probe
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "lang", "n_tokens", "quality"
+    ).orderBy("doc_id")
+
+
 def q_bpe_tokens(spark, sf_dir):
     # deterministic subword/BPE tokenization (Sennrich et al. 2016,
     # arXiv:1508.07909) under the corpus-screen discipline: the word-
@@ -3386,6 +3440,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_retrieval": q_bm25_retrieval,
     "bpe_tokens": q_bpe_tokens,
     "unigram_tokens": q_unigram_tokens,
+    "corpus_funnel": q_corpus_funnel,
     "bpe_pack": q_bpe_pack,
     "corpus_mix": q_corpus_mix,
     "temperature_mix": q_temperature_mix,
@@ -4950,29 +5005,18 @@ if _dsir_sql is not None:
     ORACLES["dsir_weights"] = _dsir_sql
 
 
-def _quality_oracle_sql() -> str | None:
-    """Full replay of q_quality_model: recompute the SAME deterministic
-    md5-ranked training sample and integer bucket counts in DuckDB, run
-    the SAME shared pure-Python ``fit_quality_lr`` on them (the fit is a
-    deterministic function of the sample, shared like ``math.log`` /
-    ``fit_bpe``), inline the identical weight/bias double literals, and
-    replay scoring as a list_transform bucket lookup + left fold seeded
-    at 0.0 + one division — matching Spark's expression order, so every
-    quality_logit is bit-exact. Same unreadable-data guard as the
-    DSIR/perplexity oracles.
-    """
-    import os
-
+def _duckdb_quality_fit(path: str) -> tuple[list[float], float] | None:
+    """Recompute the md5-ranked curated-vs-crawl training sample and
+    integer bucket counts in DuckDB and run the SAME shared pure-Python
+    ``fit_quality_lr`` — the (weights, bias) every quality-gate replay
+    inlines (quality_model member AND the corpus_funnel composition).
+    None on unreadable grading data (the callers degrade to absent)."""
     import duckdb as _dd
 
     from merchant_classification_spark.functions.quality_model import (
         fit_quality_lr,
     )
 
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
-    path = f"{sf_dir}/documents.parquet"
     nb = QUALITY_BUCKETS
     n_cls = QUALITY_SAMPLE_PER_CLASS
     srcs = ", ".join(f"'{s}'" for s in QUALITY_CURATED_SOURCES)
@@ -5013,7 +5057,30 @@ def _quality_oracle_sql() -> str | None:
         (1 if w else 0, docs[(w, h, i)])
         for (w, h, i) in sorted(docs, key=lambda k: (k[0], k[1], k[2]))
     ]
-    weights, bias = fit_quality_lr(samples, nb)
+    return fit_quality_lr(samples, nb)
+
+
+def _quality_oracle_sql() -> str | None:
+    """Full replay of q_quality_model: recompute the SAME deterministic
+    md5-ranked training sample and integer bucket counts in DuckDB, run
+    the SAME shared pure-Python ``fit_quality_lr`` on them (the fit is a
+    deterministic function of the sample, shared like ``math.log`` /
+    ``fit_bpe``), inline the identical weight/bias double literals, and
+    replay scoring as a list_transform bucket lookup + left fold seeded
+    at 0.0 + one division — matching Spark's expression order, so every
+    quality_logit is bit-exact. Same unreadable-data guard as the
+    DSIR/perplexity oracles.
+    """
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    fit = _duckdb_quality_fit(f"{sf_dir}/documents.parquet")
+    if fit is None:
+        return None
+    weights, bias = fit
+    nb = QUALITY_BUCKETS
     wl = "[" + ", ".join(_dlit(x) for x in weights) + "]"
     bl = _dlit(bias)
     return f"""
@@ -5168,6 +5235,172 @@ def _lang_model_oracle_sql() -> str | None:
 _lang_model_sql = _lang_model_oracle_sql()
 if _lang_model_sql is not None:
     ORACLES["lang_model"] = _lang_model_sql
+
+
+def _sql_tokens_of(expr: str) -> str:
+    """The _SQL_TOKENS tokenization over an arbitrary text expression
+    (the funnel replay tokenizes the PII-scrubbed text a second time)."""
+    clean = (
+        f"trim(regexp_replace(regexp_replace(lower(coalesce({expr}, '')),"
+        f" '[^a-z0-9'']+', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return (
+        f"CASE WHEN {clean} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split({clean}, ' ') END"
+    )
+
+
+def _sql_scrub_of(expr: str) -> str:
+    """DuckDB mirror of functions/pii.scrub_pii: the same progressive
+    regexp_replace chain (patterns are dialect-portable — the graded
+    pii_scrub member proves the replay)."""
+    from merchant_classification_spark.functions.pii import PII_STEPS
+
+    out = expr
+    for pat, tok in PII_STEPS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{tok}', 'g')"
+    return out
+
+
+def _corpus_funnel_oracle_sql() -> str | None:
+    """Full replay of q_corpus_funnel — prepare_corpus graded
+    end-to-end the way bpe_pack graded its composition. Every stage
+    reuses a replay the gate already proves member-wise: the lang CASE
+    (lang_profile), the quality expression (quality_scores), the
+    top-token-share expression (repetition_scores), the LR gate with
+    DuckDB-refit literal weights + the n_features>0 rule
+    (quality_model), the PII chain (pii_scrub), md5/fingerprint keep-
+    min-id dedups (dedup_exact/dedup_fingerprint), and the full
+    portable MinHash pipeline at the funnel threshold's solver banding
+    (minhash_neardup) with the pipeline's drop-greatest rule. Split is
+    excluded (xxhash64 has no external twin). Same unreadable-data
+    guard as the other data-dependent oracles.
+    """
+    import os
+
+    from merchant_classification_spark.functions.portable_hash import (
+        MERSENNE31,
+        minhash_perms,
+    )
+    from merchant_classification_spark.operators.dedup import lsh_params
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    fit = _duckdb_quality_fit(f"{sf_dir}/documents.parquet")
+    if fit is None:
+        return None
+    weights, bias = fit
+    wl = "[" + ", ".join(_dlit(x) for x in weights) + "]"
+    bl = _dlit(bias)
+    nbq = QUALITY_BUCKETS
+    pa, pb = minhash_perms(64)
+    a_lit = "[" + ",".join(map(str, pa)) + "]::BIGINT[]"
+    b_lit = "[" + ",".join(map(str, pb)) + "]::BIGINT[]"
+    nb, rpb = lsh_params(FUNNEL_NEARDUP_T, 64, 2.0)
+    scrub = _sql_scrub_of("text")
+    stoks = _sql_tokens_of("stext")
+    return f"""
+        WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
+        h AS (
+            SELECT doc_id, text, toks, len(toks) AS n_tok,
+                   {_sql_stop_hits('en')} AS en_hits,
+                   {_sql_stop_hits('es')} AS es_hits,
+                   {_sql_stop_hits('fr')} AS fr_hits,
+                   {_sql_stop_hits('de')} AS de_hits,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[\\w\\s]+', '', 'g')) AS punct,
+                   length(regexp_replace(text, '[^0-9]+', '', 'g')) AS digits
+            FROM t),
+        scored AS (
+            SELECT doc_id, text, toks,
+                   CAST(n_tok AS INTEGER) AS n_tokens,
+                   CASE WHEN n_tok = 0 THEN 'und'
+                        WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                        WHEN es_hits > 0 AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                        WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+                        WHEN de_hits > 0 THEN 'de'
+                        ELSE 'und' END AS lang,
+                   0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (1.0 - CAST(punct AS DOUBLE) / CAST(CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END AS DOUBLE))
+                 + 0.3 * (1.0 - CAST(digits AS DOUBLE) / CAST(CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END AS DOUBLE))
+                   AS quality
+            FROM h),
+        f1 AS (SELECT * FROM scored
+               WHERE lang IN ('en')
+                 AND quality >= {_dlit(FUNNEL_MIN_QUALITY)}
+                 AND n_tokens >= {FUNNEL_MIN_TOKENS}),
+        f2 AS (SELECT * FROM f1
+               WHERE CASE WHEN len(toks) > 0
+                          THEN CAST(list_max(list_transform(list_distinct(toks),
+                                   x -> len(list_filter(toks, y -> y = x)))) AS BIGINT)
+                               / CAST(len(toks) AS BIGINT)
+                     END <= {_dlit(FUNNEL_MAX_TTS)}),
+        gated AS (
+            SELECT f2.*
+            FROM (SELECT f2.*, {_SQL_DSIR_FEATS} AS feats FROM f2) f2
+            WHERE len(feats) > 0
+              AND list_reduce(list_prepend(0.0e0,
+                      list_transform(feats, x -> ({wl})[
+                          CAST(('0x' || substr(md5(x), 1, 15))::BIGINT
+                               % {nbq} AS INT) + 1])),
+                      (a, y) -> a + y) / CAST(len(feats) AS DOUBLE) + {bl}
+                  > 0.0e0),
+        scrubbed AS (SELECT doc_id, lang, n_tokens, quality,
+                            {scrub} AS stext
+                     FROM gated),
+        ex AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(stext)) AS k1
+               FROM scrubbed),
+        f3 AS (SELECT doc_id, lang, n_tokens, quality, stext,
+                      {stoks} AS stoks
+               FROM ex WHERE doc_id = k1),
+        fp AS (SELECT *, min(doc_id) OVER (PARTITION BY
+                   md5(array_to_string(list_sort(list_distinct(stoks)), ' '))
+               ) AS k2 FROM f3),
+        f4 AS (SELECT doc_id, lang, n_tokens, quality, stoks
+               FROM fp WHERE doc_id = k2),
+        shg AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(stoks) - 2, 1) + 1),
+                           i -> array_to_string(stoks[i:i+2], ' '))) AS s
+                FROM f4),
+        consts AS (SELECT {a_lit} AS pa, {b_lit} AS pb),
+        hh AS (SELECT doc_id,
+                      list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS shh
+               FROM shg),
+        sig AS (SELECT doc_id, shh,
+                       list_transform(range(0, 64),
+                           i -> list_min(list_transform(shh,
+                                    hv -> (pa[i + 1] * (hv % {MERSENNE31}) + pb[i + 1])
+                                          % {MERSENNE31}))) AS sg
+                FROM hh, consts),
+        banded AS (SELECT doc_id,
+                          unnest(range(0, {nb})) AS band,
+                          unnest(list_transform(range(0, {nb}),
+                              bb -> array_to_string(
+                                  sg[bb * {rpb} + 1 : bb * {rpb} + {rpb}], ':'))) AS band_val
+                   FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM banded a JOIN banded b USING (band, band_val)
+                 WHERE a.doc_id < b.doc_id),
+        verified AS (SELECT id_a, id_b
+                     FROM cand JOIN hh ha ON cand.id_a = ha.doc_id
+                               JOIN hh hb ON cand.id_b = hb.doc_id
+                     WHERE CAST(len(list_intersect(ha.shh, hb.shh)) AS DOUBLE)
+                           / CAST(len(list_distinct(list_concat(ha.shh, hb.shh))) AS DOUBLE)
+                           >= {_dlit(FUNNEL_NEARDUP_T)}),
+        drops AS (SELECT DISTINCT greatest(id_a, id_b) AS drop_id FROM verified)
+        SELECT f4.doc_id, f4.lang, f4.n_tokens, f4.quality
+        FROM f4 LEFT JOIN drops ON f4.doc_id = drops.drop_id
+        WHERE drops.drop_id IS NULL
+        ORDER BY f4.doc_id
+    """
+
+
+_corpus_funnel_sql = _corpus_funnel_oracle_sql()
+if _corpus_funnel_sql is not None:
+    ORACLES["corpus_funnel"] = _corpus_funnel_sql
 
 
 def _temperature_mix_oracle_sql() -> str | None:
@@ -6899,6 +7132,12 @@ if "bpe_pack" in ORACLES:
 # fit, literal-rate percentile admission; same oracle guard.
 if "temperature_mix" in ORACLES:
     SUITES["chunk_pack_suite"].append("temperature_mix")
+# the corpus-prep funnel composition (round 8): prepare_corpus graded
+# end-to-end — screens -> LR gate -> PII scrub -> exact/fingerprint/
+# MinHash dedup ladder — as ONE admitted-set replay (singleton suite:
+# the composition is the member); same data-dependent-oracle guard.
+if "corpus_funnel" in ORACLES:
+    SUITES["corpus_funnel"] = ["corpus_funnel"]
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
 # suite — KMeans/seeded-rand/sketch/ML ops

@@ -55,14 +55,26 @@ def prepare_corpus(
     export_token_salt: str | None = None,
     quality_model: tuple[list[float], float] | None = None,
     quality_model_min_logit: float = 0.0,
+    with_report: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the full corpus-prep funnel; returns (clean_docs, report).
 
     ``clean_docs`` columns: (id, text [PII-scrubbed], lang, n_tokens,
     quality, split) where split ∈ {'train','val'} via a stable hash mod —
     deterministic, no rand(), survives reruns and repartitions.
+
+    ``with_report=False`` skips the per-stage counts (each one is an
+    eager action over the funnel prefix): the returned report is empty
+    and the pipeline stays a single lazy plan up to the dedup barriers
+    — the mode for callers that only want ``clean_docs``.
     """
-    report: dict[str, int] = {"input": docs.count()}
+    report: dict[str, int] = {}
+
+    def _count(key: str, frame: DataFrame) -> None:
+        if with_report:
+            report[key] = frame.count()
+
+    _count("input", docs)
 
     # --- single fused filter pass (no shuffle) -------------------------
     # tokenize ONCE and materialize per-language stopword hits as real
@@ -123,7 +135,7 @@ def prepare_corpus(
             )
         )
     kept = kept.withColumn("text", scrub_pii("text"))
-    report["after_filters"] = kept.count()
+    _count("after_filters", kept)
 
     # --- optional record-level governance (operators/governance.py) ----
     if k_anonymity_quasi:
@@ -132,7 +144,7 @@ def prepare_corpus(
         )
 
         kept = k_anonymity_filter(kept, k_anonymity_quasi, k_anonymity_k)
-        report["after_k_anonymity"] = kept.count()
+        _count("after_k_anonymity", kept)
 
     # --- dedup ladder: exact → fingerprint → MinHash near-dup ----------
     from pyspark.sql import Window
@@ -145,7 +157,7 @@ def prepare_corpus(
         .where(F.col("id") == F.col("_keep"))
         .drop("_fp_exact", "_keep")
     )
-    report["after_exact_dedup"] = kept.count()
+    _count("after_exact_dedup", kept)
 
     kept = (
         kept.withColumn("_fp", fingerprint(F.col("text")))
@@ -153,7 +165,7 @@ def prepare_corpus(
         .where(F.col("id") == F.col("_keep"))
         .drop("_fp", "_keep")
     )
-    report["after_fingerprint_dedup"] = kept.count()
+    _count("after_fingerprint_dedup", kept)
 
     pairs = minhash_dedup_pairs(
         kept.select(F.col("id").alias("doc_id"), "text"),
@@ -164,7 +176,7 @@ def prepare_corpus(
     kept = kept.join(
         pairs.distinct(), kept.id == F.col("drop_id"), "left_anti"
     )
-    report["after_near_dedup"] = kept.count()
+    _count("after_near_dedup", kept)
 
     # --- stable split (hash mod, not rand: reproducible under rerun) ---
     bucket = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(100))
@@ -174,8 +186,9 @@ def prepare_corpus(
             F.lit("train")
         ),
     )
-    report["val"] = out.where(F.col("split") == "val").count()
-    report["train"] = report["after_near_dedup"] - report["val"]
+    if with_report:
+        report["val"] = out.where(F.col("split") == "val").count()
+        report["train"] = report["after_near_dedup"] - report["val"]
 
     # --- optional export token: salted one-way id for cross-table joins
     # on the exported corpus without exposing the internal id space

@@ -56,6 +56,68 @@ def test_cross_batch_neardup(spark, store):
     assert bands_ids == {1, 2, 11}
 
 
+def test_incremental_neardup_matches_union_rerun(spark, store):
+    """Batch backfill equivalence: admitting a new shard against the
+    persisted index yields EXACTLY the admitted set of re-running the
+    full pairwise dedup over (indexed corpus ∪ shard) — including
+    transitive chains and shard-internal dups — without touching the
+    corpus text again."""
+    from merchant_classification_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from merchant_classification_spark.streaming.neardup import (
+        incremental_neardup,
+    )
+
+    third = (
+        "a third completely unrelated piece about cooking pasta with "
+        "tomatoes garlic basil and olive oil in a large heavy pot"
+    )
+    corpus_rows = [(1, DOC), (2, OTHER), (3, NEAR), (4, third)]
+    # shard ids all greater than corpus ids (append-only discipline);
+    # 10 ~ corpus 1, 12 ~ 10 (shard-internal chain), 11/13 fresh-ish
+    shard_rows = [
+        (10, DOC + " extra"),
+        (11, "entirely novel text with tokens shared with nothing at all"),
+        (12, DOC + " extra bonus"),
+        (13, third.replace("basil", "pepper")),
+    ]
+    admitted0, _ = incremental_neardup(
+        _df(spark, corpus_rows), store, batch_id=0, threshold=0.5
+    )
+    indexed = {r.doc_id for r in admitted0.collect()}
+    assert indexed == {1, 2, 4}  # 3 is an internal near-dup of 1
+
+    admitted1, dupes1 = incremental_neardup(
+        _df(spark, shard_rows), store, batch_id=1, threshold=0.5
+    )
+    incr = indexed | {r.doc_id for r in admitted1.collect()}
+
+    # full rerun over indexed-corpus ∪ shard with the corpus pipeline's
+    # drop-greatest rule
+    union = _df(
+        spark,
+        [r for r in corpus_rows if r[0] in indexed] + shard_rows,
+    )
+    pairs = minhash_dedup_pairs(union, "doc_id", "text", threshold=0.5)
+    drops = {
+        max(r.id_a, r.id_b) for r in pairs.collect()
+    }
+    full = {r[0] for r in union.collect()} - drops
+    assert incr == full
+
+    # the index after the shard equals the admitted set (canonical)
+    stored = {r.doc_id for r in spark.read.parquet(f"{store}/docs").collect()}
+    assert stored == incr
+    # verdicts carry one valid witness per rejected doc: 10 and 13
+    # match their corpus twins; 12 may cite either its corpus twin (1)
+    # or its shard twin (10) — both are true near-dup witnesses
+    verd = dict(
+        (r.doc_id, r.matched_id) for r in dupes1.collect()
+    )
+    assert verd[10] == 1 and verd[13] == 4 and verd[12] in (1, 10)
+
+
 def test_streaming_wrapper(spark, store, tmp_path):
     src = str(tmp_path / "src")
     _df(spark, [(1, DOC), (2, OTHER)]).coalesce(1).write.parquet(src)

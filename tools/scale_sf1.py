@@ -112,6 +112,12 @@ HEAVY = [
     ("quality_model", "curated-vs-crawl LR quality screen"),
     ("bpe_pack", "BPE counts -> two-phase prefix-sum packing"),
     ("pack_documents", "whitespace-token two-phase packing"),
+    # round-8 additions (VERDICT r7 #4 + the two new graded members):
+    # every graded family carries a growth exponent
+    ("temperature_mix", "temperature source rebalancing"),
+    ("bigram_perplexity", "stupid-backoff bigram LM screen"),
+    ("lang_model", "hashed char-3-gram softmax language ID"),
+    ("unigram_tokens", "unigram-LM fit + broadcast-vocab piece counts"),
 ]
 # probes whose inputs exist in the derived dir
 DERIVED_TABLES = {
