@@ -1140,6 +1140,28 @@ def q_repetition_scores(spark, sf_dir):
     return repetition_scores(docs, "text", "doc_id")
 
 
+#: Gopher duplicate-n-gram coverage window (dup 5-grams — the first of
+#: Gopher's dup-n-gram family; 2-4 are the top-share family that
+#: repetition_scores already grades)
+DUP_NGRAM_N = 5
+
+
+def q_dup_ngram_coverage(spark, sf_dir):
+    # Gopher dup-n-gram character coverage (Rae et al. 2021,
+    # arXiv:2112.11446 §A1.1): fraction of token characters inside
+    # within-doc duplicated 5-grams, overlap-safe (each covered char
+    # counted once). Shuffle-free map-only projection: grams via slice
+    # windows, the duplicate set via array_sort + neighbor equality,
+    # coverage via a bounded ±n window probe — no explode, no per-doc
+    # groupBy (functions/text_analysis.py dup_ngram_coverage).
+    from merchant_classification_spark.functions.text_analysis import (
+        dup_ngram_coverage,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_coverage(docs, "text", "doc_id", n=DUP_NGRAM_N)
+
+
 #: bounded unigram-LM vocabulary + keep threshold for the CCNet-style
 #: perplexity screen (tau picked at the sf0.01 corpus median so the flag
 #: splits meaningfully; the 24-token vocab leaves real OOV mass so the
@@ -3381,6 +3403,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_orders": q_monthly_orders,
     "unpivot_metrics": q_unpivot_metrics,
     "repetition_scores": q_repetition_scores,
+    "dup_ngram_coverage": q_dup_ngram_coverage,
     "perplexity_filter": q_perplexity_filter,
     "ngram_top": q_ngram_top,
     "window_rank_suite": q_window_rank_suite,
@@ -3982,6 +4005,62 @@ ORACLES.update(
                    CASE WHEN len(b) > 0 THEN CAST(list_max(list_transform(list_distinct(b), x -> len(list_filter(b, y -> y = x)))) AS BIGINT) / CAST(len(b) AS BIGINT) END AS top_bigram_share
             FROM bg
             ORDER BY doc_id
+        """,
+        "dup_ngram_coverage": f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+            ),
+            g AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) >= {DUP_NGRAM_N}
+                            THEN list_transform(
+                                range(1, len(t) - {DUP_NGRAM_N} + 2),
+                                i -> array_to_string(list_slice(t, i, i + {DUP_NGRAM_N} - 1), ' '))
+                            ELSE CAST([] AS VARCHAR[])
+                       END AS gr
+                FROM toks
+            ),
+            s AS (SELECT doc_id, t, gr, list_sort(gr) AS sg FROM g),
+            d AS (
+                SELECT doc_id, t, gr,
+                       CASE WHEN len(gr) >= 2
+                            THEN list_distinct(list_filter(
+                                list_transform(range(2, len(gr) + 1),
+                                    i -> CASE WHEN sg[i] = sg[i-1] THEN sg[i] END),
+                                x -> x IS NOT NULL))
+                            ELSE CAST([] AS VARCHAR[])
+                       END AS dups
+                FROM s
+            ),
+            f AS (
+                SELECT doc_id, t, dups, len(gr) AS gc,
+                       list_transform(gr, x -> list_contains(dups, x)) AS fl
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS INTEGER) AS n_tokens,
+                   CAST(len(dups) AS INTEGER) AS dup_grams,
+                   CAST(CASE WHEN gc >= 1 THEN coalesce(list_sum(
+                       list_transform(range(1, len(t) + 1),
+                           p -> CASE WHEN len(list_filter(
+                                    range(greatest(1, p - {DUP_NGRAM_N} + 1),
+                                          least(p, gc) + 1),
+                                    i -> fl[i])) > 0
+                                THEN length(t[p]) ELSE 0 END)), 0)
+                       ELSE 0 END AS BIGINT) AS covered_chars,
+                   CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0) AS BIGINT) AS total_chars,
+                   CASE WHEN coalesce(list_sum(list_transform(t, w -> length(w))), 0) > 0
+                        THEN CAST(CASE WHEN gc >= 1 THEN coalesce(list_sum(
+                            list_transform(range(1, len(t) + 1),
+                                p -> CASE WHEN len(list_filter(
+                                         range(greatest(1, p - {DUP_NGRAM_N} + 1),
+                                               least(p, gc) + 1),
+                                         i -> fl[i])) > 0
+                                     THEN length(t[p]) ELSE 0 END)), 0)
+                            ELSE 0 END AS BIGINT)
+                           / CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT)
+                   END AS dup_char_frac
+            FROM f
         """,
         "ngram_top": """
             WITH toks AS (
@@ -6974,6 +7053,7 @@ SUITES: dict[str, list[str]] = {
         "lang_profile",
         "quality_scores",
         "repetition_scores",
+        "dup_ngram_coverage",
         "pii_scrub",
     ],
     "etl_clean_format": ["etl_clean_format"],
@@ -7134,10 +7214,12 @@ if "temperature_mix" in ORACLES:
     SUITES["chunk_pack_suite"].append("temperature_mix")
 # the corpus-prep funnel composition (round 8): prepare_corpus graded
 # end-to-end — screens -> LR gate -> PII scrub -> exact/fingerprint/
-# MinHash dedup ladder — as ONE admitted-set replay (singleton suite:
-# the composition is the member); same data-dependent-oracle guard.
+# MinHash dedup ladder — as ONE admitted-set replay. It joins the dedup
+# suite as a member (NOT a new singleton suite): the driver grades only
+# the first 50 declared queries, and a 47th suite would push the last
+# rows-only entry out of the window. Same data-dependent-oracle guard.
 if "corpus_funnel" in ORACLES:
-    SUITES["corpus_funnel"] = ["corpus_funnel"]
+    SUITES["dedup_suite"].append("corpus_funnel")
 
 # rows-only (no SQL oracle can exist): declared LAST, after every graded
 # suite — KMeans/seeded-rand/sketch/ML ops

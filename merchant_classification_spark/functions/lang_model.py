@@ -15,10 +15,11 @@ moves that made ``functions/quality_model.py`` bit-exact replayable:
     (the stopword heuristic's confident predictions in the graded
     probe — classic self-training bootstrap; any curated label column
     works the same).
-  * **deterministic pure-Python fit**: full-batch gradient descent on a
+  * **deterministic driver-side fit**: full-batch gradient descent on a
     multinomial (softmax) logistic regression over the per-language
-    hashed char-n-gram bucket counts — fixed iteration count, fixed
-    fold order, stable softmax. A pure function of the sample, shared
+    hashed char-n-gram bucket counts — fixed iteration count, numpy
+    ufunc reductions only (no BLAS — reduction order is a pure function
+    of shape), stable softmax. A pure function of the sample, shared
     with external checkers like ``math.log``.
   * **map-only scoring**: the K weight vectors ride the plan as double
     literal arrays; a document's per-class logit is the left-to-right
@@ -35,8 +36,6 @@ that lets the whole model inline as literals.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -166,18 +165,20 @@ def fit_lang_softmax(
     l2: float = 1e-3,
 ) -> tuple[list[list[float]], list[float]]:
     """Deterministic full-batch multinomial (softmax) logistic
-    regression — pure Python, fixed fold order, the same shared-fit
-    discipline as ``fit_quality_lr``.
+    regression — driver-side numpy (ufunc reductions only, no BLAS),
+    the same shared-fit discipline as ``fit_quality_lr``.
 
     Features are per-document normalized counts (count / total — the x
     the scoring fold reproduces as ``fold_sum / n_features``); weights
     start at zero; ``iters`` fixed gradient steps with one global step
     size and L2 (biases excluded). Softmax is max-shifted (stable) and
-    every loop runs in a fixed order (samples in input order, classes
-    in ``classes`` order, buckets 0..n−1), so the returned
+    every reduction is a numpy ufunc ``.sum(axis=...)`` over fixed
+    shapes — pairwise order determined by shape alone, never a
+    thread-count-dependent BLAS kernel — so the returned
     ``(weights[K][n_buckets], biases[K])`` is a bit-reproducible pure
-    function of the sample. Samples whose label is not in ``classes``
-    are rejected (a silent drop would desync external replays).
+    function of the sample (the property the oracle's shared-fit replay
+    depends on). Samples whose label is not in ``classes`` are rejected
+    (a silent drop would desync external replays).
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
@@ -185,6 +186,8 @@ def fit_lang_softmax(
         raise ValueError("samples must be non-empty (fit needs data)")
     if len(set(classes)) != len(classes):
         raise ValueError("classes must be distinct")
+    import numpy as np
+
     cls_ix = {c: k for k, c in enumerate(classes)}
     xs: list[list[float]] = []
     ys: list[int] = []
@@ -197,41 +200,34 @@ def fit_lang_softmax(
         xs.append([c / tot if tot > 0.0 else 0.0 for c in counts])
         ys.append(cls_ix[y])
     kk = len(classes)
-    m = float(len(xs))
-    w = [[0.0] * n_buckets for _ in range(kk)]
-    b = [0.0] * kk
+    m = len(xs)
+    # Vectorized with numpy UFUNC REDUCTIONS ONLY — broadcasting +
+    # .sum(axis=...) — never np.dot/matmul, so no BLAS kernel (whose
+    # thread-count-dependent blocking could reorder double additions
+    # between the query's fit and the oracle's fit). Ufunc pairwise
+    # reduction order is a pure function of shape, so (w, b) stays a
+    # bit-reproducible function of the sample, exactly like the old
+    # pure-Python loop — only ~80× faster at the graded shape (the fit
+    # was the single biggest cost in the lang_model bench member).
+    x_mat = np.array(xs, dtype=np.float64)  # (m, n_buckets)
+    y_onehot = np.zeros((m, kk), dtype=np.float64)
+    y_onehot[np.arange(m), np.array(ys)] = 1.0
+    w_mat = np.zeros((kk, n_buckets), dtype=np.float64)
+    b_vec = np.zeros(kk, dtype=np.float64)
     for _ in range(iters):
-        gw = [[0.0] * n_buckets for _ in range(kk)]
-        gb = [0.0] * kk
-        for x, y in zip(xs, ys):
-            zs = []
-            for k in range(kk):
-                z = b[k]
-                wk = w[k]
-                for j in range(n_buckets):
-                    xj = x[j]
-                    if xj != 0.0:
-                        z += wk[j] * xj
-                zs.append(z)
-            zmax = max(zs)
-            exps = [math.exp(z - zmax) for z in zs]
-            s = 0.0
-            for e in exps:
-                s += e
-            for k in range(kk):
-                d = exps[k] / s - (1.0 if k == y else 0.0)
-                gwk = gw[k]
-                for j in range(n_buckets):
-                    xj = x[j]
-                    if xj != 0.0:
-                        gwk[j] += d * xj
-                gb[k] += d
-        for k in range(kk):
-            wk, gwk = w[k], gw[k]
-            for j in range(n_buckets):
-                wk[j] -= step * (gwk[j] / m + l2 * wk[j])
-            b[k] -= step * (gb[k] / m)
-    return w, b
+        # z[i,k] = sum_j x[i,j]*w[k,j] + b[k]  (broadcast, ufunc sum)
+        z = (x_mat[:, None, :] * w_mat[None, :, :]).sum(axis=2) + b_vec
+        z -= z.max(axis=1, keepdims=True)  # stable softmax
+        e = np.exp(z)
+        p = e / e.sum(axis=1, keepdims=True)
+        d = p - y_onehot  # (m, kk)
+        gw = (d[:, :, None] * x_mat[:, None, :]).sum(axis=0)  # (kk, nb)
+        gb = d.sum(axis=0)
+        w_mat -= step * (gw / m + l2 * w_mat)
+        b_vec -= step * (gb / m)
+    return [[float(v) for v in row] for row in w_mat], [
+        float(v) for v in b_vec
+    ]
 
 
 def lang_model_scores(
@@ -252,9 +248,14 @@ def lang_model_scores(
 
     Scale shape: one map-only codegen projection. The gram array is
     bound once per row, the per-gram BUCKET array is bound once (so the
-    md5 per gram runs once, not once per class — K fold passes then
-    read the bound int array and do literal-array ``element_at`` hops),
-    and all K+1 outputs come back in one struct via a dedicated select.
+    md5 per gram runs once, not once per class), and ALL K class sums
+    come out of a SINGLE fold pass: the K weight vectors ride as one
+    ``array<struct<w0..wK>>`` literal, the accumulator is a K-field
+    struct, and each gram costs one literal ``element_at`` plus K adds.
+    Per class the adds run in the same left-to-right gram order as K
+    separate folds would, so every sum is bit-identical to the
+    one-fold-per-class formulation the oracle replays — this is purely
+    a constant-factor fix (K interpreted array passes → 1).
 
     Returns (id_col, n_features, logit_<c>... , lang_model).
     """
@@ -264,23 +265,43 @@ def lang_model_scores(
     n_buckets = len(weights[0])
     if any(len(wk) != n_buckets for wk in weights):
         raise ValueError("all weight vectors must share n_buckets")
-    lits = [F.lit([float(x) for x in wk]) for wk in weights]
-
-    def _one_fold(bs: Column, lit: Column) -> Column:
-        return F.aggregate(
-            bs, F.lit(0.0), lambda a, i: a + F.element_at(lit, i)
-        )
+    # bucket j -> struct(w0..wK): constant-folded nested literal, each
+    # probe is an O(1) GetArrayItem + K GetStructField hops
+    ws_lit = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(float(weights[k][j])).alias(f"w{k}")
+                    for k in range(kk)
+                ]
+            )
+            for j in range(n_buckets)
+        ]
+    )
 
     def folds(bs: Column) -> Column:
-        # closure via argument, not a lambda default: a defaulted
-        # parameter changes the lambda's arity for PySpark's
-        # higher-order-function binding
-        return F.struct(
-            F.size(bs).alias("n"),
-            *[
-                _one_fold(bs, lits[k]).alias(f"s{k}")
-                for k in range(kk)
-            ],
+        zero = F.struct(*[F.lit(0.0).alias(f"s{k}") for k in range(kk)])
+
+        def step(a: Column, i: Column) -> Column:
+            w = F.element_at(ws_lit, i)
+            return F.struct(
+                *[
+                    (a[f"s{k}"] + w[f"w{k}"]).alias(f"s{k}")
+                    for k in range(kk)
+                ]
+            )
+
+        # the FINISH lambda binds the accumulator once — referencing a
+        # bare F.aggregate(...) K times would clone (and re-run) the
+        # whole fold K times per row, the exact trap this fix removes
+        return F.aggregate(
+            bs,
+            zero,
+            step,
+            lambda a: F.struct(
+                F.size(bs).alias("n"),
+                *[a[f"s{k}"].alias(f"s{k}") for k in range(kk)],
+            ),
         )
 
     bound = df.select(

@@ -233,6 +233,115 @@ def repetition_scores(
     return out
 
 
+def dup_ngram_coverage(
+    df, text_col: str, id_col: str = "doc_id", n: int = 5
+):
+    """Gopher duplicate-n-gram character coverage (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the fraction of a document's token
+    characters that sit inside word n-grams occurring ≥ 2 times WITHIN
+    the document — each covered character counted once even when
+    duplicated n-grams overlap (the metric Gopher pairs with the
+    top-n-gram shares that :func:`repetition_scores` already computes;
+    high coverage = machine-generated / boilerplate-repetitive text).
+
+    Exact, engine-portable semantics: "characters" are the characters
+    of the whitespace :func:`tokens` (separators excluded, so the
+    numerator and denominator count the same alphabet); a token
+    position p is covered iff ANY n-gram window containing p is
+    duplicated; ``dup_char_frac = covered_chars / total_chars`` — one
+    integer÷integer division, bit-exact in any engine.
+
+    Scale shape: one shuffle-free codegen projection per document —
+    grams via slice windows, the within-doc duplicate set via
+    ``array_sort`` + neighbor equality (O(G log G), no explode, no
+    per-doc groupBy), coverage via a bounded ±n window probe per
+    position. Linear in corpus bytes, embarrassingly parallel; the
+    degenerate cases (< 2 grams) yield 0 covered and a NULL/0-guarded
+    fraction.
+
+    Returns (id_col, n_tokens, dup_grams, covered_chars, total_chars,
+    dup_char_frac).
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2 (n=1 duplicate tokens is "
+                         "distinct_ratio's job)")
+    empty_s = F.array().cast("array<string>")
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("_t"))
+    g_cnt = F.size("_t") - F.lit(n) + F.lit(1)
+    grams = F.when(
+        g_cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), g_cnt),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, F.lit(n))),
+        ),
+    ).otherwise(empty_s)
+    with_g = base.select(id_col, "_t", grams.alias("_g"))
+    with_s = with_g.select(
+        id_col, "_t", "_g", F.array_sort("_g").alias("_sg")
+    )
+    dups = F.when(
+        F.size("_g") >= 2,
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("_g")),
+                    lambda i: F.when(
+                        F.element_at("_sg", i)
+                        == F.element_at("_sg", i - F.lit(1)),
+                        F.element_at("_sg", i),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+    ).otherwise(empty_s)
+    with_d = with_s.select(id_col, "_t", "_g", dups.alias("_d"))
+    flags = F.transform(F.col("_g"), lambda g: F.array_contains("_d", g))
+    with_f = with_d.select(
+        id_col, "_t", "_d", F.size("_g").alias("_gc"), flags.alias("_f")
+    )
+    zero = F.lit(0).cast("bigint")
+    covered = F.when(
+        F.col("_gc") >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), F.size("_t")),
+            zero,
+            lambda a, p: a
+            + F.when(
+                F.exists(
+                    F.sequence(
+                        F.greatest(F.lit(1), p - F.lit(n) + F.lit(1)),
+                        F.least(p, F.col("_gc")),
+                    ),
+                    lambda i: F.element_at("_f", i),
+                ),
+                F.length(F.element_at("_t", p)).cast("bigint"),
+            ).otherwise(zero),
+        ),
+    ).otherwise(zero)
+    total = F.aggregate(
+        F.col("_t"), zero, lambda a, w: a + F.length(w).cast("bigint")
+    )
+    return with_f.select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        F.size("_d").alias("dup_grams"),
+        covered.alias("covered_chars"),
+        total.alias("total_chars"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "dup_grams",
+        "covered_chars",
+        "total_chars",
+        F.when(
+            F.col("total_chars") > 0,
+            F.col("covered_chars") / F.col("total_chars"),
+        ).alias("dup_char_frac"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set — invariant to token order and repetition, so permuted/near-

@@ -323,3 +323,109 @@ def test_bigram_backoff_model_and_scores(spark):
     for row in bigram_perplexity_scores(df3, uni, bi, oov, la).collect():
         assert row["n_tokens"] == 0 and row["logprob_sum"] == 0.0
         assert row["avg_neg_logprob"] is None
+
+
+# ---------------------------------------------------------------------------
+# Gopher duplicate-n-gram character coverage
+# ---------------------------------------------------------------------------
+
+
+def _dup_coverage_py(text, n):
+    """Naive replay of dup_ngram_coverage's contract (same tokens rule)."""
+    import re
+
+    cleaned = re.sub(r"[^a-z0-9']+", " ", (text or "").lower()).strip()
+    t = cleaned.split(" ") if cleaned else []
+    grams = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+    from collections import Counter
+
+    dup = {g for g, c in Counter(grams).items() if c >= 2}
+    covered = set()
+    for i, g in enumerate(grams):
+        if g in dup:
+            covered.update(range(i, i + n))
+    cov_chars = sum(len(t[p]) for p in covered)
+    tot_chars = sum(len(w) for w in t)
+    return (
+        len(t),
+        len(dup),
+        cov_chars,
+        tot_chars,
+        (cov_chars / tot_chars) if tot_chars > 0 else None,
+    )
+
+
+def test_dup_ngram_coverage_hand_cases(spark):
+    from merchant_classification_spark.functions.text_analysis import (
+        dup_ngram_coverage,
+    )
+
+    rows = [
+        (1, "a b c d e a b c d e x"),  # one dup 5-gram, covers 10 of 11
+        (2, "one two three four five six"),  # no dups
+        (3, ""),  # empty -> zero counts, NULL frac
+        (4, None),  # null-safe
+        (5, "w w w w w w w w"),  # degenerate: everything duplicated
+        (6, "a b c d"),  # fewer tokens than n -> no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dup_ngram_coverage(df, "text", "doc_id", n=5).collect()
+    }
+    for doc_id, text in rows:
+        nt, nd, cov, tot, frac = _dup_coverage_py(text, 5)
+        r = got[doc_id]
+        assert r["n_tokens"] == nt
+        assert r["dup_grams"] == nd
+        assert r["covered_chars"] == cov
+        assert r["total_chars"] == tot
+        if frac is None:
+            assert r["dup_char_frac"] is None
+        else:
+            assert r["dup_char_frac"] == frac
+    # the overlap rule: doc 1 covers positions 1..10 once each, not 2x5+5
+    assert got[1]["covered_chars"] == 10
+
+
+def test_dup_ngram_coverage_fuzz_vs_python(spark):
+    import random
+
+    from merchant_classification_spark.functions.text_analysis import (
+        dup_ngram_coverage,
+    )
+
+    rng = random.Random(42)
+    vocab = ["aa", "b", "ccc", "dddd", "e1", "f'g"]
+    rows = []
+    for i in range(60):
+        L = rng.randrange(0, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(L))))
+    for n in (2, 3, 5):
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {
+            r["doc_id"]: r
+            for r in dup_ngram_coverage(df, "text", "doc_id", n=n).collect()
+        }
+        for doc_id, text in rows:
+            nt, nd, cov, tot, frac = _dup_coverage_py(text, n)
+            r = got[doc_id]
+            assert (
+                r["n_tokens"],
+                r["dup_grams"],
+                r["covered_chars"],
+                r["total_chars"],
+            ) == (nt, nd, cov, tot), (doc_id, n, text)
+            assert r["dup_char_frac"] == frac
+
+
+def test_dup_ngram_coverage_rejects_small_n(spark):
+    import pytest
+
+    from merchant_classification_spark.functions.text_analysis import (
+        dup_ngram_coverage,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        dup_ngram_coverage(df, "text", "doc_id", n=1)

@@ -118,6 +118,8 @@ HEAVY = [
     ("bigram_perplexity", "stupid-backoff bigram LM screen"),
     ("lang_model", "hashed char-3-gram softmax language ID"),
     ("unigram_tokens", "unigram-LM fit + broadcast-vocab piece counts"),
+    ("corpus_funnel", "prepare_corpus screens+gate+dedup ladder"),
+    ("dup_ngram_coverage", "Gopher dup-5-gram char coverage"),
 ]
 # probes whose inputs exist in the derived dir
 DERIVED_TABLES = {
