@@ -709,6 +709,24 @@ def q_minhash_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_source_dup_matrix(spark, sf_dir):
+    # cross-source duplication matrix over the SAME verified pair table
+    # minhash_neardup grades (portable md5 scheme, threshold 0.6):
+    # which sources bleed into which — pair counts + order-insensitive
+    # min/max similarity per unordered source pair
+    # (operators/dedup.py dup_pair_source_matrix).
+    from merchant_classification_spark.operators.dedup import (
+        dup_pair_source_matrix,
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.6, scheme="md5"
+    )
+    return dup_pair_source_matrix(pairs, docs, "doc_id", "source")
+
+
 def q_simhash_neardup(spark, sf_dir):
     # 60-bit portable signature (simhash_portable) — oracle replays the
     # bit construction, 4x15-bit banding, and Hamming verify exactly
@@ -3385,6 +3403,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "semantic_dedup": q_semantic_dedup,
     "minhash_neardup": q_minhash_neardup,
+    "source_dup_matrix": q_source_dup_matrix,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_lsh": q_ann_lsh,
@@ -4356,6 +4375,23 @@ def _minhash_oracle_sql() -> str:
 
 
 ORACLES["minhash_neardup"] = _minhash_oracle_sql()
+
+# cross-source duplication matrix: the SAME pair replay, attributed to
+# unordered source pairs — count + order-insensitive min/max similarity
+# (mean is deliberately absent: float-sum order would be layout-defined)
+ORACLES["source_dup_matrix"] = f"""
+    WITH pairs AS ({_minhash_oracle_sql()})
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           count(*) AS n_pairs,
+           min(p.jaccard_sim) AS min_sim,
+           max(p.jaccard_sim) AS max_sim
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+    ORDER BY source_lo, source_hi
+"""
 
 # deterministic hash-percentile sample: (h mod 2^54)/2^54 is exact in
 # doubles, so even the percentile column matches bit-for-bit
@@ -7100,6 +7136,7 @@ SUITES: dict[str, list[str]] = {
         "embedding_neardup",
         "edit_distance_neardup",
         "winnow_pairs",
+        "source_dup_matrix",
     ],
     "ann_exact_suite": ["ann_bruteforce", "ann_quantized", "hard_negatives"],
     "embedding_suite": ["embedding_quantize", "embedding_stats"],

