@@ -120,6 +120,7 @@ HEAVY = [
     ("unigram_tokens", "unigram-LM fit + broadcast-vocab piece counts"),
     ("corpus_funnel", "prepare_corpus screens+gate+dedup ladder"),
     ("dup_ngram_coverage", "Gopher dup-5-gram char coverage"),
+    ("source_dup_matrix", "cross-source duplication matrix"),
 ]
 # probes whose inputs exist in the derived dir
 DERIVED_TABLES = {
