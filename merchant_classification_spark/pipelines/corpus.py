@@ -39,6 +39,103 @@ from merchant_classification_spark.functions.text_analysis import (
 from merchant_classification_spark.operators.dedup import minhash_dedup_pairs
 
 
+def screen_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    max_top_token_share: float = 0.5,
+    quality_model: tuple[list[float], float] | None = None,
+    quality_model_min_logit: float = 0.0,
+    seed: int = 13,
+) -> DataFrame:
+    """The funnel's screen stage as one scan-project-filter plan:
+    returns (id, text, lang, quality, n_tokens) for documents passing
+    the language / heuristic-quality / token-count / Gopher top-token-
+    share screens and (optionally) the CCNet-style LR model gate.
+
+    Tokenize ONCE and materialize per-language stopword hits as real
+    columns: handed to ``lang_id`` they evaluate a single time, where
+    the inlined form re-ran every interpreted stopword filter per
+    argmax branch (and each of lang_id/quality/token_count
+    re-tokenized) — measured 2.3× on the lang-profile probe. EVERY
+    screen signal — lang, heuristic quality, token count, the Gopher
+    top-token share (formerly a self-join on ``repetition_scores``: it
+    is a pure per-row expression, so a join bought nothing but a second
+    scan of the whole screen chain), and the optional model gate —
+    comes out of ONE projection over that base.
+
+    The ``_nd`` column is a PUSHDOWN BARRIER, not data: Catalyst's
+    PushDownPredicate substitutes projected aliases into any filter it
+    pushes below a Project, which would re-inline the whole
+    tokenize+stopword+fold chain once PER REFERENCE in the predicate
+    tree (measured: the pushed-down screen filter re-evaluated
+    ``tokens(text)`` ~20× per row and tripled the funnel's scan cost).
+    A Project containing a nondeterministic expression blocks the rule,
+    and the always-true ``_nd > -1`` conjunct keeps the column
+    referenced so column pruning cannot remove the barrier. The output
+    is independent of ``_nd``'s values (plan-shape test:
+    ``tests/test_plans.py``).
+    """
+    from merchant_classification_spark.functions.text_analysis import (
+        LANG_ORDER,
+        stopword_hits,
+        tokens,
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).withColumn("_toks", tokens(text_col))
+    toks = F.col("_toks")
+    for lang in LANG_ORDER:
+        base = base.withColumn(
+            f"_{lang}_hits", stopword_hits("text", lang, tokens_col=toks)
+        )
+    hit_cols = {lang: F.col(f"_{lang}_hits") for lang in LANG_ORDER}
+    screen_cols = [
+        F.col("id"),
+        F.col("text"),
+        lang_id("text", tokens_col=toks, hits=hit_cols).alias("lang"),
+        quality_score("text", tokens_col=toks).alias("quality"),
+        F.size(toks).alias("n_tokens"),
+        F.when(F.size(toks) > 0, top_count(toks) / F.size(toks)).alias(
+            "_top_share"
+        ),
+    ]
+    gate_cond = None
+    if quality_model is not None:
+        from merchant_classification_spark.functions.quality_model import (
+            quality_keep_col,
+        )
+
+        w_lr, b_lr = quality_model
+        # quality_keep_col, not a bare logit comparison: the gate keeps
+        # the same rule as quality_logits (n_features > 0 AND logit >
+        # threshold), so a positive-bias model can never pass
+        # empty/non-tokenizable text through the quality gate
+        screen_cols.append(
+            quality_keep_col(
+                "text", w_lr, b_lr, float(quality_model_min_logit)
+            ).alias("_gate_ok")
+        )
+        gate_cond = F.col("_gate_ok")
+    scored = base.select(*screen_cols).withColumn("_nd", F.rand(seed))
+    cond = (
+        F.col("lang").isin(*allowed_langs)
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("_top_share") <= max_top_token_share)
+        & (F.col("_nd") > F.lit(-1.0))
+    )
+    if gate_cond is not None:
+        cond = cond & gate_cond
+    return scored.where(cond).drop(
+        "_top_share", "_nd", *(["_gate_ok"] if gate_cond is not None else [])
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -77,82 +174,17 @@ def prepare_corpus(
     _count("input", docs)
 
     # --- single fused filter pass (no shuffle) -------------------------
-    # tokenize ONCE and materialize per-language stopword hits as real
-    # columns: handed to lang_id they evaluate a single time, where the
-    # inlined form re-ran every interpreted stopword filter per argmax
-    # branch (and each of lang_id/quality/token_count re-tokenized) —
-    # same fix as the lang-profile probe, measured 2.3x there
-    from merchant_classification_spark.functions.text_analysis import (
-        LANG_ORDER,
-        stopword_hits,
-        tokens,
-    )
-
-    base = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).withColumn("_toks", tokens(text_col))
-    toks = F.col("_toks")
-    for lang in LANG_ORDER:
-        base = base.withColumn(
-            f"_{lang}_hits", stopword_hits("text", lang, tokens_col=toks)
-        )
-    hit_cols = {lang: F.col(f"_{lang}_hits") for lang in LANG_ORDER}
-    # EVERY screen signal — lang, heuristic quality, token count, the
-    # Gopher top-token share (formerly a self-join on repetition_scores:
-    # it is a pure per-row expression, so a join bought nothing but a
-    # second scan of the whole screen chain), and the optional model
-    # gate — comes out of ONE projection over the tokenize-once base.
-    screen_cols = [
-        F.col("id"),
-        F.col("text"),
-        lang_id("text", tokens_col=toks, hits=hit_cols).alias("lang"),
-        quality_score("text", tokens_col=toks).alias("quality"),
-        F.size(toks).alias("n_tokens"),
-        F.when(F.size(toks) > 0, top_count(toks) / F.size(toks)).alias(
-            "_top_share"
-        ),
-    ]
-    gate_cond = None
-    if quality_model is not None:
-        from merchant_classification_spark.functions.quality_model import (
-            quality_keep_col,
-        )
-
-        w_lr, b_lr = quality_model
-        # quality_keep_col, not a bare logit comparison: the gate keeps
-        # the same rule as quality_logits (n_features > 0 AND logit >
-        # threshold), so a positive-bias model can never pass
-        # empty/non-tokenizable text through the quality gate
-        screen_cols.append(
-            quality_keep_col(
-                "text", w_lr, b_lr, float(quality_model_min_logit)
-            ).alias("_gate_ok")
-        )
-        gate_cond = F.col("_gate_ok")
-    # The `_nd` column is a PUSHDOWN BARRIER, not data: Catalyst's
-    # PushDownPredicate substitutes projected aliases into any filter it
-    # pushes below a Project, which would re-inline the whole
-    # tokenize+stopword+fold chain once PER REFERENCE in the predicate
-    # tree (measured: the pushed-down screen filter re-evaluated
-    # tokens(text) ~20x per row and tripled the funnel's scan cost).
-    # A Project containing a nondeterministic expression blocks the
-    # rule, and the always-true `_nd > -1` conjunct keeps the column
-    # referenced so column pruning cannot remove the barrier. The
-    # output is independent of `_nd`'s values.
-    scored = base.select(*screen_cols).withColumn(
-        "_nd", F.rand(seed)
-    )
-    cond = (
-        F.col("lang").isin(*allowed_langs)
-        & (F.col("quality") >= min_quality)
-        & (F.col("n_tokens") >= min_tokens)
-        & (F.col("_top_share") <= max_top_token_share)
-        & (F.col("_nd") > F.lit(-1.0))
-    )
-    if gate_cond is not None:
-        cond = cond & gate_cond
-    kept = scored.where(cond).drop(
-        "_top_share", "_nd", *(["_gate_ok"] if gate_cond is not None else [])
+    kept = screen_documents(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        allowed_langs=allowed_langs,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+        max_top_token_share=max_top_token_share,
+        quality_model=quality_model,
+        quality_model_min_logit=quality_model_min_logit,
+        seed=seed,
     )
     kept = kept.withColumn("text", scrub_pii("text"))
     _count("after_filters", kept)

@@ -209,3 +209,31 @@ def test_pack_documents_no_global_window(spark, sf_dir):
         # anything else must be the tiny offsets window (sums _s over
         # <= `buckets` aggregated rows), never a sum of n_tokens
         assert "_s" in frag and "n_tokens" not in frag, frag
+
+
+def test_corpus_screen_filter_not_pushed_through(spark, sf_dir):
+    """Round-8 funnel fix: the screen filter must read the MATERIALIZED
+    screen columns. Without the nondeterministic pushdown barrier,
+    PushDownPredicate substitutes the projected aliases into the filter
+    and re-inlines the tokenize+stopword chain once per reference
+    (~20x per row, measured 3x the scan cost). Also: exactly one scan
+    of documents — the former repetition self-join scanned it twice."""
+    import re
+
+    from merchant_classification_spark.pipelines.corpus import (
+        screen_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = screen_documents(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no Filter node may contain the tokenize kernel — it belongs to
+    # the Project only (isnotnull-style pushed filters are fine)
+    for m in re.finditer(r"Filter [^\n]*", plan):
+        assert "regexp_replace(lower" not in m.group(0), (
+            "screen filter re-inlined the tokenize chain:\n"
+            + m.group(0)[:300]
+        )
+    # one scan, not two: the top-token share is a per-row expression in
+    # the same projection, not a self-join
+    assert plan.count("documents.parquet") == 1, plan[:2000]
