@@ -5235,6 +5235,22 @@ _SQL_CHAR_GRAMS = (
 )
 
 
+def _sql_gram_bucket(expr: str, n_buckets: int) -> str:
+    """DuckDB mirror of functions.lang_model.char_ngram_buckets' hash:
+    base-131 polynomial over the gram's three character codes, 0-based
+    bucket (the gram alphabet is ASCII-closed by the tokens regex)."""
+    from merchant_classification_spark.functions.lang_model import (
+        GRAM_POLY_B1,
+        GRAM_POLY_B2,
+    )
+
+    return (
+        f"CAST((ascii(substr({expr}, 1, 1)) * {GRAM_POLY_B2}"
+        f" + ascii(substr({expr}, 2, 1)) * {GRAM_POLY_B1}"
+        f" + ascii(substr({expr}, 3, 1))) % {n_buckets} AS INT)"
+    )
+
+
 def _lang_model_oracle_sql() -> str | None:
     """Full replay of q_lang_model: recompute the SAME md5-ranked
     per-language training sample and integer char-3-gram bucket counts
@@ -5279,8 +5295,7 @@ def _lang_model_oracle_sql() -> str | None:
                          {_SQL_CHAR_GRAMS} AS grams FROM s),
             e AS (SELECT doc_id, lang, h, unnest(grams) AS g FROM f)
             SELECT lang, h, doc_id,
-                   CAST(('0x' || substr(md5(g), 1, 15))::BIGINT
-                        % {nb} AS INT) AS bk,
+                   {_sql_gram_bucket("g", nb)} AS bk,
                    CAST(count(*) AS BIGINT) AS c
             FROM e GROUP BY 1, 2, 3, 4
             """
@@ -5310,7 +5325,7 @@ def _lang_model_oracle_sql() -> str | None:
     folds = "\n".join(
         "list_reduce(list_prepend(0.0e0, list_transform(bs, i -> (["
         + ", ".join(_dlit(x) for x in weights[k])
-        + "])[i])), (a, y) -> a + y) AS f_" + classes[k] + ","
+        + "])[i + 1])), (a, y) -> a + y) AS f_" + classes[k] + ","
         for k in range(len(classes))
     ).rstrip(",")
     logits = ",\n".join(
@@ -5333,8 +5348,7 @@ def _lang_model_oracle_sql() -> str | None:
         g AS (SELECT doc_id, {_SQL_CHAR_GRAMS} AS grams FROM t),
         b AS (SELECT doc_id, len(grams) AS n,
                      list_transform(grams, x ->
-                         CAST(('0x' || substr(md5(x), 1, 15))::BIGINT
-                              % {nb} AS INT) + 1) AS bs
+                         {_sql_gram_bucket("x", nb)}) AS bs
               FROM g),
         s AS (SELECT doc_id, n, {folds}
               FROM b),

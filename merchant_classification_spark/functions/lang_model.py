@@ -30,9 +30,13 @@ moves that made ``functions/quality_model.py`` bit-exact replayable:
 
 Features are character 3-grams of each ``'^' + token + '$'`` (boundary
 markers make prefixes/suffixes — the morphology signal — distinct from
-word-internal grams), hashed into ``n_buckets`` via ``md5_long60 %
-n_buckets``: engine-portable, and exactly the bounded-vocabulary shape
-that lets the whole model inline as literals.
+word-internal grams), hashed into ``n_buckets`` via a base-131
+polynomial over the three character codes (:func:`char_ngram_buckets`
+— the ``tokens()`` regex closes the alphabet over ASCII, so three
+``ascii()`` calls replace a crypto hash per position; round 8 measured
+the md5-per-gram chain as the scoring pass's biggest cost):
+engine-portable, and exactly the bounded-vocabulary shape that lets
+the whole model inline as literals.
 """
 
 from __future__ import annotations
@@ -46,10 +50,21 @@ from merchant_classification_spark.functions.text_analysis import tokens
 
 __all__ = [
     "char_ngram_features",
+    "char_ngram_buckets",
     "lang_training_counts",
     "fit_lang_softmax",
     "lang_model_scores",
 ]
+
+#: base-131 polynomial multipliers for the 3-gram bucket hash:
+#: h = c1*131² + c2*131 + c3 over the character codes. The gram
+#: alphabet is ASCII-closed BY CONSTRUCTION (``tokens()`` keeps only
+#: [a-z0-9'] and the boundary markers are ^/$), so three ``ascii()``
+#: calls fully determine the gram — no crypto hash needed, and the
+#: classic odd-base polynomial (131 and 131² are coprime to the
+#: power-of-two bucket count) mixes all three positions into ``% n``.
+GRAM_POLY_B2 = 131 * 131
+GRAM_POLY_B1 = 131
 
 
 def char_ngram_features(col: Column | str) -> Column:
@@ -78,6 +93,64 @@ def char_ngram_features(col: Column | str) -> Column:
                                     F.lit(1), F.length(w) - F.lit(2)
                                 ),
                                 lambda i: F.substring(w, i, F.lit(3)),
+                            ),
+                        ),
+                        1,
+                    ),
+                )
+            ),
+        ),
+        1,
+    )
+
+
+def char_ngram_buckets(col: Column | str, n_buckets: int) -> Column:
+    """0-based hash buckets of :func:`char_ngram_features`'s grams —
+    computed DIRECTLY from the marked word's character codes
+    (``(ascii(c1)·131² + ascii(c2)·131 + ascii(c3)) % n_buckets``), so
+    scoring never materializes gram strings and never runs a crypto
+    hash per position (the md5-per-gram chain was the scoring pass's
+    single biggest cost). Engine-portable: three ``ascii()``/``substr``
+    calls replay in any SQL dialect, and the gram alphabet is
+    ASCII-closed by the ``tokens()`` regex, so code points ARE bytes.
+
+    Same gram inventory and order as :func:`char_ngram_features`
+    (position i of '^'+token+'$', L grams per length-L token,
+    flattened in document order) — parity is test-asserted against a
+    pure-Python replay."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    return F.element_at(
+        F.transform(
+            F.array(tokens(col)),
+            lambda ts: F.flatten(
+                F.transform(
+                    ts,
+                    lambda t: F.element_at(
+                        F.transform(
+                            F.array(
+                                F.concat(F.lit("^"), t, F.lit("$"))
+                            ),
+                            lambda w: F.transform(
+                                F.sequence(
+                                    F.lit(1), F.length(w) - F.lit(2)
+                                ),
+                                lambda i: F.pmod(
+                                    F.ascii(F.substring(w, i, F.lit(1)))
+                                    * F.lit(GRAM_POLY_B2)
+                                    + F.ascii(
+                                        F.substring(
+                                            w, i + F.lit(1), F.lit(1)
+                                        )
+                                    )
+                                    * F.lit(GRAM_POLY_B1)
+                                    + F.ascii(
+                                        F.substring(
+                                            w, i + F.lit(2), F.lit(1)
+                                        )
+                                    ),
+                                    F.lit(n_buckets),
+                                ).cast("int"),
                             ),
                         ),
                         1,
@@ -134,12 +207,7 @@ def lang_training_counts(
             "_id",
             "_y",
             "_h",
-            F.explode(
-                F.transform(
-                    char_ngram_features("_text"),
-                    lambda g: F.pmod(md5_long60(g), F.lit(n_buckets)),
-                )
-            ).alias("_b"),
+            F.explode(char_ngram_buckets("_text", n_buckets)).alias("_b"),
         )
         .groupBy("_id", "_y", "_h", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -246,16 +314,17 @@ def lang_model_scores(
     ``lang_id`` tie-break contract). Featureless documents score NULL
     logits and ``'und'``.
 
-    Scale shape: one map-only codegen projection. The gram array is
-    bound once per row, the per-gram BUCKET array is bound once (so the
-    md5 per gram runs once, not once per class), and ALL K class sums
-    come out of a SINGLE fold pass: the K weight vectors ride as one
-    ``array<struct<w0..wK>>`` literal, the accumulator is a K-field
-    struct, and each gram costs one literal ``element_at`` plus K adds.
-    Per class the adds run in the same left-to-right gram order as K
-    separate folds would, so every sum is bit-identical to the
-    one-fold-per-class formulation the oracle replays — this is purely
-    a constant-factor fix (K interpreted array passes → 1).
+    Scale shape: one map-only codegen projection. The per-gram BUCKET
+    array comes straight from :func:`char_ngram_buckets` (character-code
+    polynomial — no gram strings, no crypto hash) and is bound once per
+    row; ALL K class sums come out of a SINGLE fold pass: the K weight
+    vectors ride as one ``array<struct<w0..wK>>`` literal, the
+    accumulator is a K-field struct, and each gram costs one literal
+    ``element_at`` plus K adds. Per class the adds run in the same
+    left-to-right gram order as K separate folds would, so every sum is
+    bit-identical to the one-fold-per-class formulation the oracle
+    replays — the fold fusion is purely a constant-factor fix
+    (K interpreted array passes → 1).
 
     Returns (id_col, n_features, logit_<c>... , lang_model).
     """
@@ -283,7 +352,8 @@ def lang_model_scores(
         zero = F.struct(*[F.lit(0.0).alias(f"s{k}") for k in range(kk)])
 
         def step(a: Column, i: Column) -> Column:
-            w = F.element_at(ws_lit, i)
+            # buckets are 0-based (char_ngram_buckets); arrays 1-based
+            w = F.element_at(ws_lit, i + F.lit(1))
             return F.struct(
                 *[
                     (a[f"s{k}"] + w[f"w{k}"]).alias(f"s{k}")
@@ -308,22 +378,7 @@ def lang_model_scores(
         F.col(id_col),
         F.element_at(
             F.transform(
-                F.array(char_ngram_features(text_col)),
-                lambda gs: F.element_at(
-                    F.transform(
-                        F.array(
-                            F.transform(
-                                gs,
-                                lambda g: (
-                                    F.pmod(md5_long60(g), F.lit(n_buckets))
-                                    + 1
-                                ).cast("int"),
-                            )
-                        ),
-                        folds,
-                    ),
-                    1,
-                ),
+                F.array(char_ngram_buckets(text_col, n_buckets)), folds
             ),
             1,
         ).alias("_s"),

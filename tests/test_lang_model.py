@@ -2,7 +2,6 @@
 fit, bit-exact Python replay of scoring, and agreement with the
 stopword heuristic on a real-language corpus."""
 
-import hashlib
 import re
 
 import pytest
@@ -86,7 +85,14 @@ def _py_grams(s):
 
 
 def _py_bucket(g, n):
-    return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n
+    from merchant_classification_spark.functions.lang_model import (
+        GRAM_POLY_B1,
+        GRAM_POLY_B2,
+    )
+
+    return (
+        ord(g[0]) * GRAM_POLY_B2 + ord(g[1]) * GRAM_POLY_B1 + ord(g[2])
+    ) % n
 
 
 def test_char_ngram_features_match_python(spark, corpus):
@@ -95,6 +101,19 @@ def test_char_ngram_features_match_python(spark, corpus):
     ).collect()
     for r in got:
         assert list(r["g"]) == _py_grams(r["text"]), r["doc_id"]
+
+
+def test_char_ngram_buckets_match_python(spark, corpus):
+    from merchant_classification_spark.functions.lang_model import (
+        char_ngram_buckets,
+    )
+
+    got = corpus.limit(20).select(
+        "doc_id", "text", char_ngram_buckets("text", N_BUCKETS).alias("b")
+    ).collect()
+    for r in got:
+        want = [_py_bucket(g, N_BUCKETS) for g in _py_grams(r["text"])]
+        assert list(r["b"]) == want, r["doc_id"]
 
 
 def test_fit_is_deterministic(corpus):
