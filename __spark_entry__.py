@@ -4381,8 +4381,10 @@ ORACLES["minhash_neardup"] = _minhash_oracle_sql()
 # (mean is deliberately absent: float-sum order would be layout-defined)
 ORACLES["source_dup_matrix"] = f"""
     WITH pairs AS ({_minhash_oracle_sql()})
-    SELECT least(da.source, db.source) AS source_lo,
-           greatest(da.source, db.source) AS source_hi,
+    SELECT least(coalesce(da.source, 'unknown'),
+                 coalesce(db.source, 'unknown')) AS source_lo,
+           greatest(coalesce(da.source, 'unknown'),
+                    coalesce(db.source, 'unknown')) AS source_hi,
            count(*) AS n_pairs,
            min(p.jaccard_sim) AS min_sim,
            max(p.jaccard_sim) AS max_sim

@@ -19,8 +19,8 @@ moves that made ``functions/quality_model.py`` bit-exact replayable:
     multinomial (softmax) logistic regression over the per-language
     hashed char-n-gram bucket counts — fixed iteration count, numpy
     ufunc reductions only (no BLAS — reduction order is a pure function
-    of shape), stable softmax. A pure function of the sample, shared
-    with external checkers like ``math.log``.
+    of shape), stable softmax. A pure function of the sample within one
+    process/numpy build — the scope the shared-fit oracle uses.
   * **map-only scoring**: the K weight vectors ride the plan as double
     literal arrays; a document's per-class logit is the left-to-right
     fold of bucket weights (seeded 0.0) / n_features + bias. One
@@ -30,7 +30,7 @@ moves that made ``functions/quality_model.py`` bit-exact replayable:
 
 Features are character 3-grams of each ``'^' + token + '$'`` (boundary
 markers make prefixes/suffixes — the morphology signal — distinct from
-word-internal grams), hashed into ``n_buckets`` via a base-131
+word-internal grams), hashed into ``n_buckets`` via a base-1000003
 polynomial over the three character codes (:func:`char_ngram_buckets`
 — the ``tokens()`` regex closes the alphabet over ASCII, so three
 ``ascii()`` calls replace a crypto hash per position; round 8 measured
@@ -56,15 +56,20 @@ __all__ = [
     "lang_model_scores",
 ]
 
-#: base-131 polynomial multipliers for the 3-gram bucket hash:
-#: h = c1*131² + c2*131 + c3 over the character codes. The gram
-#: alphabet is ASCII-closed BY CONSTRUCTION (``tokens()`` keeps only
-#: [a-z0-9'] and the boundary markers are ^/$), so three ``ascii()``
-#: calls fully determine the gram — no crypto hash needed, and the
-#: classic odd-base polynomial (131 and 131² are coprime to the
-#: power-of-two bucket count) mixes all three positions into ``% n``.
-GRAM_POLY_B2 = 131 * 131
-GRAM_POLY_B1 = 131
+#: polynomial multipliers for the 3-gram bucket hash:
+#: h = c1*B² + c2*B + c3 over the character codes, B = 1000003 (prime,
+#: odd). The gram alphabet is ASCII-closed BY CONSTRUCTION (``tokens()``
+#: keeps only [a-z0-9'] and the boundary markers are ^/$), so three
+#: ``ascii()`` calls fully determine the gram — no crypto hash needed.
+#: B is deliberately LARGE: a small base like 131 degenerates against
+#: power-of-two bucket counts (131 mod 64 = 3, 131² mod 64 = 9 — the
+#: hash collapses to (9·c1 + 3·c2 + c3) mod 64, structured collisions
+#: across related grams). 1000003 mod 2^k keeps all its high bits, so
+#: the three positions mix into ``% n`` for any practical n. Hash-range
+#: ceiling: max value ≈ 127·B² ≈ 1.3e14, far above any sensible
+#: ``n_buckets`` (buckets above the ceiling would be unreachable).
+GRAM_POLY_B2 = 1000003 * 1000003
+GRAM_POLY_B1 = 1000003
 
 
 def char_ngram_features(col: Column | str) -> Column:
@@ -107,7 +112,9 @@ def char_ngram_features(col: Column | str) -> Column:
 def char_ngram_buckets(col: Column | str, n_buckets: int) -> Column:
     """0-based hash buckets of :func:`char_ngram_features`'s grams —
     computed DIRECTLY from the marked word's character codes
-    (``(ascii(c1)·131² + ascii(c2)·131 + ascii(c3)) % n_buckets``), so
+    (``(ascii(c1)·B² + ascii(c2)·B + ascii(c3)) % n_buckets``,
+    B = ``GRAM_POLY_B1`` = 1000003; hash range tops out near 1.3e14,
+    the reachability ceiling on ``n_buckets``), so
     scoring never materializes gram strings and never runs a crypto
     hash per position (the md5-per-gram chain was the scoring pass's
     single biggest cost). Engine-portable: three ``ascii()``/``substr``
@@ -244,9 +251,18 @@ def fit_lang_softmax(
     shapes — pairwise order determined by shape alone, never a
     thread-count-dependent BLAS kernel — so the returned
     ``(weights[K][n_buckets], biases[K])`` is a bit-reproducible pure
-    function of the sample (the property the oracle's shared-fit replay
-    depends on). Samples whose label is not in ``classes`` are rejected
-    (a silent drop would desync external replays).
+    function of the sample WITHIN ONE PROCESS / NUMPY BUILD (the scope
+    the shared-fit oracle actually uses: both sides call this exact
+    function in the same interpreter). Across numpy versions or CPU
+    dispatch paths, ``np.exp``'s SIMD kernels may differ at the ulp
+    level, so cross-machine replay is NOT claimed. Samples whose label
+    is not in ``classes`` are rejected (a silent drop would desync
+    external replays).
+
+    Memory: per-iteration temporaries are O(m·n_buckets) — the logit
+    and gradient loops go class-by-class precisely so no
+    (m, K, n_buckets) array is ever materialized (at e.g. 10k docs ×
+    20 classes × 4096 buckets that 3-D temp would be ~6.5 GB).
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
@@ -282,14 +298,25 @@ def fit_lang_softmax(
     y_onehot[np.arange(m), np.array(ys)] = 1.0
     w_mat = np.zeros((kk, n_buckets), dtype=np.float64)
     b_vec = np.zeros(kk, dtype=np.float64)
+    z = np.empty((m, kk), dtype=np.float64)
+    gw = np.empty((kk, n_buckets), dtype=np.float64)
     for _ in range(iters):
-        # z[i,k] = sum_j x[i,j]*w[k,j] + b[k]  (broadcast, ufunc sum)
-        z = (x_mat[:, None, :] * w_mat[None, :, :]).sum(axis=2) + b_vec
+        # z[i,k] = sum_j x[i,j]*w[k,j] + b[k] — class-by-class so the
+        # working set stays one (m, n_buckets) temp, never the
+        # (m, kk, n_buckets) broadcast product. Each row-sum reduces
+        # the same n_buckets contiguous values in the same pairwise
+        # order as the 3-D formulation did (order is a function of the
+        # reduced axis's shape), and determinism never depended on
+        # fusing the classes.
+        for k in range(kk):
+            z[:, k] = (x_mat * w_mat[k]).sum(axis=1)
+        z += b_vec
         z -= z.max(axis=1, keepdims=True)  # stable softmax
         e = np.exp(z)
         p = e / e.sum(axis=1, keepdims=True)
         d = p - y_onehot  # (m, kk)
-        gw = (d[:, :, None] * x_mat[:, None, :]).sum(axis=0)  # (kk, nb)
+        for k in range(kk):  # gw[k,j] = sum_i d[i,k]*x[i,j]
+            gw[k] = (d[:, k:k + 1] * x_mat).sum(axis=0)
         gb = d.sum(axis=0)
         w_mat -= step * (gw / m + l2 * w_mat)
         b_vec -= step * (gb / m)

@@ -141,9 +141,13 @@ def fit_quality_lr(
     ``.sum(axis=...)`` over fixed shapes — pairwise order is a pure
     function of shape, never a thread-count-dependent BLAS kernel — so
     the returned ``(weights, bias)`` is a bit-reproducible pure
-    function of the sample, shareable with an external oracle like
-    ``math.log`` (and ~50× faster than the former pure-Python loop at
-    the graded shape, which dominated the quality_model bench member).
+    function of the sample WITHIN ONE PROCESS / NUMPY BUILD — the scope
+    the shared-fit oracle actually uses (both sides call this function
+    in the same interpreter). ``np.exp``'s SIMD kernels may differ at
+    the ulp level across numpy versions / CPU dispatch paths, so
+    cross-machine bit-replay is NOT claimed (the old ``math.exp`` loop
+    depended only on libm; this one is ~50× faster at the graded shape,
+    which dominated the quality_model bench member).
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")

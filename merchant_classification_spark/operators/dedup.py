@@ -528,13 +528,27 @@ def dup_pair_source_matrix(
     summation order would depend on shuffle layout; min/max are
     order-insensitive and bit-exact in any engine.
 
+    Attribution semantics (explicit, so a provenance readout can't be
+    silently misread): NULL sources are coalesced to the sentinel
+    ``'unknown'`` BEFORE least/greatest, so pairs touching an
+    unsourced document still count (NULL would otherwise poison the
+    cell key and vanish from least/greatest). The id→source joins are
+    INNER: a pair whose id_a/id_b is absent from ``df`` is dropped —
+    by construction pairs come from the same corpus so nothing drops
+    in normal use, but if you pass a FILTERED ``df`` the matrix counts
+    only pairs with both endpoints present (total of ``n_pairs`` <
+    ``pairs.count()`` is the tell).
+
     Scale shape: the pair table is tiny next to the corpus, so the two
     id→source joins broadcast the PAIRS side naturally under AQE (or
     shuffle on id — still |pairs|-sized); one hash aggregate on at most
     |sources|² cells. Returns (source_lo, source_hi, n_pairs, min_sim,
     max_sim) ordered by the cell key.
     """
-    src = df.select(F.col(id_col), F.col(source_col))
+    src = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(source_col), F.lit("unknown")).alias(source_col),
+    )
     out = (
         pairs.join(
             src.select(
