@@ -880,6 +880,80 @@ def q_semantic_dedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+PQ_N_SUBSPACES = 8
+PQ_N_CODES = 16
+PQ_N_PROBE = 12
+PQ_REFINE = 12
+
+
+def q_ann_pq(spark, sf_dir):
+    """IVF-PQ ANN with ADC + fetch-and-rescore refine
+    (operators/similarity.py pq_topk_portable, after Jégou et al. 2011
+    / the FAISS IVFPQR recipe). ORACLE-GRADED: the same deterministic
+    stride sample feeds the coarse quantizer AND the per-subspace
+    codebooks (driver Lloyd's KMeans, first-min ties); cell routing, PQ
+    encoding, LUT build, the left-assoc ADC fold, the k·refine pool,
+    the exact-L2 rescore, and the recall annotation against the
+    metric-matched exact-L2 twin are all pure literal-backed
+    expressions the DuckDB oracle replays bit-for-bit.
+    (n_probe, refine) sized for recall ≥ 0.8 on the weakly clustered
+    synthetic vectors — measured 0.86 avg / 0.80 min at sf0.01
+    (A/B: probe=8/refine=4 gave 0.54 avg; the ceiling is cell
+    coverage, so widening the probe beats widening the codebook here).
+    """
+    from merchant_classification_spark.operators.similarity import (
+        brute_force_topk_l2,
+        pq_topk_portable,
+        with_recall_at_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = pq_topk_portable(
+        emb,
+        qs,
+        k=ANN_K,
+        n_centroids=IVF_N_CENTROIDS,
+        n_probe=PQ_N_PROBE,
+        n_subspaces=PQ_N_SUBSPACES,
+        n_codes=PQ_N_CODES,
+        fit_target=IVF_FIT_TARGET,
+        max_iter=IVF_ITERS,
+        refine_factor=PQ_REFINE,
+    )
+    exact = brute_force_topk_l2(emb, qs, k=ANN_K)
+    return with_recall_at_k(approx, exact).orderBy("query_id", "rank")
+
+
+DIV_N_CENTROIDS = 8
+DIV_PER_CELL = 32
+
+
+def q_diversity_sample(spark, sf_dir):
+    """Cluster-balanced subsampling (operators/similarity.py
+    cluster_balanced_sample, after Sorscher et al. 2022's per-cluster
+    pruning): cap every embedding-space cell at DIV_PER_CELL vectors,
+    admission by content-hash rank. ORACLE-GRADED: cells come from the
+    shared deterministic quantizer fit (literal centroids), the rank
+    key is the portable md5 hash, and the cap is a plain row_number —
+    the DuckDB replay recomputes the admitted set exactly.
+    """
+    from merchant_classification_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb,
+        per_cell=DIV_PER_CELL,
+        n_centroids=DIV_N_CENTROIDS,
+        fit_target=IVF_FIT_TARGET,
+        max_iter=IVF_ITERS,
+    ).orderBy("cell", "rk")
+
+
 def q_grouped_linear_fit(spark, sf_dir):
     # grouped-map applyInPandas: per-event-type OLS fit of cents~user_id
     # (per-group numerical fitting — the legitimate Python escape
@@ -3401,7 +3475,9 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_batch": q_sessionize_batch,
     "multimodal_decode": q_multimodal_decode,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "semantic_dedup": q_semantic_dedup,
+    "diversity_sample": q_diversity_sample,
     "minhash_neardup": q_minhash_neardup,
     "source_dup_matrix": q_source_dup_matrix,
     "simhash_neardup": q_simhash_neardup,
@@ -4759,6 +4835,225 @@ def _ann_ivf_oracle_sql() -> str | None:
 _ann_ivf_sql = _ann_ivf_oracle_sql()
 if _ann_ivf_sql is not None:
     ORACLES["ann_ivf"] = _ann_ivf_sql
+
+
+def _pq_fit_from_parquet() -> list[list[float]] | None:
+    """Shared guarded fit-sample read for the PQ / diversity oracles:
+    the same every-stride-th-vec_id sample ivf/pq/semantic fit on the
+    Spark side, read straight from the grading parquet. None when the
+    data is unreachable (import must never break — the member then
+    degrades to rows-only / is left out of its suite)."""
+    import os
+
+    import duckdb as _dd
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        con = _dd.connect()
+        n = con.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        stride = max(1, n // IVF_FIT_TARGET)
+        rows = con.sql(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{path}') "
+            f"WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {IVF_FIT_TARGET}"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    return [list(r[0]) for r in rows]
+
+
+def _ann_pq_oracle_sql() -> str | None:
+    """Full replay of pq_topk_portable (refine mode) + recall@k: refit
+    the coarse quantizer AND the per-subspace PQ codebooks from the
+    same stride sample (shared _deterministic_kmeans /
+    _fit_pq_codebooks — first-min ties, evenly-spaced init), bake both
+    as literals, then replay cell assignment, PQ encoding (per-subspace
+    argmin), probe selection, the left-assoc ADC fold
+    ``0.0 + lut1[c1] + …``, the k·refine pool, the exact-L2 rescore
+    (the same ``0.0 + (a-b)² + …`` chain as squared_euclidean), and the
+    recall annotation against the exact-L2 twin — bit-for-bit.
+    """
+    from merchant_classification_spark.operators.similarity import (
+        _deterministic_kmeans,
+        _fit_pq_codebooks,
+    )
+
+    fit = _pq_fit_from_parquet()
+    if fit is None:
+        return None
+    coarse = _deterministic_kmeans(fit, IVF_N_CENTROIDS, IVF_ITERS)
+    books = _fit_pq_codebooks(fit, PQ_N_SUBSPACES, PQ_N_CODES, IVF_ITERS)
+    ds = EMB_DIM // PQ_N_SUBSPACES
+
+    def d2(var: str, c: list[float], off: int = 0) -> str:
+        return "0.0 + " + " + ".join(
+            f"({var}[{off + i + 1}]-({_dlit(c[i])}))"
+            f"*({var}[{off + i + 1}]-({_dlit(c[i])}))"
+            for i in range(len(c))
+        )
+
+    def dvv(a: str, b: str) -> str:
+        return "0.0 + " + " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])"
+            for i in range(1, EMB_DIM + 1)
+        )
+
+    coarse_dl = "[" + ", ".join(d2("v", c) for c in coarse) + "]"
+    code_cols = []
+    for m in range(PQ_N_SUBSPACES):
+        dlm = (
+            "["
+            + ", ".join(d2("v", c, off=m * ds) for c in books[m])
+            + "]"
+        )
+        code_cols.append(
+            f"CAST(list_position({dlm}, list_min({dlm})) AS INTEGER) AS c{m + 1}"
+        )
+    lut_cols = []
+    for m in range(PQ_N_SUBSPACES):
+        lutm = (
+            "["
+            + ", ".join(d2("qv", c, off=m * ds) for c in books[m])
+            + "]"
+        )
+        lut_cols.append(f"{lutm} AS lut{m + 1}")
+    adc = "0.0 + " + " + ".join(
+        f"p.lut{m + 1}[a.c{m + 1}]" for m in range(PQ_N_SUBSPACES)
+    )
+    pool_k = ANN_K * PQ_REFINE
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dd AS (SELECT vec_id, v, {coarse_dl} AS dl FROM e),
+        assigned AS (
+            SELECT vec_id,
+                   CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell,
+                   {', '.join(code_cols)}
+            FROM dd),
+        qsrc AS (SELECT vec_id AS query_id, v AS qv, dl AS qdl
+                 FROM dd WHERE vec_id < {N_ANN_QUERIES}),
+        qd AS (SELECT query_id, qv,
+                      unnest(range(1, {len(coarse)} + 1)) AS cell,
+                      unnest(qdl) AS d2
+               FROM qsrc),
+        probes AS (
+            SELECT query_id, qv, CAST(cell AS INTEGER) AS cell FROM (
+                SELECT query_id, qv, cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2, cell) AS pr
+                FROM qd
+            ) WHERE pr <= {PQ_N_PROBE}),
+        plut AS (SELECT query_id, cell, {', '.join(lut_cols)} FROM probes),
+        scored AS (
+            SELECT p.query_id, a.vec_id, {adc} AS adc_d2
+            FROM assigned a JOIN plut p USING (cell)
+            WHERE a.vec_id <> p.query_id),
+        pool AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adc_d2, vec_id) AS pr
+                FROM scored
+            ) WHERE pr <= {pool_k}),
+        qn AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < {N_ANN_QUERIES}),
+        refined AS (
+            SELECT pool.query_id, pool.vec_id, {dvv('d.v', 'q.qv')} AS l2_d2
+            FROM pool JOIN e d ON pool.vec_id = d.vec_id
+                      JOIN qn q ON pool.query_id = q.query_id),
+        approx AS (
+            SELECT query_id, vec_id, l2_d2, rank FROM (
+                SELECT query_id, vec_id, l2_d2,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY l2_d2, vec_id) AS INTEGER) AS rank
+                FROM refined
+            ) WHERE rank <= {ANN_K}),
+        ex_scored AS (
+            SELECT q.query_id, d.vec_id, {dvv('d.v', 'q.qv')} AS l2_d2
+            FROM e d, qn q WHERE d.vec_id <> q.query_id),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY l2_d2, vec_id) AS rank
+                FROM ex_scored
+            ) WHERE rank <= {ANN_K}),
+        hits AS (
+            SELECT a.query_id, count(*) AS h
+            FROM approx a JOIN exact x
+              ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+            GROUP BY a.query_id),
+        totals AS (SELECT query_id, count(*) AS k_total FROM exact GROUP BY query_id),
+        rec AS (
+            SELECT t.query_id,
+                   CAST(coalesce(h.h, 0) AS DOUBLE) / t.k_total AS recall_at_k
+            FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id)
+        SELECT a.query_id, a.vec_id, a.l2_d2, a.rank, r.recall_at_k
+        FROM approx a JOIN rec r ON a.query_id = r.query_id
+        ORDER BY a.query_id, a.rank
+    """
+
+
+_ann_pq_sql = _ann_pq_oracle_sql()
+if _ann_pq_sql is not None:
+    ORACLES["ann_pq"] = _ann_pq_sql
+
+
+def _diversity_sample_oracle_sql() -> str | None:
+    """Full replay of cluster_balanced_sample (q_diversity_sample):
+    refit the coarse quantizer from the shared stride sample, bake the
+    centroid literals, then replay cell assignment (first-min argmin),
+    the portable md5 rank key (same salt/separator/NULL-sentinel scheme
+    as hash_sample), the per-cell row_number cap, and the per-cell
+    totals join — the admitted set matches bit-for-bit.
+    """
+    from merchant_classification_spark.operators.similarity import (
+        _deterministic_kmeans,
+    )
+
+    fit = _pq_fit_from_parquet()
+    if fit is None:
+        return None
+    cents = _deterministic_kmeans(fit, DIV_N_CENTROIDS, IVF_ITERS)
+
+    def d2(c: list[float]) -> str:
+        return "0.0 + " + " + ".join(
+            f"(v[{i + 1}]-({_dlit(c[i])}))*(v[{i + 1}]-({_dlit(c[i])}))"
+            for i in range(EMB_DIM)
+        )
+
+    dl = "[" + ", ".join(d2(c) for c in cents) + "]"
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assigned AS (
+            SELECT vec_id,
+                   CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell,
+                   ('0x' || substr(md5(concat_ws(chr(31), 'balance',
+                        coalesce(CAST(vec_id AS VARCHAR), chr(0) || 'null'))),
+                        1, 15))::BIGINT AS h
+            FROM (SELECT vec_id, {dl} AS dl FROM e)),
+        totals AS (SELECT cell, count(*) AS cell_total FROM assigned GROUP BY cell),
+        ranked AS (
+            SELECT vec_id, cell,
+                   CAST(row_number() OVER (PARTITION BY cell
+                                           ORDER BY h, vec_id) AS INTEGER) AS rk
+            FROM assigned)
+        SELECT r.vec_id, r.cell, t.cell_total, r.rk
+        FROM ranked r JOIN totals t USING (cell)
+        WHERE r.rk <= {DIV_PER_CELL}
+        ORDER BY r.cell, r.rk
+    """
+
+
+_div_sql = _diversity_sample_oracle_sql()
+if _div_sql is not None:
+    ORACLES["diversity_sample"] = _div_sql
 
 
 def _semantic_dedup_oracle_sql() -> str | None:
@@ -7210,6 +7505,18 @@ SUITES: dict[str, list[str]] = {
 # time, the query degrades to rows-only instead of breaking the gate.
 if "ann_ivf" in ORACLES:
     SUITES["ann_ivf"] = ["ann_ivf"]
+# IVF-PQ with ADC + refine joins the exact-ANN suite (round 9): coarse
+# cells + per-subspace codebooks refit from the shared stride sample,
+# literal-backed ADC fold and exact-L2 rescore replayed in DuckDB; same
+# data-dependent-oracle guard (no oracle -> member left out, operator
+# stays pytest-covered).
+if "ann_pq" in ORACLES:
+    SUITES["ann_exact_suite"].append("ann_pq")
+# cluster-balanced diversity subsampling joins the embedding suite
+# (round 9): literal-centroid cells + portable-md5 rank cap, admitted
+# set replayed exactly; same guard.
+if "diversity_sample" in ORACLES:
+    SUITES["embedding_suite"].append("diversity_sample")
 # SemDeDup folds into the embedding suite as a graded member (round 5);
 # same literal-centroid guard as ann_ivf — without an oracle the member
 # is left out (the operator stays pytest-covered) so the suite's grade

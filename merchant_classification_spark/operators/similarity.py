@@ -847,3 +847,369 @@ def hard_negative_topk(
         k,
         keep_rank=True,
     )
+
+
+def _fit_pq_codebooks(
+    fit: list[list[float]],
+    n_subspaces: int,
+    n_codes: int,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace deterministic codebooks for product quantization
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search", IEEE TPAMI): split each fit-sample vector into
+    ``n_subspaces`` equal slices and run :func:`_deterministic_kmeans`
+    on each slice family independently. Same determinism contract as
+    the coarse IVF quantizer — evenly-spaced init over the ordered
+    sample, first-min ties — so an external engine refitting from the
+    same sample bakes identical codebook literals.
+
+    Returns ``codebooks[m][j]`` = j-th sub-centroid of subspace m.
+    """
+    if not fit:
+        raise ValueError("fit sample must be non-empty")
+    dim = len(fit[0])
+    if n_subspaces <= 0 or dim % n_subspaces != 0:
+        raise ValueError(
+            f"dim {dim} must divide evenly into n_subspaces {n_subspaces}"
+        )
+    ds = dim // n_subspaces
+    return [
+        _deterministic_kmeans(
+            [v[m * ds:(m + 1) * ds] for v in fit], n_codes, iters
+        )
+        for m in range(n_subspaces)
+    ]
+
+
+def pq_codes(vec: Column | str, codebooks: list[list[list[float]]]) -> Column:
+    """PQ encoding: array<int> of the 1-BASED nearest sub-centroid per
+    subspace (first-min ties, the :func:`_argmin_cell` contract). This
+    is the compressed row representation — ``n_subspaces`` small ints
+    instead of ``dim`` floats (64 fp32 → 8 codes = 32× smaller at the
+    default shape), which is the entire point of PQ at 100 TB: the
+    scan side of the search carries codes only, never raw vectors.
+
+    The input vector is bound once through a one-element-array lambda;
+    each subspace slices it and reuses the literal-codebook distance
+    fold from :func:`centroid_sq_dists`, so the expression order is the
+    one a SQL oracle mirrors term-for-term.
+    """
+    books = codebooks
+    ds = len(books[0][0])
+
+    def enc(vb: Column) -> Column:
+        return F.array(
+            *[
+                _argmin_cell(
+                    centroid_sq_dists(
+                        F.slice(vb, m * ds + 1, ds), books[m]
+                    )
+                )
+                for m in range(len(books))
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(to_double_array(vec)), enc), 1)
+
+
+def pq_lut(vec: Column | str, codebooks: list[list[list[float]]]) -> Column:
+    """Asymmetric-distance lookup tables for one query vector:
+    array<array<double>> with ``lut[m][j]`` = squared L2 distance from
+    the query's m-th slice to sub-centroid j (each a left-assoc
+    ``((0+t₁)+t₂)+…`` fold — the order the oracle replays). Computed
+    once per (query, probe) row — n_subspaces · n_codes doubles, the
+    classic ADC trade: O(n_codes·dim) table build per query, then O(n_subspaces)
+    table lookups per candidate instead of O(dim) float ops."""
+    books = codebooks
+    ds = len(books[0][0])
+
+    def lut(vb: Column) -> Column:
+        return F.array(
+            *[
+                centroid_sq_dists(F.slice(vb, m * ds + 1, ds), books[m])
+                for m in range(len(books))
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(to_double_array(vec)), lut), 1)
+
+
+def adc_distance(lut_col: Column, codes_col: Column, n_subspaces: int) -> Column:
+    """ADC approximate squared distance: left-to-right fold
+    ``((0 + lut[1][c₁]) + lut[2][c₂]) + …`` over the subspaces — one
+    array probe and one add per subspace, bit-replayable as the SQL
+    chain ``0.0 + lut[1][c[1]] + …`` (codes are 1-based on both
+    engines)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_subspaces)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(lut_col, m), F.element_at(codes_col, m)
+        ),
+    )
+
+
+def pq_topk_portable(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    fit_target: int = 256,
+    max_iter: int = 10,
+    refine_factor: int | None = 4,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    n_rows_hint: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors with asymmetric distance
+    computation (Jégou et al. 2011; the FAISS ``IVFx,PQy`` recipe),
+    fully deterministic and engine-replayable like
+    :func:`ivf_topk_portable`: one bounded stride fit sample feeds BOTH
+    the coarse quantizer (cell routing) and the per-subspace PQ
+    codebooks (driver Lloyd's KMeans, first-min ties), and everything
+    downstream — cell assignment, PQ encoding, probe selection, LUT
+    build, ADC scoring, top-k, refine — is pure literal-backed
+    expressions a SQL oracle reproduces bit-for-bit.
+
+    ``refine_factor`` (default 4) adds the standard fetch-and-rescore
+    stage (FAISS ``IVFPQR``): ADC keeps ``k·refine_factor`` candidates
+    per query, their RAW vectors are fetched by id, and the final top-k
+    is exact squared-L2 over that pool. This is not optional polish —
+    PQ collapses near-identical vectors onto identical codes, so pure
+    ADC cannot rank within a tight cluster (ties fall back to id
+    order); the refine stage restores exact ordering over the tiny
+    pool. ``refine_factor=None`` returns the raw ADC ranking
+    (query_id, vec_id, adc_d2, rank).
+
+    This is the non-residual PQ variant (codes quantize the raw vector,
+    not x − coarse_centroid): one fewer moving part in the replay; the
+    residual refinement is a drop-in change to :func:`pq_codes` /
+    :func:`pq_lut` if recall at tiny code budgets ever matters more
+    than oracle simplicity.
+
+    100 TB shape — what PQ buys over plain IVF: after the map-only
+    encode, the SCAN SIDE of the search carries (cell, n_subspaces
+    ints) per row — 32× smaller than the fp32 vectors at the default
+    shape — so the probe join shuffles codes, not embeddings, and
+    per-candidate cost is ``n_subspaces`` array probes instead of a
+    ``dim``-term float fold. Queries build their LUTs once (broadcast
+    with the probes); candidate generation stays cell-bounded, never
+    all-pairs; the refine stage touches raw vectors for only
+    |queries|·k·refine_factor ids — a broadcast-candidate map-side
+    filter of the corpus scan, not a shuffle of it. Recall is the
+    (n_probe, n_codes, n_subspaces, refine_factor) dial.
+
+    Returns (query_id, vec_id, l2_d2, rank) with refine (ascending
+    exact squared L2 over the ADC pool), or (query_id, vec_id, adc_d2,
+    rank) without; rank 1-based, ties on vec_id.
+    """
+    fit = deterministic_fit_sample(
+        data, fit_target, data_id, data_vec, n_rows=n_rows_hint
+    )
+    coarse = _deterministic_kmeans(fit, n_centroids, max_iter)
+    books = _fit_pq_codebooks(fit, n_subspaces, n_codes, max_iter)
+
+    d = data.select(
+        F.col(data_id).alias("vec_id"), to_double_array(data_vec).alias("dv")
+    )
+    # the compressed index: cell + codes, raw vectors dropped here
+    assigned = d.select(
+        "vec_id",
+        _argmin_cell(centroid_sq_dists(F.col("dv"), coarse)).alias("cell"),
+        pq_codes(F.col("dv"), books).alias("codes"),
+    )
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        to_double_array(query_vec).alias("qv"),
+    )
+    qd = q.select(
+        "query_id",
+        "qv",
+        F.posexplode(centroid_sq_dists(F.col("qv"), coarse)).alias(
+            "_pos", "_d2"
+        ),
+    ).withColumn("cell", (F.col("_pos") + 1).cast("int"))
+    probes = group_topk(
+        qd,
+        ["query_id"],
+        [F.col("_d2").asc(), F.col("cell").asc()],
+        n_probe,
+    ).select("query_id", pq_lut(F.col("qv"), books).alias("lut"), "cell")
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            adc_distance(F.col("lut"), F.col("codes"), n_subspaces).alias(
+                "adc_d2"
+            ),
+        )
+    )
+    if refine_factor is None:
+        return group_topk(
+            scored,
+            ["query_id"],
+            [F.col("adc_d2").asc(), F.col("vec_id")],
+            k,
+            keep_rank=True,
+        )
+    if refine_factor <= 0:
+        raise ValueError("refine_factor must be positive (or None)")
+    pool = group_topk(
+        scored,
+        ["query_id"],
+        [F.col("adc_d2").asc(), F.col("vec_id")],
+        k * refine_factor,
+    ).select("query_id", "vec_id")
+    # fetch-and-rescore: the candidate pool is |q|·k·refine_factor ids —
+    # broadcast it against the corpus so the vector fetch is a map-side
+    # semi-join of the scan, then exact L2 over the pool only
+    refined = (
+        d.join(F.broadcast(pool), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            squared_euclidean(F.col("dv"), F.col("qv")).alias("l2_d2"),
+        )
+    )
+    return group_topk(
+        refined,
+        ["query_id"],
+        [F.col("l2_d2").asc(), F.col("vec_id")],
+        k,
+        keep_rank=True,
+    )
+
+
+def brute_force_topk_l2(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact squared-L2 top-k — the metric-matched exact twin for
+    :func:`pq_topk_portable`'s recall annotation (PQ/ADC approximates
+    EUCLIDEAN distance, so grading its recall against the cosine twin
+    would conflate metric mismatch with quantization loss). Same plan
+    shape as :func:`brute_force_topk`: one scan, queries broadcast,
+    WindowGroupLimit top-k; ``l2_d2`` is the left-assoc
+    :func:`squared_euclidean` fold the oracle replays.
+
+    Returns (query_id, vec_id, l2_d2, rank), ties on vec_id.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        to_double_array(query_vec).alias("qv"),
+    )
+    d = data.select(
+        F.col(data_id).alias("vec_id"), to_double_array(data_vec).alias("dv")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            squared_euclidean(F.col("dv"), F.col("qv")).alias("l2_d2"),
+        )
+    )
+    return group_topk(
+        scored,
+        ["query_id"],
+        [F.col("l2_d2").asc(), F.col("vec_id")],
+        k,
+        keep_rank=True,
+    )
+
+
+def cluster_balanced_sample(
+    data: DataFrame,
+    per_cell: int,
+    n_centroids: int = 16,
+    fit_target: int = 256,
+    max_iter: int = 10,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    salt: str = "balance",
+    n_rows_hint: int | None = None,
+) -> DataFrame:
+    """Cluster-balanced subsampling: cap every embedding-space region at
+    ``per_cell`` documents — the diversity-preserving selection used by
+    coreset/data-pruning pipelines (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486, prune per-cluster; SemDeDup
+    §5 applies the same cluster-budget idea). A plain uniform sample
+    keeps the corpus's densest modes dense; capping per cell flattens
+    the cluster-size distribution so rare regions survive selection.
+
+    Determinism end-to-end: cells come from the same stride-sample →
+    driver-KMeans literal-centroid quantizer as the IVF family, and
+    WITHIN a cell admission is by content-hash rank —
+    ``(md5_long60(salt ⊕ id), id)`` — the :func:`hash_percentile`
+    discipline: a pure row function, stable under any partitioning,
+    retry, or engine, so the admitted set is oracle-replayable (no
+    seeded rand, no layout dependence).
+
+    100 TB shape: assignment is map-only over literal centroids; the
+    cap is one shuffle on (cell) into a BARE row_number window —
+    per-cell top-N, so Spark ≥ 3.5 inserts WindowGroupLimit and each
+    map task forwards at most ``per_cell`` rows per cell.
+    ``cell_total`` (pre-cap population — the evidence of what the cap
+    did) is deliberately NOT a count window over the same partition:
+    an unbounded count would force every row through the sort and
+    defeat the group limit. It is a separate ``groupBy(cell).count()``
+    — map-side partial aggregation, ≤ n_centroids result rows —
+    broadcast back onto the admitted set.
+
+    Returns (vec_id, cell, cell_total, rk) for ADMITTED rows only,
+    rk ≤ per_cell.
+    """
+    if per_cell <= 0:
+        raise ValueError("per_cell must be positive")
+    from pyspark.sql.window import Window
+
+    from merchant_classification_spark.functions.portable_hash import (
+        md5_long60,
+    )
+
+    fit = deterministic_fit_sample(
+        data, fit_target, data_id, data_vec, n_rows=n_rows_hint
+    )
+    centroids = _deterministic_kmeans(fit, n_centroids, max_iter)
+
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        F.coalesce(F.col("vec_id").cast("string"), F.lit("\x00null")),
+    )
+    assigned = data.select(
+        F.col(data_id).alias("vec_id"),
+        _argmin_cell(
+            centroid_sq_dists(to_double_array(data_vec), centroids)
+        ).alias("cell"),
+    ).withColumn("_h", md5_long60(key))
+    totals = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cell_total")
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("_h"), F.col("vec_id"))
+    admitted = (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= per_cell)
+        .select("vec_id", "cell", "rk")
+    )
+    return admitted.join(F.broadcast(totals), "cell").select(
+        "vec_id", "cell", "cell_total", "rk"
+    )

@@ -237,3 +237,46 @@ def test_corpus_screen_filter_not_pushed_through(spark, sf_dir):
     # one scan, not two: the top-token share is a per-row expression in
     # the same projection, not a self-join
     assert plan.count("documents.parquet") == 1, plan[:2000]
+
+
+def test_diversity_cap_uses_window_group_limit(spark, sf_dir):
+    # the per-cell cap must stay a BARE row_number window so Spark 3.5+
+    # inserts WindowGroupLimit (map-side per-cell top-N): an unbounded
+    # count window over the same partition would force every row
+    # through the sort. cell_total deliberately arrives via a separate
+    # tiny agg broadcast back (similarity.cluster_balanced_sample).
+    from merchant_classification_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+    from merchant_classification_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(
+        emb, per_cell=8, n_centroids=4, fit_target=64
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert has_broadcast_join(out)  # the totals join
+
+
+def test_pq_probe_join_broadcasts_and_stays_jvm(spark, sf_dir):
+    # the IVF-PQ candidate join must broadcast the probe side (codes
+    # scan never shuffles) and the whole ADC pipeline stays codegen
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.operators.similarity import (
+        pq_topk_portable,
+    )
+    from merchant_classification_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = pq_topk_portable(
+        emb, qs, k=5, n_centroids=4, n_probe=2, n_subspaces=8,
+        n_codes=8, fit_target=64,
+    )
+    assert has_broadcast_join(out)
+    assert_no_python_eval(out)

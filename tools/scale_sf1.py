@@ -121,6 +121,10 @@ HEAVY = [
     ("corpus_funnel", "prepare_corpus screens+gate+dedup ladder"),
     ("dup_ngram_coverage", "Gopher dup-5-gram char coverage"),
     ("source_dup_matrix", "cross-source duplication matrix"),
+    # round-9 additions: the PQ/ADC ANN tier and the cluster-balanced
+    # diversity cap
+    ("ann_pq", "IVF-PQ ADC + refine ANN + exact twin"),
+    ("diversity_sample", "cluster-balanced diversity cap"),
 ]
 # probes whose inputs exist in the derived dir
 DERIVED_TABLES = {
