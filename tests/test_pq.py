@@ -239,3 +239,66 @@ def test_kmeans_subspace_slices_match_manual(fitted):
             [v[m * ds:(m + 1) * ds] for v in fit], N_CODES, 10
         )
         assert books[m] == manual
+
+
+def test_persisted_index_search_matches_one_shot(spark, vectors, tmp_path):
+    """The deployment shape: pq_fit -> pq_encode -> write codes to
+    parquet -> reload -> pq_search must equal the inlined
+    pq_topk_portable bit-for-bit (the index round-trips losslessly:
+    ints and small ints only)."""
+    from merchant_classification_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_search,
+    )
+
+    qs = vectors.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kwargs = dict(n_centroids=8, n_subspaces=N_SUB, n_codes=N_CODES,
+                  fit_target=128)
+    coarse, books = pq_fit(vectors, **kwargs)
+    path = str(tmp_path / "pq_index")
+    pq_encode(vectors, coarse, books).write.parquet(path)
+    index = spark.read.parquet(path)
+
+    via_index = pq_search(
+        index, vectors, coarse, books, qs, k=5, n_probe=3, refine_factor=8
+    )
+    one_shot = pq_topk_portable(
+        vectors, qs, k=5, n_probe=3, refine_factor=8, **kwargs
+    )
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+    # ADC-only search never needs the raw table: passing an EMPTY data
+    # frame must still work (the refine fetch is the only consumer)
+    empty = vectors.limit(0)
+    adc_only = pq_search(
+        index, empty, coarse, books, qs, k=5, n_probe=3, refine_factor=None
+    )
+    assert adc_only.count() == 6 * 5
+
+
+def test_arrow_encode_bit_identical_to_native(spark, vectors, fitted):
+    from merchant_classification_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_arrow,
+    )
+
+    fit, books = fitted
+    coarse = _deterministic_kmeans(fit, 8, 10)
+    native = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in pq_encode(vectors, coarse, books).collect()
+    }
+    arrow = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in pq_encode_arrow(
+            vectors.repartition(7), coarse, books
+        ).collect()
+    }
+    assert native == arrow
+    assert len(native) == 400
