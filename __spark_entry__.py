@@ -900,6 +900,11 @@ def q_ann_pq(spark, sf_dir):
     synthetic vectors — measured 0.86 avg / 0.80 min at sf0.01
     (A/B: probe=8/refine=4 gave 0.54 avg; the ceiling is cell
     coverage, so widening the probe beats widening the codebook here).
+    The corpus encode runs the Arrow kernel (pq_encode_arrow) — the
+    winnowing-kernel rule: bit-identical output (test-asserted), A/B
+    measured 0.31 s vs 1.35 s for the native HOF encode at sf0.1, so
+    the grading is unchanged and the member sheds its biggest
+    constant. Query-side LUT/ADC/refine stay native expressions.
     """
     from merchant_classification_spark.operators.similarity import (
         brute_force_topk_l2,
@@ -922,6 +927,7 @@ def q_ann_pq(spark, sf_dir):
         fit_target=IVF_FIT_TARGET,
         max_iter=IVF_ITERS,
         refine_factor=PQ_REFINE,
+        encoder="arrow",
     )
     exact = brute_force_topk_l2(emb, qs, k=ANN_K)
     return with_recall_at_k(approx, exact).orderBy("query_id", "rank")

@@ -969,6 +969,7 @@ def pq_topk_portable(
     fit_target: int = 256,
     max_iter: int = 10,
     refine_factor: int | None = 4,
+    encoder: str = "native",
     data_id: str = "vec_id",
     data_vec: str = "embedding",
     query_id: str = "query_id",
@@ -1024,6 +1025,13 @@ def pq_topk_portable(
     stages yourself and write ``pq_encode``'s output to parquet: the
     expensive full-corpus pass is the encode, and every subsequent
     search only scans (vec_id, cell, codes).
+
+    ``encoder`` picks the corpus encode tier: ``"native"`` (pure
+    expressions — the all-JVM posture) or ``"arrow"``
+    (:func:`pq_encode_arrow`, bit-identical output, measured 4–5×
+    faster — the winnowing-kernel rule: Python is the slow path except
+    when a vectorized Arrow kernel beats interpreted HOF evaluation).
+    The query side (LUTs, ADC, refine) is native either way.
     """
     coarse, books = pq_fit(
         data,
@@ -1036,7 +1044,10 @@ def pq_topk_portable(
         data_vec=data_vec,
         n_rows_hint=n_rows_hint,
     )
-    index = pq_encode(data, coarse, books, data_id=data_id, data_vec=data_vec)
+    if encoder not in ("native", "arrow"):
+        raise ValueError("encoder must be 'native' or 'arrow'")
+    enc = pq_encode if encoder == "native" else pq_encode_arrow
+    index = enc(data, coarse, books, data_id=data_id, data_vec=data_vec)
     return pq_search(
         index,
         data,

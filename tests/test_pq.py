@@ -302,3 +302,19 @@ def test_arrow_encode_bit_identical_to_native(spark, vectors, fitted):
     }
     assert native == arrow
     assert len(native) == 400
+
+
+def test_arrow_encoder_one_shot_matches_native(spark, vectors):
+    qs = vectors.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kwargs = dict(k=5, n_centroids=8, n_probe=3, n_subspaces=N_SUB,
+                  n_codes=N_CODES, fit_target=128, refine_factor=8)
+    native = pq_topk_portable(vectors, qs, encoder="native", **kwargs)
+    arrow = pq_topk_portable(vectors, qs, encoder="arrow", **kwargs)
+    assert sorted(map(tuple, native.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
+    with pytest.raises(ValueError):
+        pq_topk_portable(vectors, qs, encoder="fast")
