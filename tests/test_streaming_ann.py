@@ -1,0 +1,148 @@
+"""Streaming ANN serving (streaming/ann.py): a query stream scored
+against a persisted PQ index must equal the batch pq_search exactly,
+and a second pass must pick up an index extended between triggers."""
+
+import os
+import random
+import uuid
+
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.operators.similarity import (
+    pq_encode,
+    pq_fit,
+    pq_search,
+)
+from merchant_classification_spark.streaming.ann import start_ann_stream
+
+DIM = 16
+
+
+def _vectors(spark, n, seed=11, id_start=0):
+    rng = random.Random(seed)
+    rows = [
+        (
+            id_start + i,
+            [rng.uniform(-2.0, 2.0) for _ in range(DIM)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_stream_matches_batch_and_sees_index_growth(spark, tmp_path):
+    base = str(tmp_path)
+    data_path = os.path.join(base, "corpus")
+    index_path = os.path.join(base, "index")
+    qsrc = os.path.join(base, "queries")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, f"ckpt-{uuid.uuid4().hex}")
+
+    corpus = _vectors(spark, 300)
+    corpus.write.mode("overwrite").parquet(data_path)
+    kw = dict(n_centroids=4, n_subspaces=4, n_codes=8, fit_target=64)
+    coarse, books = pq_fit(corpus, **kw)
+    pq_encode(corpus, coarse, books).write.mode("overwrite").parquet(
+        index_path
+    )
+
+    queries = _vectors(spark, 5, seed=99, id_start=10_000).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    queries.coalesce(1).write.mode("append").parquet(qsrc)
+
+    stream = spark.readStream.schema(
+        "query_id long, query_vec array<double>"
+    ).parquet(qsrc)
+    q = start_ann_stream(
+        stream, index_path, data_path, coarse, books, out, ckpt,
+        k=5, n_probe=2, refine_factor=4,
+    )
+    q.awaitTermination()
+
+    want = pq_search(
+        spark.read.parquet(index_path),
+        spark.read.parquet(data_path),
+        coarse,
+        books,
+        queries,
+        k=5,
+        n_probe=2,
+        refine_factor=4,
+    )
+    got = spark.read.parquet(out)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # the corpus and index GROW between triggers (backfill appended with
+    # the same fitted quantizers); a new query batch must see them
+    extra = _vectors(spark, 100, seed=33, id_start=500)
+    extra.write.mode("append").parquet(data_path)
+    pq_encode(extra, coarse, books).write.mode("append").parquet(index_path)
+    q2_queries = _vectors(spark, 3, seed=77, id_start=20_000).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    q2_queries.coalesce(1).write.mode("append").parquet(qsrc)
+
+    stream2 = spark.readStream.schema(
+        "query_id long, query_vec array<double>"
+    ).parquet(qsrc)
+    q2 = start_ann_stream(
+        stream2, index_path, data_path, coarse, books, out, ckpt,
+        k=5, n_probe=2, refine_factor=4,
+    )
+    q2.awaitTermination()
+
+    want2 = pq_search(
+        spark.read.parquet(index_path),
+        spark.read.parquet(data_path),
+        coarse,
+        books,
+        q2_queries,
+        k=5,
+        n_probe=2,
+        refine_factor=4,
+    )
+    got2 = spark.read.parquet(out)
+    first = {tuple(r) for r in want.collect()}
+    second = {tuple(r) for r in want2.collect()}
+    assert {tuple(r) for r in got2.collect()} == first | second
+    # the grown index actually matters: at least one batch-2 neighbor
+    # comes from the appended id range
+    assert any(500 <= r["vec_id"] < 10_000 for r in want2.collect())
+
+
+def test_adc_only_serving_never_reads_corpus(spark, tmp_path):
+    base = str(tmp_path)
+    index_path = os.path.join(base, "index")
+    qsrc = os.path.join(base, "queries")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, f"ckpt-{uuid.uuid4().hex}")
+
+    corpus = _vectors(spark, 200)
+    kw = dict(n_centroids=4, n_subspaces=4, n_codes=8, fit_target=64)
+    coarse, books = pq_fit(corpus, **kw)
+    pq_encode(corpus, coarse, books).write.mode("overwrite").parquet(
+        index_path
+    )
+    queries = _vectors(spark, 4, seed=5, id_start=30_000).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    queries.coalesce(1).write.mode("append").parquet(qsrc)
+
+    stream = spark.readStream.schema(
+        "query_id long, query_vec array<double>"
+    ).parquet(qsrc)
+    # data_path=None: ADC-only serving — no raw corpus anywhere
+    q = start_ann_stream(
+        stream, index_path, None, coarse, books, out, ckpt,
+        k=5, n_probe=2, refine_factor=None,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 4 * 5
+    assert set(got.columns) == {"query_id", "vec_id", "adc_d2", "rank"}
