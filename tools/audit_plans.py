@@ -28,16 +28,21 @@ from merchant_classification_spark.session import build_session  # noqa: E402
 # grouped-map OLS (applyInPandas — per-group numerical fitting), the
 # Python UDTF probe inside chunk_pack_suite (udtf_words — the surface
 # under test IS the Python row generator; its native twin pins parity),
-# and the winnowing pair join inside neardup_pairs_suite, which runs the
+# the winnowing pair join inside neardup_pairs_suite, which runs the
 # Arrow/numpy fingerprint kernel — the measured slow-path inversion
 # (4.8x over the interpreted HOF fold, bit-identical output; the native
-# kernel remains graded via the doc_winnow member of dedup_suite).
+# kernel remains graded via the doc_winnow member of dedup_suite) — and
+# the PQ corpus encode inside ann_exact_suite (pq_encode_arrow — same
+# inversion, 0.31s vs 1.35s at sf0.1, bit-identity test-asserted; the
+# native encode stays the library default and is plan-audited in
+# tests/test_plans.py).
 PYTHON_OK = {
     "multimodal_decode",
     "ml_train_score",
     "grouped_linear_fit",
     "chunk_pack_suite",
     "neardup_pairs_suite",
+    "ann_exact_suite",
 }
 
 
