@@ -2650,6 +2650,100 @@ def q_bm25_retrieval(spark, sf_dir):
     )
 
 
+HR_N_QUERIES = 8
+HR_POOL = 20
+HR_K = 10
+HR_TERMS = 8
+RRF_K = 60
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al.,
+    SIGIR 2009) — the standard modern pattern: a lexical BM25 leg and
+    an embedding cosine leg, each top-HR_POOL per query, fused
+    rank-only (rrf = Σ 1/(60+rank)) and re-ranked to top-HR_K
+    (operators/retrieval.py rrf_fuse). Queries are the first
+    HR_N_QUERIES documents (doc_id ↔ vec_id aligned in the testdata);
+    each query's term set is its first HR_TERMS distinct tokens
+    (query_term_sets — bounded driver selection, shared with the
+    oracle). ORACLE-GRADED: idf/avgdl literals from the shared fit
+    math, per-query literal scoring branches, exact cosine ranks, and
+    the integer-rank fusion all replay bit-exact — fusion is the
+    friendliest float case going (two divisions of integer ranks and
+    one add).
+
+    Scale note: the lexical leg scores ALL queries in ONE corpus pass
+    (bm25_scores_multi — tokenize once, shared per-union-term tf
+    cells, per-query literal chains; the 8-separate-branch form
+    measured 8× the scan cost). At production query counts flip the
+    lexical leg to an inverted-index join (explode tokens ⋈ broadcast
+    term table) — the fusion and ranking stages are unchanged.
+    """
+    from merchant_classification_spark.operators.relational import group_topk
+    from merchant_classification_spark.operators.retrieval import (
+        bm25_fit,
+        bm25_scores_multi,
+        query_term_sets,
+        rrf_fuse,
+    )
+    from merchant_classification_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        docs.where(F.col("doc_id") < HR_N_QUERIES)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    term_sets = [
+        (q, ts)
+        for q, ts in query_term_sets(
+            [(r["doc_id"], r["text"]) for r in qrows], HR_TERMS
+        )
+        if ts
+    ]
+    union_terms: list[str] = []
+    for _, ts in term_sets:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    model, avgdl = bm25_fit(docs, union_terms, "text")
+    idf = dict(model)
+
+    lex = bm25_scores_multi(
+        docs,
+        [(int(qid), [(t, idf[t]) for t in ts]) for qid, ts in term_sets],
+        avgdl,
+        "text",
+        "doc_id",
+        k1=BM25_K1,
+        b=BM25_B,
+    ).where(F.col("doc_id") != F.col("query_id"))
+    ranked_lex = group_topk(
+        lex,
+        ["query_id"],
+        [F.col("bm25").desc(), F.col("doc_id")],
+        HR_POOL,
+        keep_rank=True,
+    ).select("query_id", "doc_id", F.col("rank").alias("rank_lex"))
+
+    qs = emb.where(F.col("vec_id") < HR_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = brute_force_topk(emb, qs, k=HR_POOL).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("rank_sem"),
+    )
+    return rrf_fuse(ranked_lex, sem, k=HR_K, k_rrf=RRF_K).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     # DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed
     # uni+bigram bag-of-buckets models for the target subcorpus
@@ -3475,6 +3569,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "ann_bruteforce": q_ann_bruteforce,
+    "hybrid_retrieval": q_hybrid_retrieval,
     "hard_negatives": q_hard_negatives,
     "embedding_neardup": q_embedding_neardup,
     "event_time_windows": q_event_time_windows,
@@ -5976,6 +6071,145 @@ if _bm25_sql is not None:
     ORACLES["bm25_retrieval"] = _bm25_sql
 
 
+def _hybrid_oracle_sql() -> str | None:
+    """Full replay of q_hybrid_retrieval: rerun the SAME driver-side
+    query-term selection (shared query_term_sets on the same texts),
+    recompute df/avgdl for the union term set in DuckDB and the idf
+    literals through the same ``math.log``, score each query's literal
+    branch in its term order, rank both legs, and fuse — rrf divides
+    INTEGER ranks, so the fused doubles are the same two divisions and
+    one add on any engine. Same unreadable-data guard as bm25/ann.
+    """
+    import math
+    import os
+
+    import duckdb as _dd
+
+    from merchant_classification_spark.operators.retrieval import (
+        query_term_sets,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        con = _dd.connect()
+        qtexts = con.sql(
+            f"SELECT doc_id, text FROM read_parquet('{path}') "
+            f"WHERE doc_id < {HR_N_QUERIES} ORDER BY doc_id"
+        ).fetchall()
+        term_sets = [
+            (q, ts)
+            for q, ts in query_term_sets(list(qtexts), HR_TERMS)
+            if ts
+        ]
+        union_terms: list[str] = []
+        for _, ts in term_sets:
+            for t in ts:
+                if t not in union_terms:
+                    union_terms.append(t)
+        if not union_terms:
+            con.close()
+            return None
+
+        def esc(t: str) -> str:
+            return t.replace("'", "''")
+
+        flags = ", ".join(
+            f"CAST(sum(CASE WHEN list_contains(toks, '{esc(t)}') THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+            for i, t in enumerate(union_terms)
+        )
+        row = con.sql(
+            f"""
+            WITH d AS (SELECT text FROM read_parquet('{path}')),
+            t AS (SELECT {_SQL_TOKENS} AS toks FROM d)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS dl_sum,
+                   {flags}
+            FROM t
+            """
+        ).fetchall()[0]
+        con.close()
+    except Exception:
+        return None
+    n = int(row[0])
+    if n == 0:
+        return None
+    avgdl = float(row[1]) / float(n)
+    idf = {
+        t: math.log(1.0 + (n - int(row[2 + i]) + 0.5) / (int(row[2 + i]) + 0.5))
+        for i, t in enumerate(union_terms)
+    }
+    k1, b = BM25_K1, BM25_B
+    norm = (
+        f"{_dlit(k1)} * ({_dlit(1.0 - b)} + {_dlit(b)} * "
+        f"(CAST(len(toks) AS DOUBLE) / {_dlit(avgdl)}))"
+    )
+    branches = []
+    for qid, ts in term_sets:
+        score = "0.0e0"
+        for term in ts:
+            tf = f"CAST(len(list_filter(toks, x -> x = '{esc(term)}')) AS DOUBLE)"
+            score = (
+                f"({score} + {_dlit(idf[term])} * {tf} * {_dlit(k1 + 1.0)}"
+                f" / ({tf} + nrm))"
+            )
+        branches.append(
+            f"SELECT CAST({int(qid)} AS BIGINT) AS query_id, doc_id,"
+            f" {score} AS bm25 FROM w WHERE doc_id <> {int(qid)}"
+        )
+    lexall = "\nUNION ALL\n".join(branches)
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        w AS (SELECT doc_id, toks, {norm} AS nrm FROM t),
+        lexall AS ({lexall}),
+        lex AS (
+            SELECT query_id, doc_id, rank_lex FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank_lex
+                FROM lexall
+            ) WHERE rank_lex <= {HR_POOL}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nn AS (SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nv FROM e),
+        qq AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM nn
+               WHERE vec_id < {HR_N_QUERIES}),
+        sem_scored AS (
+            SELECT qq.query_id, nn.vec_id AS doc_id,
+                   CASE WHEN nn.nv * qq.nq = 0.0 THEN 0.0
+                        ELSE ({_sql_dot('nn.v', 'qq.qv')}) / (nn.nv * qq.nq) END AS cosine_sim
+            FROM nn, qq WHERE nn.vec_id <> qq.query_id),
+        sem AS (
+            SELECT query_id, doc_id, rank_sem FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cosine_sim DESC, doc_id) AS INTEGER) AS rank_sem
+                FROM sem_scored
+            ) WHERE rank_sem <= {HR_POOL}),
+        fused AS (
+            SELECT coalesce(l.query_id, s.query_id) AS query_id,
+                   coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   l.rank_lex AS rank_lex, s.rank_sem AS rank_sem,
+                   coalesce(1.0 / CAST({RRF_K} + l.rank_lex AS DOUBLE), 0.0e0)
+                   + coalesce(1.0 / CAST({RRF_K} + s.rank_sem AS DOUBLE), 0.0e0) AS rrf
+            FROM lex l FULL OUTER JOIN sem s
+              ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+        SELECT query_id, doc_id, rank_lex, rank_sem, rrf, rank FROM (
+            SELECT query_id, doc_id, rank_lex, rank_sem, rrf,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+            FROM fused
+        ) WHERE rank <= {HR_K}
+        ORDER BY query_id, rank
+    """
+
+
+_hybrid_sql = _hybrid_oracle_sql()
+if _hybrid_sql is not None:
+    ORACLES["hybrid_retrieval"] = _hybrid_sql
+
+
 #: pack budget for the BPE-token packing probe (bpe_pack)
 BPE_PACK_BUDGET = 512
 
@@ -7553,6 +7787,11 @@ if "dsir_weights" in ORACLES:
 # data-dependent-oracle guard.
 if "bm25_retrieval" in ORACLES:
     SUITES["vocab_suite"].append("bm25_retrieval")
+# hybrid retrieval (BM25 ⊕ cosine, reciprocal rank fusion) joins the
+# same suite (round 9): shared query-term selection, literal idf
+# branches, exact cosine ranks, integer-rank fusion; same guard.
+if "hybrid_retrieval" in ORACLES:
+    SUITES["vocab_suite"].append("hybrid_retrieval")
 # CCNet-style curated-vs-crawl quality classifier joins the same suite
 # (round 7): the oracle recomputes the md5-ranked training sample in
 # DuckDB, shares the deterministic pure-Python LR fit, and replays

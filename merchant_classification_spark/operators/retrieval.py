@@ -141,3 +141,188 @@ def bm25_scores(
         F.col("_s")["matched"].alias("matched"),
         F.col("_s")["bm25"].alias("bm25"),
     )
+
+
+def query_term_sets(
+    texts: list[tuple[object, str]], per_query: int
+) -> list[tuple[object, list[str]]]:
+    """Driver-side query→term extraction for per-query retrieval: the
+    first ``per_query`` DISTINCT tokens of each query text, in document
+    order — the same ``[^a-z0-9']+``-on-lower tokenization as
+    :func:`~merchant_classification_spark.functions.text_analysis.tokens`,
+    replayed in plain Python because the selection runs ONCE on the
+    bounded query set and its output becomes plan literals (the
+    shared-fit discipline: an oracle reruns this same function on the
+    same texts, so no cross-engine tokenizer parity is needed).
+
+    Returns ``[(query_id, [term, ...]), ...]`` preserving input order;
+    queries with no tokens get an empty list (callers should skip them
+    — BM25 of an empty term set is degenerate).
+    """
+    import re
+
+    if per_query <= 0:
+        raise ValueError("per_query must be positive")
+    out: list[tuple[object, list[str]]] = []
+    for qid, text in texts:
+        cleaned = re.sub(r"[^a-z0-9']+", " ", (text or "").lower()).strip()
+        toks = cleaned.split(" ") if cleaned else []
+        seen: list[str] = []
+        for t in toks:
+            if t and t not in seen:
+                seen.append(t)
+                if len(seen) >= per_query:
+                    break
+        out.append((qid, seen))
+    return out
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    k: int = 10,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_lex_col: str = "rank_lex",
+    rank_sem_col: str = "rank_sem",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of two ranked candidate lists — the standard hybrid-retrieval
+    combiner (lexical BM25 ⊕ embedding ANN): per (query, doc),
+    ``rrf = Σ_legs 1/(k_rrf + rank)``, a missing leg contributing 0,
+    then top-``k`` per query by (rrf DESC, id).
+
+    Rank-only fusion is the point: the legs' raw scores never mix (no
+    calibration problem), and because ranks are INTEGERS the fused
+    doubles are the same two divisions and one add in any engine —
+    bit-exact replayable with no float-order ceremony.
+
+    Scale shape: both legs arrive already top-N-per-query (bounded:
+    |queries|·N rows), so the full-outer join and the re-rank window
+    are driver-trivial at any corpus size — the heavy lifting happened
+    inside the legs, which scan the corpus map-side.
+
+    Returns (query_col, id_col, rank_lex, rank_sem, rrf, rank) — leg
+    ranks NULL where a doc appeared in only one list.
+    """
+    from merchant_classification_spark.operators.relational import group_topk
+
+    l = lex.select(query_col, id_col, rank_lex_col)
+    s = sem.select(query_col, id_col, rank_sem_col)
+    fused = l.join(s, [query_col, id_col], "full_outer").select(
+        query_col,
+        id_col,
+        rank_lex_col,
+        rank_sem_col,
+        (
+            F.coalesce(
+                F.lit(1.0)
+                / (F.lit(k_rrf) + F.col(rank_lex_col)).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0)
+                / (F.lit(k_rrf) + F.col(rank_sem_col)).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    return group_topk(
+        fused,
+        [query_col],
+        [F.col("rrf").desc(), F.col(id_col)],
+        k,
+        keep_rank=True,
+    )
+
+
+def bm25_scores_multi(
+    df: DataFrame,
+    query_models: list[tuple[object, list[tuple[str, float]]]],
+    avgdl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document against a BATCH of per-query BM25 models in
+    ONE corpus pass — the multi-query form of :func:`bm25_scores`
+    (which bakes a single term list). Scoring N queries as N separate
+    ``bm25_scores`` branches re-reads and re-tokenizes the corpus N
+    times; here the document is tokenized ONCE, each UNION term's tf is
+    computed ONCE (queries share tf cells — query term sets overlap in
+    practice), and each query's score is the same left-to-right chain
+    over ITS term order referencing the shared tf array, so every
+    double is bit-identical to the one-query formulation (same
+    arithmetic, same order — only the expression sharing changed).
+
+    ``query_models`` is ``[(query_id, [(term, idf), ...]), ...]`` —
+    idfs come from one corpus-level :func:`bm25_fit` over the union
+    term set.
+
+    Returns (id_col, query_id, bm25) — |docs|·|queries| rows; compose
+    with a per-query top-k downstream (WindowGroupLimit keeps the
+    shuffle bounded).
+    """
+    if not query_models:
+        raise ValueError("query_models must be non-empty")
+    if avgdl <= 0:
+        raise ValueError("avgdl must be positive")
+    union_terms: list[str] = []
+    for _, model in query_models:
+        for term, _ in model:
+            if term not in union_terms:
+                union_terms.append(term)
+    t_ix = {term: i for i, term in enumerate(union_terms)}
+
+    def entries(t: Column) -> Column:
+        dl = F.size(t)
+        norm = F.lit(float(k1)) * (
+            F.lit(1.0 - b)
+            + F.lit(float(b)) * (dl.cast("double") / F.lit(float(avgdl)))
+        )
+        tfs = F.array(
+            *[
+                F.size(F.filter(t, lambda x: x == F.lit(term))).cast(
+                    "double"
+                )
+                for term in union_terms
+            ]
+        )
+
+        def scores(bound: Column) -> Column:
+            tf_arr = bound["tfs"]
+            nrm = bound["norm"]
+            out = []
+            for qid, model in query_models:
+                s: Column = F.lit(0.0)
+                for term, idf in model:
+                    tf = F.element_at(tf_arr, t_ix[term] + 1)
+                    s = s + F.lit(float(idf)) * tf * F.lit(
+                        float(k1 + 1.0)
+                    ) / (tf + nrm)
+                out.append(
+                    F.struct(
+                        F.lit(qid).cast("long").alias("query_id"),
+                        s.alias("bm25"),
+                    )
+                )
+            return F.array(*out)
+
+        # bind (tfs, norm) once — every query's chain reads the same
+        # evaluated cells instead of re-inlining the token filters
+        return F.element_at(
+            F.transform(
+                F.array(F.struct(tfs.alias("tfs"), norm.alias("norm"))),
+                scores,
+            ),
+            1,
+        )
+
+    arr = F.element_at(F.transform(F.array(tokens(text_col)), entries), 1)
+    return df.select(F.col(id_col), F.explode(arr).alias("_e")).select(
+        F.col(id_col),
+        F.col("_e")["query_id"].alias("query_id"),
+        F.col("_e")["bm25"].alias("bm25"),
+    )

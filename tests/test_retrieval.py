@@ -86,3 +86,73 @@ def test_bm25_validates_inputs(spark):
         bm25_scores(df, [("a", 1.0)], 0.0)
     with pytest.raises(ValueError):
         bm25_fit(df.where("doc_id < 0"), ["a"], "text")
+
+
+def test_query_term_sets_order_dedup_and_bounds():
+    from merchant_classification_spark.operators.retrieval import (
+        query_term_sets,
+    )
+
+    got = query_term_sets(
+        [(1, "The cat, the CAT sat!"), (2, None), (3, "a b c d e")], 3
+    )
+    assert got == [(1, ["the", "cat", "sat"]), (2, []), (3, ["a", "b", "c"])]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        query_term_sets([(1, "x")], 0)
+
+
+def test_rrf_fuse_math_and_missing_legs(spark):
+    from merchant_classification_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank_lex int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank_sem int",
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(lex, sem, k=4, k_rrf=60).collect()}
+    # doc 11 is in both legs; 10/12 lex-only; 13 sem-only
+    assert rows[11]["rrf"] == 1.0 / 62 + 1.0 / 61
+    assert rows[10]["rrf"] == 1.0 / 61
+    assert rows[13]["rrf"] == 1.0 / 62
+    assert rows[12]["rrf"] == 1.0 / 63
+    assert rows[10]["rank_sem"] is None and rows[13]["rank_lex"] is None
+    # both-legs doc outranks either single leg here
+    order = sorted(rows.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in order] == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_tiebreak_on_doc_id(spark):
+    from merchant_classification_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 20, 1), (1, 7, 1)],  # impossible dup rank, but ties must break
+        "query_id long, doc_id long, rank_lex int",
+    )
+    sem = spark.createDataFrame(
+        [], "query_id long, doc_id long, rank_sem int"
+    )
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in rrf_fuse(lex, sem, k=2).orderBy("rank").collect()
+    ]
+    assert got == [(7, 1), (20, 2)]
+
+
+def test_hybrid_member_shape_and_fusion_invariants(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.q_hybrid_retrieval(spark, sf_dir).collect()
+    assert len(out) == entry.HR_K * len({r["query_id"] for r in out})
+    for r in out:
+        assert r["rank_lex"] is not None or r["rank_sem"] is not None
+        want = (
+            (1.0 / (entry.RRF_K + r["rank_lex"]) if r["rank_lex"] else 0.0)
+            + (1.0 / (entry.RRF_K + r["rank_sem"]) if r["rank_sem"] else 0.0)
+        )
+        assert r["rrf"] == want
+        assert r["doc_id"] != r["query_id"]  # both legs exclude self

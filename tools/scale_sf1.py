@@ -125,6 +125,7 @@ HEAVY = [
     # diversity cap
     ("ann_pq", "IVF-PQ ADC + refine ANN + exact twin"),
     ("diversity_sample", "cluster-balanced diversity cap"),
+    ("hybrid_retrieval", "BM25 + cosine reciprocal rank fusion"),
 ]
 # probes whose inputs exist in the derived dir
 DERIVED_TABLES = {
