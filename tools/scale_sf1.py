@@ -410,7 +410,25 @@ def main() -> None:
         "exactly what an SF decade does. window_percent_rank carries the\n"
         "hot-key story: 5 o_orderpriority partitions each sort 10x the\n"
         "rows (300k/partition at sf1), the documented full-window cost\n"
-        "that the map-only hash tier avoids (see the skew section above).\n\n",
+        "that the map-only hash tier avoids (see the skew section above).\n\n"
+        "Round-9 readings: ann_pq is fixed-cost dominated (bounded fit,\n"
+        "16-query exact twin, plan compile); what grows is the map-only\n"
+        "encode and the cell-bounded ADC join, both linear by\n"
+        "construction. Two measured constant-factor rules from the same\n"
+        "data: (1) the ADC fold as F.aggregate(sequence(1,M),...) ran\n"
+        "the interpreted HOF path per candidate pair — the static\n"
+        "unrolled chain (identical association order, oracle unchanged)\n"
+        "cut index search at 20k rows 11.1 s -> 1.67 s; plan-time-\n"
+        "constant loops should unroll, HOF folds are for data-dependent\n"
+        "lengths. (2) pq_encode_arrow batches the ~1k-lambda-per-row\n"
+        "native encode in numpy (dimension-ordered left-assoc\n"
+        "accumulation, bit-identity test-asserted): 0.32 s vs 1.53 s\n"
+        "for the 20k-row corpus pass; with pq_fit -> pq_encode ->\n"
+        "parquet -> pq_search the corpus pass is one-time and the codes\n"
+        "table is ~32x smaller than the fp32 column. hybrid_retrieval's\n"
+        "lexical leg scores all queries in ONE corpus pass\n"
+        "(bm25_scores_multi) — the 8-separate-branch form measured\n"
+        "13.9 s at sf0.1 before batching (3.4x).\n\n",
         "| probe | family | sf0.1 | sf1 (derived) | alpha | verdict |\n",
         "|---|---|---|---|---|---|\n",
     ]
