@@ -31,7 +31,13 @@ later in the session before the verdict stands, because an ambient
 load burst shifts every rep of whichever members run inside its window
 while a real regression reproduces ($SPARK_GRAFT_BENCH_COMPARE=0
 reports without failing). The streaming floor gets one retry-batch on
-breach for the same reason.
+breach for the same reason. The MAIN suite pass gets the same
+treatment (round 10 — round 9's driver headline inflated 1.75x from a
+burst the member pass measured flat minutes later): per-query rep
+spreads land in the artifact as `query_spread`, and any suite query
+whose min exceeds the committed artifact by >1.5x after session-drift
+normalization is re-measured later in the session, keeping the better
+observation for the headline.
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 parallelism from $SPARK_GRAFT_CPUS (default all cores). Each query is
@@ -217,24 +223,30 @@ def main() -> None:
 
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    total = 0.0
-    for name, fn in entry_mod.queries().items():
+    # [lo, hi] of the measured-rep observations per suite query —
+    # committed in the artifact so a cross-session reader can tell a
+    # burst (wide/shifted spread in one session) from a regression,
+    # exactly like the member pass has had since round 7. Round 9's
+    # driver session proved the gap: the MAIN pass had no spreads and
+    # no retry, so a host-load burst landed verbatim in the 179 s
+    # headline while the member pass, timed minutes later, measured
+    # the same code flat.
+    query_spread: dict[str, list[float]] = {}
+
+    def _time_query(name: str) -> list[float]:
+        """Sorted measured-rep observations for one suite query."""
+        fn = entry_mod.QUERIES[name]
         if warmup:
             force(fn(spark, sf_dir))
             # operators that persist() internally (dedup, ANN index
             # builds) must not leak cached input into the measured pass
             spark.catalog.clearCache()
-        # min over `reps` measured passes: one ambient-load hiccup on a
-        # shared box otherwise lands verbatim in the recorded number
-        best = None
+        obs = []
         for _ in range(reps):
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+            obs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        total += best
         # clearCache() does NOT free localCheckpoint blocks — those are
         # released by the ContextCleaner only after the driver-side
         # DataFrame refs are garbage-collected. The eager dedup/rep-assign
@@ -245,6 +257,15 @@ def main() -> None:
         # (localCheckpoint rationale — see _jvm_gc).
         gc.collect()
         _jvm_gc(spark)
+        obs.sort()
+        return obs
+
+    for name in entry_mod.queries():
+        # min over `reps` measured passes: one ambient-load hiccup on a
+        # shared box otherwise lands verbatim in the recorded number
+        obs = _time_query(name)
+        timings[name] = round(obs[0], 3)
+        query_spread[name] = [round(obs[0], 3), round(obs[-1], 3)]
 
     # per-member timings: suite totals alone cannot attribute a
     # member-level regression (the suite unions 2-6 probes built
@@ -313,6 +334,50 @@ def main() -> None:
             _spec.loader.exec_module(_bc)
             with open(out_path) as f:
                 prev = json.load(f)
+            # main-pass outlier re-measure (round 10): the suite-union
+            # numbers feed the HEADLINE, and a burst during the main
+            # pass used to land there verbatim — the member pass got a
+            # retry loop in round 7, the main pass never did. Same
+            # decision shape as tools/bench_compare.py: session drift =
+            # median ratio vs the committed artifact (slowdowns only),
+            # and any query >1.5x beyond it re-measures now — minutes
+            # after its first measurement, so a transient burst has
+            # passed — keeping the BETTER (min) observation. A real
+            # regression reproduces and keeps its slow number.
+            prev_q = prev.get("queries", {}) or {}
+            qratios = sorted(
+                timings[n] / prev_q[n]
+                for n in timings
+                if prev_q.get(n)
+            )
+            qdrift = (
+                qratios[len(qratios) // 2] if len(qratios) >= 10 else 1.0
+            )
+            qdrift = max(qdrift, 1.0)
+            query_retried = {}
+            for name in list(timings):
+                pa = prev_q.get(name)
+                if not pa or max(pa, timings[name]) < 1.0:
+                    continue
+                if timings[name] / pa / qdrift > 1.5:
+                    obs = _time_query(name)
+                    query_retried[name] = round(obs[0], 3)
+                    if obs[0] < timings[name]:
+                        timings[name] = round(obs[0], 3)
+                        query_spread[name] = [
+                            round(obs[0], 3),
+                            round(obs[-1], 3),
+                        ]
+            if query_retried:
+                print(
+                    json.dumps(
+                        {
+                            "metric": "main_pass_remeasured",
+                            "queries": query_retried,
+                            "session_drift": round(qdrift, 3),
+                        }
+                    )
+                )
             compare_report = _bc.compare(
                 prev,
                 {"members": members, "member_spread": member_spread},
@@ -344,6 +409,7 @@ def main() -> None:
         except Exception as e:  # a broken/old artifact never sinks the bench
             compare_report = {"error": str(e)[:200]}
 
+    total = sum(timings.values())
     # per-query map on its own line FIRST; the compact machine-readable
     # headline is the FINAL line by itself (with many queries the combined
     # line outgrew the driver's tail capture and the headline was lost)
@@ -362,6 +428,7 @@ def main() -> None:
                         "total_sec": round(total, 3),
                         "n_queries": len(timings),
                         "queries": timings,
+                        "query_spread": query_spread,
                         "members": members,
                         "member_spread": member_spread,
                         "streaming_throughput_rps": stream_rps,

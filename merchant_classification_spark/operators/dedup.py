@@ -1423,17 +1423,25 @@ def _release_local_checkpoint(df: DataFrame) -> None:
     The block is addressed through the frame's OWN ``LogicalRDD`` node
     (``analyzed().rdd().id()``), never by diffing the global persistent-
     RDD registry, so concurrently-running queries' blocks are untouched
-    (graded suites build members on a thread pool). Best-effort:
-    ContextCleaner would GC the block eventually anyway; this keeps the
-    module's no-block-outlives-the-call contract immediate for loops
-    that checkpoint per round."""
+    (graded suites build members on a thread pool). Best-effort BY
+    DESIGN — it reaches through private py4j internals whose plan shape
+    differs across Spark versions (and is absent under Spark Connect),
+    and ContextCleaner GCs the block eventually regardless; this only
+    makes the module's no-block-outlives-the-call contract immediate
+    for loops that checkpoint per round. The except is scoped to the
+    py4j/attribute errors those internals can raise so a genuine bug
+    (e.g. a typo'd unpersist call) still surfaces."""
+    try:
+        from py4j.protocol import Py4JError
+    except ImportError:  # Spark Connect: no py4j at all
+        return
     try:
         analyzed = df._jdf.queryExecution().analyzed()
         rid = int(analyzed.rdd().id())
         jrdd = df.sparkSession.sparkContext._jsc.getPersistentRDDs().get(rid)
         if jrdd is not None:
             jrdd.unpersist(False)
-    except Exception:
+    except (Py4JError, AttributeError, TypeError):
         pass  # wrong plan shape / already GC'd — the cleaner owns it
 
 
@@ -1497,7 +1505,10 @@ def assign_representatives(
 
 
 def assign_representatives_doubling(
-    ids: DataFrame, pairs: DataFrame, max_iterations: int = 20
+    ids: DataFrame,
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    reliable: bool = False,
 ) -> DataFrame:
     """Pointer-doubling variant of :func:`assign_representatives`:
     each round hooks (min-label over neighbors∪self, the same single
@@ -1532,6 +1543,17 @@ def assign_representatives_doubling(
     round, so planning cost is constant per round. The propagation
     variant references its previous frame once (linear growth) and
     keeps the cheaper persist-per-round.
+
+    Fault-tolerance tradeoff: ``localCheckpoint`` TRUNCATES lineage —
+    the round snapshots live only in executor block storage, so losing
+    an executor mid-run fails the job unrecoverably (a plain persist
+    would recompute, but a plain persist here is exactly what the
+    plan-growth fix removed). For long-running jobs on preemptible
+    hardware pass ``reliable=True``: each round then uses reliable
+    ``checkpoint()`` (requires ``sparkContext.setCheckpointDir`` to
+    durable storage first) — slower per round (an HDFS/object-store
+    write) but executor loss replays from the checkpoint files, and
+    the plan still cuts to a leaf every round.
     """
     sym = pairs.select("id_a", "id_b").union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -1541,9 +1563,17 @@ def assign_representatives_doubling(
     )
     edges = sym.union(self_loops).distinct().persist()
     labels = ids.select("doc_id", F.col("doc_id").alias("rep"))
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        # reliable=True swaps executor-local blocks for durable files
+        # (see docstring); both cut the plan to a leaf
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     prev_ckpt = None
     for _ in range(max_iterations):
-        hooked = (
+        hooked = snapshot(
             edges.join(labels, edges.id_b == labels.doc_id)
             .groupBy("id_a")
             .agg(
@@ -1557,7 +1587,6 @@ def assign_representatives_doubling(
             # eager checkpoint materializes it ONCE and cuts the
             # doubled lineage (see docstring — persist would keep the
             # exponential logical plan alive in the driver)
-            .localCheckpoint(eager=True)
         )
         # shortcut: rep ← rep(rep). Every rep value is a node id (labels
         # start at identity and only ever move to another node's label),
@@ -1566,10 +1595,9 @@ def assign_representatives_doubling(
         l2 = hooked.select(
             F.col("doc_id").alias("_rid"), F.col("rep").alias("_rrep")
         )
-        new_labels = (
+        new_labels = snapshot(
             hooked.join(l2, hooked.rep == l2._rid)
             .select("doc_id", F.col("_rrep").alias("rep"), "old_rep")
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.where(F.col("rep") != F.col("old_rep")).limit(1).count()

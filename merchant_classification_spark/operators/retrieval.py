@@ -237,6 +237,19 @@ def rrf_fuse(
     )
 
 
+def _check_qids(query_models: list[tuple[object, list]]) -> None:
+    """Query ids in the multi-query scorers become a BIGINT output
+    column; a non-integral qid (e.g. a string id) would silently cast
+    to NULL and corrupt every row of that query — fail loudly instead
+    and let the caller map external ids to ints first."""
+    for qid, _ in query_models:
+        if isinstance(qid, bool) or not isinstance(qid, int):
+            raise TypeError(
+                f"query_id must be an int (got {type(qid).__name__}: "
+                f"{qid!r}); map external ids to ints before scoring"
+            )
+
+
 def bm25_scores_multi(
     df: DataFrame,
     query_models: list[tuple[object, list[tuple[str, float]]]],
@@ -269,6 +282,7 @@ def bm25_scores_multi(
         raise ValueError("query_models must be non-empty")
     if avgdl <= 0:
         raise ValueError("avgdl must be positive")
+    _check_qids(query_models)
     union_terms: list[str] = []
     for _, model in query_models:
         for term, _ in model:

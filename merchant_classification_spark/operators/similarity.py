@@ -1406,6 +1406,10 @@ def pq_encode_arrow(
     d = data.select(
         F.col(data_id).alias("vec_id"), to_double_array(data_vec).alias("dv")
     )
+    # the id column keeps the CALLER's type (pq_encode preserves it via
+    # plain column passthrough; hardcoding `long` here silently miscast
+    # string/decimal ids to NULL — round-10 advice fix)
+    id_type = d.schema["vec_id"].dataType.simpleString()
     return d.mapInPandas(
-        encode, "vec_id long, cell int, codes array<int>"
+        encode, f"vec_id {id_type}, cell int, codes array<int>"
     )

@@ -15,10 +15,15 @@ the refine fetch, a broadcast-candidate semi-join of
 100 TB shape: the stream side is tiny (queries), so nothing shuffles
 on the stream; the index scan is the per-trigger cost and it reads
 (vec_id, cell, codes) — ~32× smaller than the fp32 corpus — with the
-probe join broadcast. Determinism: `pq_search` is a pure function of
-(index, queries, literals), so replaying a batch after a failure
-produces identical rows — appends are idempotent under Spark's
-checkpointed batch ids.
+probe join broadcast. Exactly-once output: each batch OVERWRITES its
+own ``out_path/batch_id=<id>`` partition directory. Determinism alone
+is not idempotence — ``pq_search`` is a pure function of (index,
+queries, literals), so a replayed batch produces identical rows, but a
+blind ``append`` after a crash between the parquet write and the
+checkpoint commit would land those identical rows TWICE. Keying the
+write by Spark's checkpointed batch id makes the replay overwrite its
+own partial output instead, and readers get the batch id as a
+discovered partition column for free.
 """
 
 from __future__ import annotations
@@ -36,13 +41,16 @@ def score_queries_batch(
     coarse: list[list[float]],
     books: list[list[list[float]]],
     out_path: str,
+    batch_id: int = 0,
     k: int = 10,
     n_probe: int = 4,
     refine_factor: int | None = 4,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
 ) -> None:
-    """foreachBatch body: fresh index read → pq_search → append.
+    """foreachBatch body: fresh index read → pq_search → overwrite the
+    batch's own ``out_path/batch_id=<batch_id>`` directory (idempotent
+    under checkpoint replay — see module docstring).
 
     ``data_path`` supplies raw vectors for the refine fetch; pass None
     with ``refine_factor=None`` for ADC-only serving (the raw corpus is
@@ -73,7 +81,9 @@ def score_queries_batch(
         query_id=query_id,
         query_vec=query_vec,
     )
-    out.write.mode("append").parquet(out_path)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch_id={int(batch_id)}")
+    )
 
 
 def F_null_vec():
@@ -112,6 +122,7 @@ def start_ann_stream(
             coarse,
             books,
             out_path,
+            batch_id=batch_id,
             k=k,
             n_probe=n_probe,
             refine_factor=refine_factor,

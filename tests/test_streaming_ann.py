@@ -71,8 +71,24 @@ def test_stream_matches_batch_and_sees_index_growth(spark, tmp_path):
         n_probe=2,
         refine_factor=4,
     )
-    got = spark.read.parquet(out)
+    got = spark.read.parquet(out).drop("batch_id")
     assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # crash-replay idempotence: re-running the SAME batch body against
+    # the same batch_id overwrites its own partition instead of
+    # appending duplicates (the at-least-once foreachBatch hazard)
+    from merchant_classification_spark.streaming.ann import (
+        score_queries_batch,
+    )
+
+    score_queries_batch(
+        queries, index_path, data_path, coarse, books, out,
+        batch_id=0, k=5, n_probe=2, refine_factor=4,
+    )
+    replayed = spark.read.parquet(out).drop("batch_id")
+    assert sorted(map(tuple, replayed.collect())) == sorted(
         map(tuple, want.collect())
     )
 
@@ -106,7 +122,7 @@ def test_stream_matches_batch_and_sees_index_growth(spark, tmp_path):
         n_probe=2,
         refine_factor=4,
     )
-    got2 = spark.read.parquet(out)
+    got2 = spark.read.parquet(out).drop("batch_id")
     first = {tuple(r) for r in want.collect()}
     second = {tuple(r) for r in want2.collect()}
     assert {tuple(r) for r in got2.collect()} == first | second
@@ -145,4 +161,6 @@ def test_adc_only_serving_never_reads_corpus(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(out)
     assert got.count() == 4 * 5
-    assert set(got.columns) == {"query_id", "vec_id", "adc_d2", "rank"}
+    assert set(got.columns) == {
+        "query_id", "vec_id", "adc_d2", "rank", "batch_id",
+    }
