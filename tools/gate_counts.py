@@ -3,8 +3,16 @@ truth (`__spark_entry__.SUITES` / `ROWS_ONLY`), so COVERAGE.md and
 README.md can paste identical numbers instead of hand-maintaining them
 (round-5 verdict flagged a 130-vs-131 doc drift).
 
+Round 10 extends the same discipline to the README HEADLINE bullet:
+round 9 shipped a stale wall-time line (96.7 s / 147 probes vs the
+final committed 102.3 s / 148) because the headline was hand-written
+while only the COUNTS were tool-generated. The tool now also renders
+the status-section headline from the committed `bench_results.json` —
+paste its `headline:` line verbatim into the round-status bullet.
+
 Usage:  python tools/gate_counts.py
-Prints one human line plus a JSON line with the raw counts.
+Prints one human counts line, the headline line (when a bench artifact
+exists next to the repo root), plus a JSON line with the raw numbers.
 """
 
 from __future__ import annotations
@@ -37,6 +45,35 @@ def counts() -> dict:
     }
 
 
+def headline(bench_path: str | None = None) -> str | None:
+    """The round-status headline bullet, rendered from the committed
+    bench artifact + the live gate counts — one source, zero drift."""
+    if bench_path is None:
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench_results.json",
+        )
+    try:
+        with open(bench_path) as f:
+            bench = json.load(f)
+    except (OSError, ValueError):
+        return None
+    c = counts()
+    total = bench.get("total_sec")
+    n = bench.get("n_queries")
+    sf = bench.get("sf")
+    rps = bench.get("streaming_throughput_rps")
+    if total is None or n is None:
+        return None
+    line = (
+        f"Headline: {total:.1f} s for all {n} declared queries "
+        f"({c['total_probes']} probes) at sf{sf}"
+    )
+    if rps:
+        line += f", streaming {rps / 1000:.1f}k rows/s"
+    return line
+
+
 def main() -> None:
     c = counts()
     print(
@@ -46,6 +83,9 @@ def main() -> None:
         f"{len(c['rows_only'])} rows-only ({', '.join(c['rows_only'])}); "
         f"{c['total_probes']} probes total"
     )
+    h = headline()
+    if h is not None:
+        print(f"headline: {h}")
     print(json.dumps(c, sort_keys=True))
 
 
