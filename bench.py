@@ -135,6 +135,80 @@ def _streaming_throughput(
     return round(rows / one_batch(rows), 1)
 
 
+def _streaming_ann_serve_rate(
+    spark, sf_dir: str, n_queries: int = 256
+) -> float:
+    """Steady-state queries/sec through the streaming-ANN SERVING path
+    (streaming/ann.py): a persisted PQ index + one warmed micro-batch
+    of ``n_queries`` queries scored via foreachBatch pq_search with the
+    fetch-and-rescore refine. The ingest probe has had a measured rate
+    + floor since round 5; this gives the serving tier the same
+    characterization (round-9 verdict item #4 — the path was
+    correctness-tested but never rated).
+
+    Same two-pass shape as the ingest probe: the index is built ONCE
+    (that is the deployment precondition, not the serving cost), a
+    warm-up batch amortizes codegen/JIT, then a second batch of new
+    query files against the SAME checkpoint — exactly the steady-state
+    micro-batch shape: re-read the index, score the new arrivals —
+    is timed. At this SF the index is small, so the rate is dominated
+    by per-trigger fixed cost (index read + planning), i.e. it is a
+    floor on trigger latency more than a scoring throughput; the
+    scoring side scales with the index scan, which SCALING.md carries
+    separately."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.operators.similarity import (
+        pq_encode_arrow,
+        pq_fit,
+    )
+    from merchant_classification_spark.streaming.ann import start_ann_stream
+
+    base = tempfile.mkdtemp(prefix="bench-ann-serve-")
+    try:
+        data_path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = spark.read.parquet(data_path)
+        coarse, books = pq_fit(
+            emb, n_centroids=16, n_subspaces=8, n_codes=16, fit_target=256
+        )
+        index_path = os.path.join(base, "index")
+        pq_encode_arrow(emb, coarse, books).write.mode("overwrite").parquet(
+            index_path
+        )
+        qsrc = os.path.join(base, "queries")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        queries = emb.limit(n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        queries.coalesce(1).write.mode("append").parquet(qsrc)
+
+        def one_pass() -> float:
+            stream = spark.readStream.schema(
+                "query_id long, query_vec array<double>"
+            ).parquet(qsrc)
+            t0 = time.perf_counter()
+            q = start_ann_stream(
+                stream, index_path, data_path, coarse, books, out, ckpt,
+                k=10, n_probe=4, refine_factor=4,
+            )
+            q.awaitTermination()
+            return time.perf_counter() - t0
+
+        one_pass()  # warm-up: codegen + state init
+        # new files, same checkpoint: the steady-state trigger shape
+        queries.withColumn(
+            "query_id", F.col("query_id") + 1_000_000
+        ).coalesce(1).write.mode("append").parquet(qsrc)
+        return round(n_queries / one_pass(), 1)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _time_member(spark, sf_dir: str, name: str, reps: int, warmup: bool):
     """Sorted single-shot observations for one member probe (its own
     warmup first — the standalone plan's codegen differs from the
@@ -215,6 +289,37 @@ def main() -> None:
             )
         except Exception as e:  # never let the probe sink the batch bench
             print(json.dumps({"metric": "streaming_throughput_rps", "error": str(e)[:200]}))
+        gc.collect()
+        _jvm_gc(spark)
+
+    # streaming-ANN SERVING probe (round 10): queries/sec against the
+    # persisted PQ index, warmed, steady-state trigger shape. Floor
+    # logic mirrors the ingest probe: one retry-batch on breach, then
+    # nonzero exit — the regression it exists to catch is a lost
+    # broadcast/pushdown in the serving join (~10x), not drift.
+    ann_qps = None
+    ann_floor = float(os.environ.get("SPARK_GRAFT_ANN_SERVE_FLOOR", "60"))
+    ann_floor_violated = False
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        try:
+            ann_qps = _streaming_ann_serve_rate(spark, sf_dir)
+            if ann_qps < ann_floor:
+                ann_qps = max(ann_qps, _streaming_ann_serve_rate(spark, sf_dir))
+            ann_floor_violated = ann_qps < ann_floor
+            print(
+                json.dumps(
+                    {
+                        "metric": "streaming_ann_serve_qps",
+                        "value": ann_qps,
+                        "unit": "queries/sec",
+                        "floor": ann_floor,
+                        "floor_violated": ann_floor_violated,
+                    }
+                )
+            )
+        except Exception as e:
+            print(json.dumps({"metric": "streaming_ann_serve_qps", "error": str(e)[:200]}))
+        spark.catalog.clearCache()
         gc.collect()
         _jvm_gc(spark)
 
@@ -390,21 +495,38 @@ def main() -> None:
             # a host-load spike, all back at baseline minutes later.
             # Re-measuring JUST the offenders later in the session
             # separates that from a real regression, which reproduces.
+            # LOOPED since round 10: re-measuring offenders shifts the
+            # session-drift median, and the re-compare can then mint a
+            # NEW offender that never got its retry (round 10's first
+            # clean run flagged exactly one member this way, at 1.51x
+            # against a 1.5 tolerance). Iterate until the offender set
+            # stabilizes — every member gets at most one retry, so this
+            # terminates in ≤ a handful of passes.
             retried = {}
-            for o in list(compare_report.get("offenders", [])):
-                suite, name = o["member"].split("/", 1)
-                obs = _time_member(spark, sf_dir, name, member_reps, warmup)
-                members[suite][name] = round(obs[len(obs) // 2], 3)
-                member_spread[suite][name] = [
-                    round(obs[0], 3),
-                    round(obs[-1], 3),
+            for _ in range(5):
+                fresh = [
+                    o
+                    for o in compare_report.get("offenders", [])
+                    if o["member"] not in retried
                 ]
-                retried[o["member"]] = members[suite][name]
-            if retried:
+                if not fresh:
+                    break
+                for o in fresh:
+                    suite, name = o["member"].split("/", 1)
+                    obs = _time_member(
+                        spark, sf_dir, name, member_reps, warmup
+                    )
+                    members[suite][name] = round(obs[len(obs) // 2], 3)
+                    member_spread[suite][name] = [
+                        round(obs[0], 3),
+                        round(obs[-1], 3),
+                    ]
+                    retried[o["member"]] = members[suite][name]
                 compare_report = _bc.compare(
                     prev,
                     {"members": members, "member_spread": member_spread},
                 )
+            if retried:
                 compare_report["retried_members"] = retried
         except Exception as e:  # a broken/old artifact never sinks the bench
             compare_report = {"error": str(e)[:200]}
@@ -434,6 +556,9 @@ def main() -> None:
                         "streaming_throughput_rps": stream_rps,
                         "streaming_floor": stream_floor,
                         "streaming_floor_violated": stream_floor_violated,
+                        "streaming_ann_serve_qps": ann_qps,
+                        "streaming_ann_serve_floor": ann_floor,
+                        "streaming_ann_serve_floor_violated": ann_floor_violated,
                     },
                     f,
                     indent=1,
@@ -458,7 +583,7 @@ def main() -> None:
             }
         )
     )
-    if stream_floor_violated:
+    if stream_floor_violated or ann_floor_violated:
         sys.exit(2)
     if (
         compare_report is not None
