@@ -126,6 +126,7 @@ HEAVY = [
     ("ann_pq", "IVF-PQ ADC + refine ANN + exact twin"),
     ("diversity_sample", "cluster-balanced diversity cap"),
     ("hybrid_retrieval", "BM25 + cosine reciprocal rank fusion"),
+    ("hybrid_inverted", "inverted-index BM25 leg + RRF fusion"),
 ]
 # probes whose inputs exist in the derived dir
 DERIVED_TABLES = {
@@ -428,7 +429,29 @@ def main() -> None:
         "table is ~32x smaller than the fp32 column. hybrid_retrieval's\n"
         "lexical leg scores all queries in ONE corpus pass\n"
         "(bm25_scores_multi) — the 8-separate-branch form measured\n"
-        "13.9 s at sf0.1 before batching (3.4x).\n\n",
+        "13.9 s at sf0.1 before batching (3.4x).\n\n"
+        "Round-10 reading — the literal-vs-inverted BM25 crossover\n"
+        "(measured, sf0.01 documents, 8 fitted terms/query): the literal\n"
+        "multi-query scorer compiles O(|q|*|union terms|) scoring\n"
+        "branches, so its PLAN BUILD grows linearly in |q| — 2.5 s at 8\n"
+        "queries, 5.3 s at 32, 7.8 s at 64, 15.4 s at 128 (execution\n"
+        "stays ~0.5-1 s; the cost is analysis + codegen, and Janino\n"
+        "limits loom past that) — while bm25_scores_inverted (explode\n"
+        "tokens, broadcast term table, per-(doc,query) ordered fold)\n"
+        "holds flat at ~1.4-2.1 s total across the same sweep. Crossover\n"
+        "lands between 8 and 32 queries on this shape; per-corpus-row\n"
+        "work favors the literal form (no explode, tf cells shared\n"
+        "across queries), so the graded hybrid_retrieval keeps it for\n"
+        "its bounded 8-query batch and hybrid_inverted is the production\n"
+        "tier above the crossover. The two produce bit-identical scores\n"
+        "on matched pairs (same IEEE adds in the same order — unmatched\n"
+        "pairs contribute exact +0.0 in the literal chain), so switching\n"
+        "tiers by |q| changes no result. The residual-PQ A/B from the\n"
+        "same round (raw 0.8625 avg / 0.80 min recall@10 vs residual\n"
+        "0.8750 / 0.70 at the graded dial) kept RAW as the ann_pq\n"
+        "default: the synthetic vectors are weakly clustered, so the\n"
+        "coarse quantizer leaves the residual codebooks nothing extra\n"
+        "to model; the flag ships for corpora with real structure.\n\n",
         "| probe | family | sf0.1 | sf1 (derived) | alpha | verdict |\n",
         "|---|---|---|---|---|---|\n",
     ]
