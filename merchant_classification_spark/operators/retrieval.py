@@ -342,6 +342,44 @@ def bm25_scores_multi(
     )
 
 
+#: literal→inverted dispatch threshold for :func:`bm25_scores_auto`,
+#: from the measured round-10 crossover (SCALING.md): literal plan
+#: build grows ~linearly in |queries| (2.5 s at 8 → 15.4 s at 128)
+#: while the inverted plan is flat; execution favors the literal form
+#: below the crossover (no explode, shared tf cells). Measured
+#: crossover lands between 8 and 32 queries — 16 splits the band.
+BM25_AUTO_THRESHOLD = 16
+
+
+def bm25_scores_auto(
+    df: DataFrame,
+    query_models: list[tuple[object, list[tuple[str, float]]]],
+    avgdl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    threshold: int = BM25_AUTO_THRESHOLD,
+) -> DataFrame:
+    """Dispatch between the literal multi-query scorer (small batches:
+    fastest per corpus row, but plan size O(|q|·|union terms|)) and the
+    inverted-index tier (plan O(1) in |q|) on the measured crossover.
+    Safe to switch on batch size because the two produce BIT-IDENTICAL
+    scores for matched pairs — the only shape difference is that the
+    inverted form omits unmatched pairs, which the literal form emits
+    with bm25 = 0.0 exactly; ``matched_only`` makes the output shapes
+    identical for either branch (and is the form any top-k consumer
+    wants anyway)."""
+    if len(query_models) <= threshold:
+        out = bm25_scores_multi(
+            df, query_models, avgdl, text_col, id_col, k1=k1, b=b
+        )
+        return out.where(F.col("bm25") > 0.0)
+    return bm25_scores_inverted(
+        df, query_models, avgdl, text_col, id_col, k1=k1, b=b
+    )
+
+
 def bm25_scores_inverted(
     df: DataFrame,
     query_models: list[tuple[object, list[tuple[str, float]]]],

@@ -119,3 +119,27 @@ def test_hybrid_inverted_member_equals_literal_member(spark):
     a = entry.q_hybrid_retrieval(spark, sf_dir).collect()
     b = entry.q_hybrid_inverted(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_auto_dispatch_shapes_identical_across_threshold(spark):
+    """bm25_scores_auto must return the SAME rows whichever branch the
+    threshold selects — matched pairs only, identical doubles."""
+    from merchant_classification_spark.operators.retrieval import (
+        bm25_scores_auto,
+    )
+
+    docs = _corpus(spark)
+    qmodels, avgdl = _models(docs)
+
+    def rows(threshold):
+        return {
+            (r["doc_id"], r["query_id"]): r["bm25"].hex()
+            for r in bm25_scores_auto(
+                docs, qmodels, avgdl, "text", "doc_id", threshold=threshold
+            ).collect()
+        }
+
+    lit_branch = rows(threshold=10)   # |q|=2 <= 10 -> literal + filter
+    inv_branch = rows(threshold=0)    # |q|=2 > 0  -> inverted
+    assert lit_branch == inv_branch
+    assert len(lit_branch) > 0
