@@ -280,3 +280,39 @@ def test_pq_probe_join_broadcasts_and_stays_jvm(spark, sf_dir):
     )
     assert has_broadcast_join(out)
     assert_no_python_eval(out)
+
+
+def test_inverted_bm25_term_join_broadcasts_and_stays_jvm(spark, sf_dir):
+    # the inverted-index BM25 leg must broadcast the (term, query, idf)
+    # table onto the exploded token stream (never shuffle the corpus
+    # side for the join) and stay codegen end-to-end — no Python, no
+    # cartesian product
+    from merchant_classification_spark.operators.retrieval import (
+        bm25_fit,
+        bm25_scores_inverted,
+        query_term_sets,
+    )
+    from merchant_classification_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = [(0, "spark query window"), (1, "merge data table")]
+    term_sets = [(q, ts) for q, ts in query_term_sets(qs, 3) if ts]
+    union = []
+    for _, ts in term_sets:
+        for t in ts:
+            if t not in union:
+                union.append(t)
+    model, avgdl = bm25_fit(docs, union, "text")
+    idf = dict(model)
+    out = bm25_scores_inverted(
+        docs,
+        [(int(q), [(t, idf[t]) for t in ts]) for q, ts in term_sets],
+        avgdl,
+        "text",
+        "doc_id",
+    )
+    assert has_broadcast_join(out)
+    assert_no_python_eval(out)
+    from merchant_classification_spark.plans.explain import explain_str
+
+    assert "CartesianProduct" not in explain_str(out)
