@@ -420,7 +420,12 @@ def bm25_scores_inverted(
     only matched (doc, query, term-position) triples reach the
     count-aggregate, and the per-pair ordered fold runs over ≤ |query
     terms| elements. One corpus pass, one bounded shuffle, plan size
-    constant in |queries|.
+    constant in |queries|. (A filter-the-token-array-before-explode
+    variant was A/B'd and is NOT faster — 3.4 vs 3.3 s at 64 queries
+    on sf0.1, outputs identical: the explode is pipelined codegen and
+    the broadcast hash probe prunes as cheaply as a literal
+    array_contains scan, without the O(|union terms|) per-token cost
+    that the literal filter would add at production term counts.)
     """
     if not query_models:
         raise ValueError("query_models must be non-empty")
