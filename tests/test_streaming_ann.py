@@ -164,3 +164,72 @@ def test_adc_only_serving_never_reads_corpus(spark, tmp_path):
     assert set(got.columns) == {
         "query_id", "vec_id", "adc_d2", "rank", "batch_id",
     }
+
+
+def test_continuous_trigger_serves_batches_as_they_arrive(spark, tmp_path):
+    """The trigger_once=False path — a processingTime micro-batch
+    server: query files that arrive AFTER the stream starts must be
+    scored in later triggers of the SAME running query, each batch in
+    its own batch_id partition."""
+    import time
+
+    base = str(tmp_path)
+    index_path = os.path.join(base, "index")
+    qsrc = os.path.join(base, "queries")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, f"ckpt-{uuid.uuid4().hex}")
+
+    corpus = _vectors(spark, 200)
+    kw = dict(n_centroids=4, n_subspaces=4, n_codes=8, fit_target=64)
+    coarse, books = pq_fit(corpus, **kw)
+    pq_encode(corpus, coarse, books).write.mode("overwrite").parquet(
+        index_path
+    )
+    q1 = _vectors(spark, 3, seed=5, id_start=40_000).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    q1.coalesce(1).write.mode("append").parquet(qsrc)
+
+    stream = spark.readStream.schema(
+        "query_id long, query_vec array<double>"
+    ).parquet(qsrc)
+    q = start_ann_stream(
+        stream, index_path, None, coarse, books, out, ckpt,
+        k=5, n_probe=2, refine_factor=None, trigger_once=False,
+    )
+    try:
+        def rows_in(path):
+            try:
+                return spark.read.parquet(path).count()
+            except Exception:
+                return 0
+
+        deadline = time.time() + 60
+        while rows_in(out) < 3 * 5 and time.time() < deadline:
+            time.sleep(1)
+        assert rows_in(out) == 3 * 5, "first batch never served"
+
+        # a second query batch arrives while the server keeps running
+        q2 = _vectors(spark, 2, seed=6, id_start=50_000).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        q2.coalesce(1).write.mode("append").parquet(qsrc)
+        while rows_in(out) < 5 * 5 and time.time() < deadline:
+            time.sleep(1)
+        assert rows_in(out) == 5 * 5, "second batch never served"
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    # each trigger wrote its own batch_id partition
+    assert got.select("batch_id").distinct().count() >= 2
+    # and the served output matches the batch pq_search exactly
+    want = pq_search(
+        spark.read.parquet(index_path), corpus.limit(0), coarse, books,
+        q1.unionByName(q2), k=5, n_probe=2, refine_factor=None,
+    )
+    assert sorted(map(tuple, got.drop("batch_id").collect())) == sorted(
+        map(tuple, want.collect())
+    )
