@@ -20,6 +20,7 @@ same literals in the same order).
 from __future__ import annotations
 
 import math
+import numbers
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -241,11 +242,15 @@ def _check_qids(query_models: list[tuple[object, list]]) -> None:
     """Query ids in the multi-query scorers become a BIGINT output
     column; a non-integral qid (e.g. a string id) would silently cast
     to NULL and corrupt every row of that query — fail loudly instead
-    and let the caller map external ids to ints first."""
+    and let the caller map external ids to ints first. Any
+    ``numbers.Integral`` is accepted (``numpy.int64`` qids arrive
+    naturally from pandas-built query batches and were valid inputs
+    before this guard existed — round-10 advice); bool is excluded
+    because a True/False qid is always a caller bug, not an id."""
     for qid, _ in query_models:
-        if isinstance(qid, bool) or not isinstance(qid, int):
+        if isinstance(qid, bool) or not isinstance(qid, numbers.Integral):
             raise TypeError(
-                f"query_id must be an int (got {type(qid).__name__}: "
+                f"query_id must be an integer (got {type(qid).__name__}: "
                 f"{qid!r}); map external ids to ints before scoring"
             )
 
@@ -318,7 +323,7 @@ def bm25_scores_multi(
                     ) / (tf + nrm)
                 out.append(
                     F.struct(
-                        F.lit(qid).cast("long").alias("query_id"),
+                        F.lit(int(qid)).cast("long").alias("query_id"),
                         s.alias("bm25"),
                     )
                 )
@@ -369,7 +374,14 @@ def bm25_scores_auto(
     inverted form omits unmatched pairs, which the literal form emits
     with bm25 = 0.0 exactly; ``matched_only`` makes the output shapes
     identical for either branch (and is the form any top-k consumer
-    wants anyway)."""
+    wants anyway).
+
+    Return contract: one row per MATCHED (doc, query) pair — a query
+    whose terms match zero documents is ABSENT from the output
+    entirely (either branch). Callers that need every query id present
+    (e.g. to report "no results" per query) must left-join the output
+    back to their query list; this operator does not invent zero-score
+    rows."""
     if len(query_models) <= threshold:
         out = bm25_scores_multi(
             df, query_models, avgdl, text_col, id_col, k1=k1, b=b

@@ -59,20 +59,26 @@ def test_coverage_gate_counts_match_tool():
 
 
 def test_readme_headline_matches_committed_artifact():
-    """The round-status headline bullet must carry the committed
-    artifact's numbers (round-9 shipped it stale at 96.7 s against a
-    102.3 s artifact)."""
+    """The round-status headline bullet must carry the numbers of a
+    legitimately-current bench artifact: EITHER the committed
+    (HEAD) `bench_results.json` or the working-tree copy. Round 9
+    shipped it stale against both; round 10's version of this test read
+    only the working tree, which the driver's own post-commit bench run
+    overwrites — failing in exactly the session that matters. Accepting
+    either rendering keeps the drift guard while surviving the driver's
+    artifact overwrite."""
     spec = importlib.util.spec_from_file_location(
         "gate_counts", os.path.join(ROOT, "tools", "gate_counts.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    line = mod.headline()
-    if line is None:  # no artifact in this checkout — nothing to pin
+    lines = mod.headline_candidates()
+    if not lines:  # no artifact in this checkout — nothing to pin
         return
     with open(os.path.join(ROOT, "README.md")) as f:
         md = f.read().replace("\n  ", " ")  # unwrap the bullet
-    assert line in md, (
-        f"README headline bullet out of date — paste the tool line: "
-        f"{line!r}"
+    assert any(line in md for line in lines), (
+        f"README headline bullet matches neither the committed nor the "
+        f"working-tree bench artifact — run `python tools/gate_counts.py` "
+        f"and paste its headline line. Candidates: {lines!r}"
     )

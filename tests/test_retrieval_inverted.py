@@ -101,6 +101,30 @@ def test_qid_validation_rejects_non_ints(spark):
         bm25_scores_multi(docs, bad, avgdl, "text", "doc_id")
 
 
+def test_qid_accepts_numpy_integral(spark):
+    """numpy.int64 qids arrive naturally from pandas-built query
+    batches and were valid inputs before the _check_qids guard existed
+    (round-10 advice): any numbers.Integral must pass, bool must not."""
+    import numpy as np
+
+    docs = _corpus(spark)
+    qmodels, avgdl = _models(docs)
+    np_models = [(np.int64(qid), model) for qid, model in qmodels]
+    base = {
+        (r["doc_id"], r["query_id"]): r["bm25"]
+        for r in bm25_scores_multi(
+            docs, qmodels, avgdl, "text", "doc_id"
+        ).collect()
+    }
+    for fn in (bm25_scores_multi, bm25_scores_inverted):
+        rows = fn(docs, np_models, avgdl, "text", "doc_id").collect()
+        assert rows, fn.__name__
+        for r in rows:
+            assert base[(r["doc_id"], r["query_id"])] == r["bm25"]
+    with pytest.raises(TypeError, match="query_id must be an integer"):
+        bm25_scores_multi(docs, [(True, qmodels[0][1])], avgdl, "text", "doc_id")
+
+
 def test_empty_model_rejected(spark):
     docs = _corpus(spark)
     qmodels, avgdl = _models(docs)
