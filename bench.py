@@ -150,11 +150,14 @@ def _streaming_ann_serve_rate(
     (that is the deployment precondition, not the serving cost), a
     warm-up batch amortizes codegen/JIT, then a second batch of new
     query files against the SAME checkpoint — exactly the steady-state
-    micro-batch shape: re-read the index, score the new arrivals —
-    is timed. At this SF the index is small, so the rate is dominated
-    by per-trigger fixed cost (index read + planning), i.e. it is a
-    floor on trigger latency more than a scoring throughput; the
-    scoring side scales with the index scan, which SCALING.md carries
+    micro-batch shape — is timed. Round 11: one ServingIndex is pinned
+    across both passes (the default steady-state posture of
+    start_ann_stream), so the timed trigger plans + probes the CACHED
+    index instead of re-reading parquet — round 10 measured that
+    re-read + planning at ~3 s/trigger, the ceiling behind its
+    77–92 q/s. What remains is stream machinery + planning, still a
+    trigger-latency floor more than a scoring throughput; the scoring
+    side scales with the index scan, which SCALING.md carries
     separately."""
     import shutil
     import tempfile
@@ -165,9 +168,13 @@ def _streaming_ann_serve_rate(
         pq_encode_arrow,
         pq_fit,
     )
-    from merchant_classification_spark.streaming.ann import start_ann_stream
+    from merchant_classification_spark.streaming.ann import (
+        ServingIndex,
+        start_ann_stream,
+    )
 
     base = tempfile.mkdtemp(prefix="bench-ann-serve-")
+    serving = None
     try:
         data_path = os.path.join(sf_dir, "embeddings.parquet")
         emb = spark.read.parquet(data_path)
@@ -186,6 +193,8 @@ def _streaming_ann_serve_rate(
             F.col("embedding").alias("query_vec"),
         )
         queries.coalesce(1).write.mode("append").parquet(qsrc)
+        # pinned once, shared across passes — the steady-state server
+        serving = ServingIndex(spark, index_path, data_path)
 
         def one_pass() -> float:
             stream = spark.readStream.schema(
@@ -194,18 +203,20 @@ def _streaming_ann_serve_rate(
             t0 = time.perf_counter()
             q = start_ann_stream(
                 stream, index_path, data_path, coarse, books, out, ckpt,
-                k=10, n_probe=4, refine_factor=4,
+                k=10, n_probe=4, refine_factor=4, serving_index=serving,
             )
             q.awaitTermination()
             return time.perf_counter() - t0
 
-        one_pass()  # warm-up: codegen + state init
+        one_pass()  # warm-up: codegen + state init + index pin
         # new files, same checkpoint: the steady-state trigger shape
         queries.withColumn(
             "query_id", F.col("query_id") + 1_000_000
         ).coalesce(1).write.mode("append").parquet(qsrc)
         return round(n_queries / one_pass(), 1)
     finally:
+        if serving is not None:
+            serving.close()
         shutil.rmtree(base, ignore_errors=True)
 
 

@@ -5,17 +5,22 @@ The batch side (`operators/similarity.py`) already splits the index
 lifecycle into :func:`pq_fit` → :func:`pq_encode` (ONE full-corpus
 pass, persisted to parquet) → :func:`pq_search`. Serving is then a
 stream-static composition: each micro-batch of queries runs
-``pq_search`` against the index AS OF its trigger (re-read inside
-``foreachBatch``, the `streaming/static_join.py` refreshing-dimension
-pattern — an index rebuilt/extended between triggers is picked up
-without restart). The corpus text/embedding table is touched only for
-the refine fetch, a broadcast-candidate semi-join of
-|batch|·k·refine_factor ids.
+``pq_search`` against a :class:`ServingIndex` — the index (and refine
+corpus) loaded and PINNED once at stream start, so a trigger costs
+planning + the probe join, not a file re-read (round 10 measured the
+per-trigger re-read at ~3 s, the ceiling on its 92 q/s rate). Index
+growth is an explicit event: :func:`pq_index_append` lands new vectors
+as a ``batch_id=`` partition and ``ServingIndex.refresh()`` swaps the
+cache; ``cache_index=False`` restores the per-trigger fresh read (the
+`streaming/static_join.py` refreshing-dimension pattern) when ambient
+pickup matters more than trigger latency. The corpus text/embedding
+table is touched only for the refine fetch, a broadcast-candidate
+semi-join of |batch|·k·refine_factor ids.
 
 100 TB shape: the stream side is tiny (queries), so nothing shuffles
-on the stream; the index scan is the per-trigger cost and it reads
-(vec_id, cell, codes) — ~32× smaller than the fp32 corpus — with the
-probe join broadcast. Exactly-once output: each batch OVERWRITES its
+on the stream; the index scan — (vec_id, cell, codes), ~32× smaller
+than the fp32 corpus — is paid once per index version and then served
+from executor storage, with the probe join broadcast. Exactly-once output: each batch OVERWRITES its
 own ``out_path/batch_id=<id>`` partition directory. Determinism alone
 is not idempotence — ``pq_search`` is a pure function of (index,
 queries, literals), so a replayed batch produces identical rows, but a
@@ -30,8 +35,79 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+
+
+class ServingIndex:
+    """The steady-state server's index handle: loads the persisted PQ
+    index (and, for refine serving, the raw-vector table) ONCE, pins
+    both with MEMORY_AND_DISK persist, and hands the SAME cached
+    DataFrames to every trigger. Round 10 measured the per-trigger
+    fixed cost (index re-read + planning) at ~3 s — the ceiling on the
+    92 q/s serving rate; with the scan cached, a trigger only plans +
+    probes (round-10 verdict item #1).
+
+    Index updates are an EXPLICIT event, not an ambient re-read:
+    :func:`pq_index_append` lands new vectors as a ``batch_id=<n>``
+    partition of the layout, and :meth:`refresh` swaps the cache to a
+    fresh read that discovers them. Between refreshes every trigger
+    serves one consistent index version — which a per-trigger re-read
+    never guaranteed anyway (a half-written append could be seen).
+
+    ``load()`` materializes eagerly (a count over the persisted frame)
+    so the one file scan happens at stream start, off the serving
+    latency path; tests assert triggers after ``load()`` succeed with
+    the underlying files DELETED — the cache, not the path, serves.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        data_path: str | None = None,
+    ) -> None:
+        self._spark = spark
+        self.index_path = index_path
+        self.data_path = data_path
+        self._index: DataFrame | None = None
+        self._data: DataFrame | None = None
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager: pay the file scan now, not per trigger
+        return df
+
+    def index(self) -> DataFrame:
+        if self._index is None:
+            from merchant_classification_spark.operators.similarity import (
+                read_pq_index,
+            )
+
+            self._index = self._pin(read_pq_index(self._spark, self.index_path))
+        return self._index
+
+    def data(self) -> DataFrame | None:
+        if self.data_path is None:
+            return None
+        if self._data is None:
+            self._data = self._pin(self._spark.read.parquet(self.data_path))
+        return self._data
+
+    def refresh(self) -> None:
+        """Drop the pinned frames; the next access re-reads the paths
+        (picking up appended ``batch_id=`` partitions) and re-pins."""
+        for df in (self._index, self._data):
+            if df is not None:
+                df.unpersist()
+        self._index = None
+        self._data = None
+
+    def close(self) -> None:
+        """Release executor storage when the server stops."""
+        self.refresh()
 
 
 def score_queries_batch(
@@ -47,10 +123,14 @@ def score_queries_batch(
     refine_factor: int | None = 4,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    serving_index: ServingIndex | None = None,
 ) -> None:
-    """foreachBatch body: fresh index read → pq_search → overwrite the
+    """foreachBatch body: index scan → pq_search → overwrite the
     batch's own ``out_path/batch_id=<batch_id>`` directory (idempotent
-    under checkpoint replay — see module docstring).
+    under checkpoint replay — see module docstring). With a
+    ``serving_index`` the scan is the pinned cached frame (steady-state
+    serving — no per-trigger file re-read); without one the paths are
+    re-read fresh each call (the one-shot / backfill shape).
 
     ``data_path`` supplies raw vectors for the refine fetch; pass None
     with ``refine_factor=None`` for ADC-only serving (the raw corpus is
@@ -60,11 +140,18 @@ def score_queries_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    index = spark.read.parquet(index_path)
+    index = (
+        serving_index.index()
+        if serving_index is not None
+        else spark.read.parquet(index_path)
+    )
     if refine_factor is not None:
-        if data_path is None:
+        if serving_index is not None:
+            data = serving_index.data()
+        else:
+            data = None if data_path is None else spark.read.parquet(data_path)
+        if data is None:
             raise ValueError("refine needs data_path for the vector fetch")
-        data = spark.read.parquet(data_path)
     else:
         data = index.limit(0).select("vec_id").withColumn(
             "embedding", F_null_vec()
@@ -108,11 +195,32 @@ def start_ann_stream(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     trigger_once: bool = True,
+    serving_index: ServingIndex | None = None,
+    cache_index: bool = True,
 ) -> StreamingQuery:
     """Serve a query stream against the persisted PQ index.
 
     availableNow by default (the repo's bounded-test trigger); drop
-    ``trigger_once`` for a continuous micro-batch server."""
+    ``trigger_once`` for a continuous micro-batch server.
+
+    By default the index (and refine corpus) is loaded + pinned ONCE at
+    stream start and every trigger serves the cached frames — the
+    steady-state posture (round-10 measured the per-trigger re-read at
+    ~3 s, the serving-rate ceiling). Pass a ``serving_index`` to share
+    one cache (and its ``refresh()`` knob) across stream restarts, or
+    ``cache_index=False`` to restore the per-trigger fresh read (an
+    index mutated between triggers is then picked up without restart —
+    the refreshing-dimension shape)."""
+    if serving_index is None and cache_index:
+        serving_index = ServingIndex(
+            stream.sparkSession,
+            index_path,
+            data_path if refine_factor is not None else None,
+        )
+    if serving_index is not None:
+        serving_index.index()  # pay the file scan before the first trigger
+        if refine_factor is not None:
+            serving_index.data()
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         score_queries_batch(
@@ -128,6 +236,7 @@ def start_ann_stream(
             refine_factor=refine_factor,
             query_id=query_id,
             query_vec=query_vec,
+            serving_index=serving_index,
         )
 
     writer = stream.writeStream.foreachBatch(body).option(

@@ -438,3 +438,101 @@ def test_residual_adc_ranking_beats_or_matches_raw(spark, vectors):
 
     raw, res = avg_recall(False), avg_recall(True)
     assert res >= raw - 0.051, (raw, res)
+
+
+def test_index_append_row_identical_to_full_reencode(spark, vectors, fitted, tmp_path):
+    """Incremental maintenance contract: init-encode batch 0 +
+    pq_index_append of a delta batch 1, read back through
+    read_pq_index, must equal a FULL re-encode of the grown corpus
+    row-for-row (codes are pure per-row maps of (vector, literals), so
+    the merged layout is bit-identical, not just set-equal). Replay of
+    the same append (the at-least-once retry hazard) must not
+    duplicate rows — per-partition overwrite."""
+    import os
+
+    from merchant_classification_spark.operators.similarity import (
+        pq_encode,
+        pq_index_append,
+        pq_index_write,
+        read_pq_index,
+    )
+
+    fit, books = fitted
+    coarse = _deterministic_kmeans(fit, 8, 10)
+    base = vectors.where(F.col("vec_id") < 300)
+    delta = vectors.where(F.col("vec_id") >= 300)
+    index_path = os.path.join(str(tmp_path), "index")
+
+    pq_index_write(pq_encode(base, coarse, books), index_path, batch_id=0)
+    for _ in range(2):  # second pass = the crash-replay of batch 1
+        pq_index_append(delta, coarse, books, index_path, batch_id=1)
+
+    merged = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in read_pq_index(spark, index_path).collect()
+    }
+    full = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in pq_encode(vectors, coarse, books).collect()
+    }
+    assert merged == full
+    assert read_pq_index(spark, index_path).count() == 400  # no dup rows
+
+    # both encoders land the same partition content
+    pq_index_append(
+        delta, coarse, books, index_path, batch_id=1, encoder="native"
+    )
+    assert {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in read_pq_index(spark, index_path).collect()
+    } == full
+
+    with pytest.raises(ValueError, match="unknown encoder"):
+        pq_index_append(delta, coarse, books, index_path, 2, encoder="x")
+
+
+def test_opq_rotation_orthonormal_deterministic_balanced(spark, vectors):
+    """Parametric-OPQ rotation (fit_opq_rotation): orthonormal (so L2
+    and the exact baseline are invariant), deterministic across refits
+    (literal-replay discipline), variance balanced across subspace
+    blocks (the eigenvalue-allocation objective), and rotate_vectors'
+    Arrow matmul agrees with a driver-side numpy replay."""
+    import numpy as np
+
+    from merchant_classification_spark.operators.similarity import (
+        fit_opq_rotation,
+        rotate_vectors,
+    )
+
+    R1 = fit_opq_rotation(vectors, N_SUB, fit_target=128)
+    R2 = fit_opq_rotation(vectors, N_SUB, fit_target=128)
+    assert R1 == R2
+    R = np.asarray(R1)
+    assert R.shape == (DIM, DIM)
+    assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-9)
+
+    # balanced allocation: block log-variance products within the
+    # spread of one component (greedy bound) of each other
+    X = np.array([r["embedding"] for r in vectors.collect()])
+    Y = X @ R.T
+    per = DIM // N_SUB
+    loads = [
+        float(np.sum(np.log(np.var(Y[:, b * per : (b + 1) * per], axis=0))))
+        for b in range(N_SUB)
+    ]
+    lv = np.log(np.maximum(np.sort(np.var(X @ R.T, axis=0))[::-1], 1e-12))
+    assert max(loads) - min(loads) <= float(lv[0] - lv[-1]) + 1e-9
+
+    got = {
+        r["vec_id"]: np.asarray(r["embedding"])
+        for r in rotate_vectors(
+            vectors.repartition(5), R1, "embedding"
+        ).collect()
+    }
+    ids = [r["vec_id"] for r in vectors.collect()]
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], (X[i] @ R.T), atol=1e-12)
+    # distances preserved: rotation-invariance of L2
+    d_raw = np.sum((X[0] - X[1]) ** 2)
+    d_rot = np.sum((got[ids[0]] - got[ids[1]]) ** 2)
+    assert abs(d_raw - d_rot) < 1e-9

@@ -233,3 +233,103 @@ def test_continuous_trigger_serves_batches_as_they_arrive(spark, tmp_path):
     assert sorted(map(tuple, got.drop("batch_id").collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_cached_serving_survives_index_file_deletion(spark, tmp_path):
+    """The steady-state posture: ServingIndex pins the index + refine
+    corpus at load; triggers after that must NOT touch the files. The
+    strongest possible proof — DELETE the parquet directories after
+    load and serve two batches anyway, bit-equal to the pre-deletion
+    batch search."""
+    import shutil
+
+    from merchant_classification_spark.streaming.ann import (
+        ServingIndex,
+        score_queries_batch,
+    )
+
+    base = str(tmp_path)
+    data_path = os.path.join(base, "corpus")
+    index_path = os.path.join(base, "index")
+    out = os.path.join(base, "out")
+
+    corpus = _vectors(spark, 300)
+    corpus.write.mode("overwrite").parquet(data_path)
+    kw = dict(n_centroids=4, n_subspaces=4, n_codes=8, fit_target=64)
+    coarse, books = pq_fit(corpus, **kw)
+    pq_encode(corpus, coarse, books).write.mode("overwrite").parquet(
+        index_path
+    )
+    queries = _vectors(spark, 5, seed=99, id_start=10_000).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            pq_search(
+                spark.read.parquet(index_path),
+                spark.read.parquet(data_path),
+                coarse, books, queries, k=5, n_probe=2, refine_factor=4,
+            ).collect(),
+        )
+    )
+
+    idx = ServingIndex(spark, index_path, data_path)
+    idx.index(), idx.data()  # eager pin — the one file scan
+    shutil.rmtree(index_path)
+    shutil.rmtree(data_path)
+    for bid in (0, 1):
+        score_queries_batch(
+            queries, index_path, data_path, coarse, books, out,
+            batch_id=bid, k=5, n_probe=2, refine_factor=4,
+            serving_index=idx,
+        )
+    got = spark.read.parquet(out)
+    for bid in (0, 1):
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    got.where(F.col("batch_id") == bid)
+                    .drop("batch_id")
+                    .collect(),
+                )
+            )
+            == want
+        ), f"batch {bid} re-scanned files or diverged"
+    idx.close()
+
+
+def test_refresh_picks_up_appended_partition(spark, tmp_path):
+    """pq_index_append lands a delta as its own batch_id partition;
+    the serving cache keeps the old version until the EXPLICIT
+    refresh() — then the appended vectors are served."""
+    from merchant_classification_spark.operators.similarity import (
+        pq_index_append,
+        pq_index_write,
+        read_pq_index,
+    )
+    from merchant_classification_spark.streaming.ann import ServingIndex
+
+    base = str(tmp_path)
+    index_path = os.path.join(base, "index")
+    corpus = _vectors(spark, 200)
+    kw = dict(n_centroids=4, n_subspaces=4, n_codes=8, fit_target=64)
+    coarse, books = pq_fit(corpus, **kw)
+    pq_index_write(pq_encode(corpus, coarse, books), index_path, batch_id=0)
+
+    idx = ServingIndex(spark, index_path)
+    n0 = idx.index().count()
+    assert n0 == 200
+
+    delta = _vectors(spark, 50, seed=7, id_start=1_000)
+    pq_index_append(delta, coarse, books, index_path, batch_id=1)
+    # consistent-version serving: the cache still holds the old index
+    assert idx.index().count() == 200
+    idx.refresh()
+    assert idx.index().count() == 250
+    # the merged layout carries exactly the delta ids
+    ids = {r["vec_id"] for r in read_pq_index(spark, index_path).collect()}
+    assert ids == set(range(200)) | set(range(1_000, 1_050))
+    idx.close()
