@@ -2766,6 +2766,68 @@ def _q_hybrid(spark, sf_dir, inverted: bool):
     )
 
 
+BMAUTO_N_QUERIES = 24  # > BM25_AUTO_THRESHOLD (16): auto takes the inverted leg
+BMAUTO_TERMS = 6
+BMAUTO_K = 10
+
+
+def q_bm25_auto(spark, sf_dir):
+    """Production BM25 dispatch AT the crossover (round 11): a
+    BMAUTO_N_QUERIES-query batch — above the measured literal→inverted
+    threshold of 16 (operators/retrieval.py BM25_AUTO_THRESHOLD) — is
+    pushed through ``bm25_scores_auto``, so the member grades the
+    DISPATCHER itself on the branch a production query load takes (the
+    round-10 verdict: both branches were tested for identity, but the
+    dispatch path was never under the oracle). Matched-pairs contract
+    (a query whose terms match no document is absent — see the auto
+    return contract); top-BMAUTO_K per query by (bm25 desc, doc_id)
+    with the rank kept. The oracle replays the shared driver-side
+    query-term selection and fit literals, scores each query's literal
+    chain in ITS term order, and filters ``bm25 > 0`` — bit-exact to
+    the inverted leg's ordered fold by the +0.0 argument
+    (bm25_scores_inverted's docstring; asserted bit-for-bit in
+    tests/test_retrieval_inverted.py)."""
+    from merchant_classification_spark.operators.relational import group_topk
+    from merchant_classification_spark.operators.retrieval import (
+        bm25_fit,
+        bm25_scores_auto,
+        query_term_sets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qrows = (
+        docs.where(F.col("doc_id") < BMAUTO_N_QUERIES)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    term_sets = [
+        (q, ts)
+        for q, ts in query_term_sets(
+            [(r["doc_id"], r["text"]) for r in qrows], BMAUTO_TERMS
+        )
+        if ts
+    ]
+    union_terms: list[str] = []
+    for _, ts in term_sets:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    model, avgdl = bm25_fit(docs, union_terms, "text")
+    idf = dict(model)
+    qmodels = [(int(q), [(t, idf[t]) for t in ts]) for q, ts in term_sets]
+    scored = bm25_scores_auto(
+        docs, qmodels, avgdl, "text", "doc_id", k1=BM25_K1, b=BM25_B
+    )
+    return group_topk(
+        scored,
+        ["query_id"],
+        [F.col("bm25").desc(), F.col("doc_id")],
+        BMAUTO_K,
+        keep_rank=True,
+    ).orderBy("query_id", "rank")
+
+
 def q_dsir_weights(spark, sf_dir):
     # DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed
     # uni+bigram bag-of-buckets models for the target subcorpus
@@ -3593,6 +3655,7 @@ BRANCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "hybrid_retrieval": q_hybrid_retrieval,
     "hybrid_inverted": q_hybrid_inverted,
+    "bm25_auto": q_bm25_auto,
     "hard_negatives": q_hard_negatives,
     "embedding_neardup": q_embedding_neardup,
     "event_time_windows": q_event_time_windows,
@@ -6244,6 +6307,113 @@ if _hybrid_inv_sql is not None:
     ORACLES["hybrid_inverted"] = _hybrid_inv_sql
 
 
+def _bm25_auto_oracle_sql() -> str | None:
+    """Replay of q_bm25_auto: same driver-side query-term selection
+    (shared query_term_sets on the same texts), df/avgdl recomputed in
+    DuckDB with the idf literals through the same ``math.log``, each
+    query's literal score chain in ITS term order over the shared
+    tokenized CTE, matched filter ``bm25 > 0`` (the auto/inverted
+    contract), then row_number top-BMAUTO_K per query. Same
+    unreadable-data guard as the hybrid replay."""
+    import math
+    import os
+
+    import duckdb as _dd
+
+    from merchant_classification_spark.operators.retrieval import (
+        query_term_sets,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        con = _dd.connect()
+        qtexts = con.sql(
+            f"SELECT doc_id, text FROM read_parquet('{path}') "
+            f"WHERE doc_id < {BMAUTO_N_QUERIES} ORDER BY doc_id"
+        ).fetchall()
+        term_sets = [
+            (q, ts)
+            for q, ts in query_term_sets(list(qtexts), BMAUTO_TERMS)
+            if ts
+        ]
+        union_terms: list[str] = []
+        for _, ts in term_sets:
+            for t in ts:
+                if t not in union_terms:
+                    union_terms.append(t)
+        if not union_terms:
+            con.close()
+            return None
+
+        def esc(t: str) -> str:
+            return t.replace("'", "''")
+
+        flags = ", ".join(
+            f"CAST(sum(CASE WHEN list_contains(toks, '{esc(t)}') THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+            for i, t in enumerate(union_terms)
+        )
+        row = con.sql(
+            f"""
+            WITH d AS (SELECT text FROM read_parquet('{path}')),
+            t AS (SELECT {_SQL_TOKENS} AS toks FROM d)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS dl_sum,
+                   {flags}
+            FROM t
+            """
+        ).fetchall()[0]
+        con.close()
+    except Exception:
+        return None
+    n = int(row[0])
+    if n == 0:
+        return None
+    avgdl = float(row[1]) / float(n)
+    idf = {
+        t: math.log(1.0 + (n - int(row[2 + i]) + 0.5) / (int(row[2 + i]) + 0.5))
+        for i, t in enumerate(union_terms)
+    }
+    k1, b = BM25_K1, BM25_B
+    norm = (
+        f"{_dlit(k1)} * ({_dlit(1.0 - b)} + {_dlit(b)} * "
+        f"(CAST(len(toks) AS DOUBLE) / {_dlit(avgdl)}))"
+    )
+    branches = []
+    for qid, ts in term_sets:
+        score = "0.0e0"
+        for term in ts:
+            tf = f"CAST(len(list_filter(toks, x -> x = '{esc(term)}')) AS DOUBLE)"
+            score = (
+                f"({score} + {_dlit(idf[term])} * {tf} * {_dlit(k1 + 1.0)}"
+                f" / ({tf} + nrm))"
+            )
+        branches.append(
+            f"SELECT CAST({int(qid)} AS BIGINT) AS query_id, doc_id,"
+            f" {score} AS bm25 FROM w"
+        )
+    lexall = "\nUNION ALL\n".join(branches)
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        w AS (SELECT doc_id, toks, {norm} AS nrm FROM t),
+        lexall AS (SELECT * FROM (\n{lexall}\n) WHERE bm25 > 0.0e0)
+        SELECT query_id, doc_id, bm25, rank FROM (
+            SELECT query_id, doc_id, bm25,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+            FROM lexall
+        ) WHERE rank <= {BMAUTO_K}
+        ORDER BY query_id, rank
+    """
+
+
+_bm25_auto_sql = _bm25_auto_oracle_sql()
+if _bm25_auto_sql is not None:
+    ORACLES["bm25_auto"] = _bm25_auto_sql
+
+
 #: pack budget for the BPE-token packing probe (bpe_pack)
 BPE_PACK_BUDGET = 512
 
@@ -7832,6 +8002,11 @@ if "hybrid_retrieval" in ORACLES:
 # matched pairs; same guard.
 if "hybrid_inverted" in ORACLES:
     SUITES["vocab_suite"].append("hybrid_inverted")
+# the auto-dispatcher AT the crossover (round 11): a 24-query batch
+# through bm25_scores_auto grades the production dispatch path itself
+# (inverted branch + matched-pairs contract + top-k); same guard.
+if "bm25_auto" in ORACLES:
+    SUITES["vocab_suite"].append("bm25_auto")
 # CCNet-style curated-vs-crawl quality classifier joins the same suite
 # (round 7): the oracle recomputes the md5-ranked training sample in
 # DuckDB, shares the deterministic pure-Python LR fit, and replays
