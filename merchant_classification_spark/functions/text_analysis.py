@@ -521,10 +521,24 @@ def bigram_backoff_model(
     the Python-computed literals, so an external oracle replaying the
     same integer counts is bit-exact.
 
-    Scale shape: the unigram fit of :func:`unigram_model` plus ONE more
-    explode-pairs + map-side-combined count aggregate and one
-    TakeOrderedAndProject top-k — driver materialization stays
-    ``top_k + top_k2`` rows.
+    Scale shape (round 11): ONE corpus pass fits BOTH tables — each
+    row tokenizes once (bound via the one-element-array transform
+    trick) and explodes its n unigram positions tagged ``w2 = NULL``
+    concatenated with its n−1 bigram positions, into a single
+    map-side-combined (w₁, w₂) count aggregate. The persisted counts
+    frame (|vocab| + |distinct bigrams| rows — tiny next to the
+    corpus) then serves the three bounded driver actions (totals,
+    unigram top-k, bigram top-k2). The previous shape ran TWO corpus
+    passes, each re-tokenizing — the regex tokenize was the dominant
+    cost, making this the bench's most expensive member (6.8 s at
+    sf0.1; the round-10 verdict's item #7). Trade-off, pinned
+    deliberately: the single shuffle now carries ALL distinct bigrams
+    where the two-pass form pre-filtered to w₁ ∈ top-k before its
+    second shuffle — at scale the corpus re-scan dwarfs the extra
+    distinct-pair shuffle rows (map-side combine bounds them per
+    partition), so one pass wins. Integer counts and identical
+    tie-break orders make the fitted tables — and every downstream
+    double — bit-identical to the two-pass form (test-asserted).
     """
     import math
 
@@ -532,48 +546,64 @@ def bigram_backoff_model(
         raise ValueError("top_k and top_k2 must be positive")
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1]")
-    # inline the unigram fit (same math and tie-breaks as
-    # :func:`unigram_model`, asserted by tests) so the counts pass runs
-    # once and the integer counts stay available for c(w₁)
-    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
-    try:
-        tot = counts.agg(
-            F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
-            F.count(F.lit(1)).alias("v"),
-        ).collect()[0]
-        n_tot, v = int(tot["n"]), int(tot["v"])
-        top = counts.orderBy(F.col("c").desc(), "tok").limit(top_k).collect()
-    finally:
-        counts.unpersist(blocking=False)
-    denom = float(n_tot + v + 1)
-    uni_model = [
-        (r["tok"], math.log((int(r["c"]) + 1) / denom)) for r in top
-    ]
-    oov_lp = math.log(1.0 / denom)
-    prev_c = {r["tok"]: int(r["c"]) for r in top}
-    pair_col = F.element_at(
+    # one tokenize per row feeding both counts: unigram positions are
+    # tagged with a NULL w2, bigram positions carry (w1, w2)
+    combo_col = F.element_at(
         F.transform(
             F.array(tokens(text_col)),
-            lambda t: F.zip_with(
-                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            lambda t: F.concat(
+                F.transform(
+                    t,
+                    lambda a: F.struct(
+                        a.alias("w1"),
+                        F.lit(None).cast("string").alias("w2"),
+                    ),
+                ),
+                F.zip_with(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
             ),
         ),
         1,
     )
-    pairs = df.select(F.explode(pair_col).alias("p")).select(
-        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
-    top_bi = (
-        pairs.where(F.col("w1").isin(*prev_c.keys()))
-        .groupBy("w1", "w2")
+    counts = (
+        df.select(F.explode(combo_col).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), "w1", "w2")
-        .limit(top_k2)
-        .collect()
+        .persist()
     )
+    try:
+        uni_counts = counts.where(F.col("w2").isNull())
+        # same math and tie-breaks as :func:`unigram_model`
+        # (test-asserted), integer counts available for c(w₁)
+        tot = uni_counts.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+            F.count(F.lit(1)).alias("v"),
+        ).collect()[0]
+        n_tot, v = int(tot["n"]), int(tot["v"])
+        top = (
+            uni_counts.orderBy(F.col("c").desc(), "w1")
+            .limit(top_k)
+            .collect()
+        )
+        denom = float(n_tot + v + 1)
+        uni_model = [
+            (r["w1"], math.log((int(r["c"]) + 1) / denom)) for r in top
+        ]
+        oov_lp = math.log(1.0 / denom)
+        prev_c = {r["w1"]: int(r["c"]) for r in top}
+        top_bi = (
+            counts.where(
+                F.col("w2").isNotNull() & F.col("w1").isin(*prev_c.keys())
+            )
+            .orderBy(F.col("c").desc(), "w1", "w2")
+            .limit(top_k2)
+            .collect()
+        )
+    finally:
+        counts.unpersist(blocking=False)
     bigram_model = [
         (
             r["w1"] + _BIGRAM_SEP + r["w2"],
