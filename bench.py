@@ -308,13 +308,15 @@ def main() -> None:
     # logic mirrors the ingest probe: one retry-batch on breach, then
     # nonzero exit — the regression it exists to catch is a lost
     # broadcast/pushdown in the serving join (~10x), not drift.
-    # floor calibration (round 10): warmed steady-state measures
-    # 75-92 q/s at sf0.1 (256-query batches, ~3 s/trigger — fixed
-    # per-trigger cost dominates at this index size); the floor sits
-    # well under that band but an order of magnitude above what a lost
-    # broadcast in the serving join would leave
+    # floor calibration (round 11, index cached via ServingIndex):
+    # warmed steady-state measures ~100-110 q/s at sf0.1 (256-query
+    # batches, ~2.3 s/trigger — the cost is now the scoring plan's
+    # ~3.8M candidate ADC evaluations + its two top-k stages, not the
+    # removed per-trigger index re-read, which was ~3 s on its own);
+    # the floor sits at half the cold-side band but far above what a
+    # lost broadcast or a re-appearing file re-scan would leave
     ann_qps = None
-    ann_floor = float(os.environ.get("SPARK_GRAFT_ANN_SERVE_FLOOR", "25"))
+    ann_floor = float(os.environ.get("SPARK_GRAFT_ANN_SERVE_FLOOR", "50"))
     ann_floor_violated = False
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         try:

@@ -1232,24 +1232,43 @@ def pq_search(
         F.col(query_id).alias("query_id"),
         to_double_array(query_vec).alias("qv"),
     )
+    # probe-cell selection is MAP-SIDE (round 11): the per-query
+    # candidate set is the tiny coarse-centroid array, so sorting
+    # (d², cell) structs with array_sort and slicing the first n_probe
+    # replaces the previous group_topk — a window SHUFFLE over
+    # |queries|·n_centroids rows — with a per-row expression. Struct
+    # comparison is field-by-field, so the order is exactly the old
+    # (_d2 asc, cell asc) and the selected set is identical; at serving
+    # scale this removes one whole stage from every trigger.
     qd = q.select(
         "query_id",
         "qv",
-        F.posexplode(centroid_sq_dists(F.col("qv"), coarse)).alias(
-            "_pos", "_d2"
-        ),
-    ).withColumn("cell", (F.col("_pos") + 1).cast("int"))
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        centroid_sq_dists(F.col("qv"), coarse),
+                        lambda d, i: F.struct(
+                            d.alias("_d2"),
+                            (i + 1).cast("int").alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("_p"),
+    ).select(
+        "query_id", "qv", F.col("_p._d2").alias("_d2"), F.col("_p.cell").alias("cell")
+    )
     lut_input = (
         residual_vec(F.col("qv"), F.col("cell"), coarse)
         if residual
         else F.col("qv")
     )
-    probes = group_topk(
-        qd,
-        ["query_id"],
-        [F.col("_d2").asc(), F.col("cell").asc()],
-        n_probe,
-    ).select("query_id", pq_lut(lut_input, books).alias("lut"), "cell")
+    probes = qd.select(
+        "query_id", pq_lut(lut_input, books).alias("lut"), "cell"
+    )
 
     scored = (
         assigned.join(F.broadcast(probes), "cell")

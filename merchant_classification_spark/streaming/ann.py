@@ -168,6 +168,10 @@ def score_queries_batch(
         query_id=query_id,
         query_vec=query_vec,
     )
+    # NOT coalesce(1): it would collapse the final top-k stage to one
+    # task (coalesce propagates into its whole stage) — A/B'd at the
+    # bench shape and the steady-state rate DROPPED ~110 → ~75 q/s;
+    # the 32 small output files are the cheaper side of that trade
     out.write.mode("overwrite").parquet(
         os.path.join(out_path, f"batch_id={int(batch_id)}")
     )

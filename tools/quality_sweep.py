@@ -34,9 +34,12 @@ from tools.quality_report import _fit_eval, synth_corpus
 #:   char36-17 (maxn=6)                            -> 0.9475 / 0.871
 #: every axis plateaus at ~0.95 avg / ~0.87 q05: the residual gap to the
 #: published ~0.97/~0.90 is this corpus's deliberately harsher
-#: degradation mix (~2.3% irreducible: mention-free rows + label noise;
-#: plus 2% first-word-only mentions whose 20-word vocabulary collides
-#: across classes), not a modelling shortfall the tuning axes can reach.
+#: degradation mix, not a modelling shortfall the tuning axes can
+#: reach. Round 11 MEASURED the ceiling (tools/quality_ceiling.py): a
+#: generator-aware Bayes-oracle on the identical test split scores
+#: 0.9573 avg / 0.90 q05 (mention-free rows ~0 acc, first-word rows
+#: 0.15, label noise 0.0069 off the full-mention bucket), so
+#: BEST_CONFIG's 0.950 sits 0.7pp under Bayes-optimal.
 CONFIGS: list[dict] = [
     {"name": "char35-17-80it", "ngram_max": 2, "num_features": 1 << 17,
      "max_iter": 80, "char_ngram_min": 3, "char_ngram_max": 5},

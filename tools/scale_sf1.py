@@ -127,6 +127,8 @@ HEAVY = [
     ("diversity_sample", "cluster-balanced diversity cap"),
     ("hybrid_retrieval", "BM25 + cosine reciprocal rank fusion"),
     ("hybrid_inverted", "inverted-index BM25 leg + RRF fusion"),
+    # round-11 addition: the auto-dispatcher graded at the crossover
+    ("bm25_auto", "auto-dispatch BM25, 24-query inverted leg"),
 ]
 # probes whose inputs exist in the derived dir
 DERIVED_TABLES = {
@@ -451,7 +453,19 @@ def main() -> None:
         "0.8750 / 0.70 at the graded dial) kept RAW as the ann_pq\n"
         "default: the synthetic vectors are weakly clustered, so the\n"
         "coarse quantizer leaves the residual codebooks nothing extra\n"
-        "to model; the flag ships for corpora with real structure.\n\n",
+        "to model; the flag ships for corpora with real structure.\n"
+        "Round 11 ran the next recall lever from the literature under\n"
+        "the same adopt-on-evidence discipline: a parametric-OPQ\n"
+        "rotation (PCA + balanced eigenvalue allocation, Ge et al.\n"
+        "CVPR 2013; operators/similarity.py fit_opq_rotation, fitted on\n"
+        "the same deterministic stride sample, orthonormality and\n"
+        "determinism test-asserted) measured at the identical graded\n"
+        "dial via tools/opq_ab.py: raw 0.8625 avg / 0.80 min recall@10\n"
+        "vs OPQ-rotated 0.8438 / 0.70 — REJECTED, raw stays the\n"
+        "default, for the same structural reason (near-isotropic\n"
+        "synthetic embeddings give the rotation no correlated variance\n"
+        "to rebalance, so it only perturbs the codebook geometry). The\n"
+        "rotation ships for corpora with anisotropic structure.\n\n",
         "| probe | family | sf0.1 | sf1 (derived) | alpha | verdict |\n",
         "|---|---|---|---|---|---|\n",
     ]
