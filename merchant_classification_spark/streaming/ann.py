@@ -80,6 +80,13 @@ class ServingIndex:
         df.count()  # eager: pay the file scan now, not per trigger
         return df
 
+    def load(self) -> "ServingIndex":
+        """Pin index (and refine corpus, when configured) now — the
+        explicit stream-start hook; accessors self-load lazily too."""
+        self.index()
+        self.data()
+        return self
+
     def index(self) -> DataFrame:
         if self._index is None:
             from merchant_classification_spark.operators.similarity import (
@@ -222,9 +229,7 @@ def start_ann_stream(
             data_path if refine_factor is not None else None,
         )
     if serving_index is not None:
-        serving_index.index()  # pay the file scan before the first trigger
-        if refine_factor is not None:
-            serving_index.data()
+        serving_index.load()  # pay the file scan before the first trigger
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         score_queries_batch(
