@@ -333,3 +333,64 @@ def test_refresh_picks_up_appended_partition(spark, tmp_path):
     ids = {r["vec_id"] for r in read_pq_index(spark, index_path).collect()}
     assert ids == set(range(200)) | set(range(1_000, 1_050))
     idx.close()
+
+
+def test_index_ingest_stream_matches_full_encode_and_refreshes_server(
+    spark, tmp_path
+):
+    """start_index_ingest: vectors streaming in land as their own
+    batch_id partitions (checkpointed id = partition key, replay-safe),
+    the merged layout is row-identical to a one-shot encode of
+    everything ingested, and a wired ServingIndex sees each append
+    without restart (refresh-on-append)."""
+    from merchant_classification_spark.operators.similarity import (
+        pq_encode,
+        read_pq_index,
+    )
+    from merchant_classification_spark.streaming.ann import (
+        ServingIndex,
+        start_index_ingest,
+    )
+
+    base = str(tmp_path)
+    index_path = os.path.join(base, "index")
+    vsrc = os.path.join(base, "vectors")
+    ckpt = os.path.join(base, f"ckpt-{uuid.uuid4().hex}")
+
+    corpus = _vectors(spark, 200)
+    kw = dict(n_centroids=4, n_subspaces=4, n_codes=8, fit_target=64)
+    coarse, books = pq_fit(corpus, **kw)
+
+    first = _vectors(spark, 120)
+    first.coalesce(1).write.mode("append").parquet(vsrc)
+    serving = ServingIndex(spark, index_path)
+
+    def ingest():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(vsrc)
+        start_index_ingest(
+            stream, index_path, coarse, books, ckpt,
+            serving_index=serving,
+        ).awaitTermination()
+
+    ingest()
+    assert serving.index().count() == 120
+
+    second = _vectors(spark, 80, seed=21, id_start=5_000)
+    second.coalesce(1).write.mode("append").parquet(vsrc)
+    ingest()
+    assert serving.index().count() == 200  # refresh-on-append, no restart
+
+    merged = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in read_pq_index(spark, index_path).collect()
+    }
+    full = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in pq_encode(
+            first.unionByName(second), coarse, books
+        ).collect()
+    }
+    assert merged == full
+    serving.close()
