@@ -553,3 +553,64 @@ def test_dsir_features_match_python(spark, docs):
         for r in df.select("doc_id", _dsir_features("text").alias("f")).collect()
     }
     assert got == {i: feats(t) for i, t in enumerate(docs)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_doc, min_size=0, max_size=8),
+    top_k=st.integers(min_value=1, max_value=6),
+    top_k2=st.integers(min_value=1, max_value=8),
+)
+def test_bigram_backoff_fit_matches_pure_python(spark, docs, top_k, top_k2):
+    """The round-11 single-pass bigram fit must equal a pure-Python
+    replay of the contract on arbitrary corpora: add-one unigram table
+    over the top_k tokens (count desc, token asc), bigram table of the
+    top_k2 (count desc, pair asc) pairs whose FIRST word is in the
+    unigram top-k, scores log(c(w1w2)/c(w1)) — the guard that the
+    combined NULL-tagged explode counts exactly what two passes did."""
+    import math
+    import re
+    from collections import Counter
+
+    from merchant_classification_spark.functions.text_analysis import (
+        _BIGRAM_SEP,
+        bigram_backoff_model,
+    )
+
+    def toks(text):
+        cleaned = re.sub(r"[^a-z0-9']+", " ", (text or "").lower()).strip()
+        return cleaned.split(" ") if cleaned else []
+
+    uni_c: Counter = Counter()
+    bi_c: Counter = Counter()
+    for d in docs:
+        t = toks(d)
+        uni_c.update(t)
+        bi_c.update(zip(t, t[1:]))
+    n_tot, v = sum(uni_c.values()), len(uni_c)
+    denom = float(n_tot + v + 1)
+    top = sorted(uni_c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    want_uni = [(w, math.log((c + 1) / denom)) for w, c in top]
+    prev = dict(top)
+    top_bi = sorted(
+        ((p, c) for p, c in bi_c.items() if p[0] in prev),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:top_k2]
+    want_bi = [
+        (a + _BIGRAM_SEP + b, math.log(c / prev[a])) for (a, b), c in top_bi
+    ]
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)] or [(0, None)],
+        "doc_id long, text string",
+    )
+    uni, bi, oov, la = bigram_backoff_model(
+        df, "text", top_k=top_k, top_k2=top_k2, alpha=0.4
+    )
+    assert uni == want_uni
+    assert bi == want_bi
+    assert oov == math.log(1.0 / denom)
