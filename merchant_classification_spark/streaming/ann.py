@@ -66,10 +66,12 @@ class ServingIndex:
         spark: SparkSession,
         index_path: str,
         data_path: str | None = None,
+        cache_data: bool = True,
     ) -> None:
         self._spark = spark
         self.index_path = index_path
         self.data_path = data_path
+        self.cache_data = cache_data
         self._index: DataFrame | None = None
         self._data: DataFrame | None = None
 
@@ -97,10 +99,19 @@ class ServingIndex:
         return self._index
 
     def data(self) -> DataFrame | None:
+        """Raw-vector table for the refine fetch. Pinned by default —
+        the right call while the corpus fits executor storage — but the
+        INDEX and the CORPUS sit on opposite sides of the 32× PQ
+        compression, so at large corpus sizes pass ``cache_data=False``
+        (fresh pruned scan per trigger) or, better, serve ADC-only
+        (``refine_factor=None`` never touches the corpus at all) and
+        rescore against a point-lookup store outside Spark — pinning
+        100 TB of fp32 vectors is not a plan."""
         if self.data_path is None:
             return None
         if self._data is None:
-            self._data = self._pin(self._spark.read.parquet(self.data_path))
+            df = self._spark.read.parquet(self.data_path)
+            self._data = self._pin(df) if self.cache_data else df
         return self._data
 
     def refresh(self) -> None:

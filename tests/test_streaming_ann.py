@@ -394,3 +394,31 @@ def test_index_ingest_stream_matches_full_encode_and_refreshes_server(
     }
     assert merged == full
     serving.close()
+
+
+def test_cache_data_knob_controls_corpus_pinning(spark, tmp_path):
+    """cache_data=False keeps the refine corpus un-pinned (the large-
+    corpus posture: fresh scan per trigger / ADC-only serving); the
+    index itself is always pinned — it is the 32x-compressed side."""
+    from merchant_classification_spark.streaming.ann import ServingIndex
+
+    base = str(tmp_path)
+    data_path = os.path.join(base, "corpus")
+    index_path = os.path.join(base, "index")
+    corpus = _vectors(spark, 100)
+    corpus.write.mode("overwrite").parquet(data_path)
+    kw = dict(n_centroids=4, n_subspaces=4, n_codes=8, fit_target=64)
+    coarse, books = pq_fit(corpus, **kw)
+    pq_encode(corpus, coarse, books).write.mode("overwrite").parquet(
+        index_path
+    )
+    pinned = ServingIndex(spark, index_path, data_path).load()
+    assert pinned.index().storageLevel.useMemory
+    assert pinned.data().storageLevel.useMemory
+    pinned.close()
+    lazy = ServingIndex(
+        spark, index_path, data_path, cache_data=False
+    ).load()
+    assert lazy.index().storageLevel.useMemory
+    assert not lazy.data().storageLevel.useMemory
+    lazy.close()
