@@ -132,7 +132,10 @@ def _streaming_throughput(
 
     if warmup_rows:
         one_batch(warmup_rows)
-    return round(rows / one_batch(rows), 1)
+    # best of two timed batches — same tripwire-not-drift-detector
+    # estimator as the serving probe (round 11): one clean-session run
+    # measured 25.8k on its first draw and 53.0k on the retry
+    return round(rows / min(one_batch(rows), one_batch(rows)), 1)
 
 
 def _streaming_ann_serve_rate(
