@@ -46,30 +46,88 @@ PYTHON_OK = {
 }
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = build_session(app_name="plan-audit")
-    bad = []
+#: declared queries where a nested-loop/cartesian operator is the
+#: DESIGN, not a smell — every one is a broadcast-small-side crossJoin
+#: by construction (brute-force ANN scoring a bounded query set against
+#: the corpus, and its exact-twin recall annotations): the driver side
+#: is a literal/bounded frame, so the "nested loop" is a map-side
+#: broadcast scan, not an |A|x|B| shuffle explosion. Anything else
+#: showing CartesianProduct/BroadcastNestedLoopJoin fails the audit.
+CARTESIAN_OK = {
+    "ann_exact_suite",   # brute_force_topk + int8 twin + hard negatives
+    "ann_lsh",           # recall annotation joins the exact twin
+    "ann_ivf",           # same
+    "ann_pq",            # same
+    "embedding_suite",   # semantic-dedup centroid assignment
+    "vocab_suite",       # hybrid members' cosine leg (brute_force_topk)
+    "dedup_suite",       # corpus_funnel's embedding stage
+    # scalar-subquery riders: a 1-row aggregate broadcast against the
+    # fact scan compiles to BroadcastNestedLoopJoin — the standard
+    # Catalyst shape for "compare to the global avg/total" predicates,
+    # map-side by construction (the nested side is one row)
+    "quantile_suite",    # grouped-exact-quantile vs global-stat rider
+    "tpch_agg_suite",    # Q11-style fraction-of-total threshold
+    "tpch_sub2_suite",   # Q22-style avg-balance scalar subquery
+    "tpch_exists_suite", # (NOT) EXISTS decorrelation residuals
+    "overlap_suite",     # decontamination global-rate riders
+    # the ONE documented bounded all-pairs block: the short-string band
+    # below Ed-Join's gram length floor, |band| <= q*k + q - 1 rows by
+    # the length filter (operators/dedup.py; SCALING.md "Adversarial
+    # bound") — cross within a bounded band, not corpus x corpus
+    "neardup_pairs_suite",
+}
+
+
+def audit(spark, sf_dir: str) -> tuple[list[dict], list[str]]:
+    """Run the plan audit over every declared query; returns
+    (records, violations). A violation is an unexpected Python stage,
+    an unexpected cartesian/nested-loop join, or a query that fails to
+    build its plan."""
+    records: list[dict] = []
+    bad: list[str] = []
     for name, fn in entry_mod.queries().items():
         try:
             df = fn(spark, sf_dir)
             plan = explain_str(df)
-            n_ex = count_exchanges(df)
-            bcast = plan.count("BroadcastHashJoin")
-            pushed = len(pushed_filters(df))
-            py = has_python_stage(df)
-            flag = "PY!" if py and name not in PYTHON_OK else "   "
-            print(
-                f"{flag} {name:26s} exchanges={n_ex:2d} broadcast_joins={bcast}"
-                f" pushed_filters={pushed} python={py}"
-            )
-            if py and name not in PYTHON_OK:
-                bad.append(name)
+            rec = {
+                "name": name,
+                "exchanges": count_exchanges(df),
+                "broadcast_joins": plan.count("BroadcastHashJoin"),
+                "pushed_filters": len(pushed_filters(df)),
+                "python": has_python_stage(df),
+                "cartesian": (
+                    plan.count("CartesianProduct")
+                    + plan.count("BroadcastNestedLoopJoin")
+                ),
+            }
+            records.append(rec)
+            if rec["python"] and name not in PYTHON_OK:
+                bad.append(f"{name}: unexpected Python stage")
+            if rec["cartesian"] and name not in CARTESIAN_OK:
+                bad.append(f"{name}: unexpected cartesian/nested-loop join")
         except Exception as e:  # noqa: BLE001
-            print(f"ERR {name:26s} {type(e).__name__}: {e}")
-            bad.append(name)
+            records.append({"name": name, "error": f"{type(e).__name__}: {e}"})
+            bad.append(f"{name}: {type(e).__name__}: {e}")
+    return records, bad
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = build_session(app_name="plan-audit")
+    records, bad = audit(spark, sf_dir)
+    for r in records:
+        if "error" in r:
+            print(f"ERR {r['name']:26s} {r['error']}")
+            continue
+        flag = "!! " if any(b.startswith(r["name"] + ":") for b in bad) else "   "
+        print(
+            f"{flag}{r['name']:26s} exchanges={r['exchanges']:2d}"
+            f" broadcast_joins={r['broadcast_joins']}"
+            f" pushed_filters={r['pushed_filters']} python={r['python']}"
+            f" cartesian={r['cartesian']}"
+        )
     if bad:
-        print("\nqueries with unexpected Python stages or errors:", bad)
+        print("\nplan-audit violations:", bad)
         sys.exit(1)
     print("\nplan audit clean")
 
