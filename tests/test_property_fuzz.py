@@ -614,3 +614,65 @@ def test_bigram_backoff_fit_matches_pure_python(spark, docs, top_k, top_k2):
     assert uni == want_uni
     assert bi == want_bi
     assert oov == math.log(1.0 / denom)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cuts=st.lists(
+        st.integers(min_value=1, max_value=59), min_size=0, max_size=3, unique=True
+    ),
+    replay=st.integers(min_value=0, max_value=3),
+)
+def test_pq_index_append_any_split_matches_full_encode(spark, cuts, replay):
+    """Incremental-index contract under arbitrary batch splits: cut 60
+    vectors at any boundaries, land each slice as its own batch
+    partition (replaying one slice again at random — the retry
+    hazard), and the merged layout must equal the one-shot encode."""
+    import random as _random
+    import tempfile
+
+    from merchant_classification_spark.operators.similarity import (
+        _fit_pq_codebooks,
+        _deterministic_kmeans,
+        deterministic_fit_sample,
+        pq_encode,
+        pq_index_append,
+        read_pq_index,
+    )
+
+    rng = _random.Random(5)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fit = deterministic_fit_sample(df, 32)
+    coarse = _deterministic_kmeans(fit, 4, 5)
+    books = _fit_pq_codebooks(fit, 2, 4, 5)
+
+    bounds = [0] + sorted(cuts) + [60]
+    with tempfile.TemporaryDirectory() as index_path:
+        from pyspark.sql import functions as F
+
+        slices = list(zip(bounds, bounds[1:]))
+        for bid, (lo, hi) in enumerate(slices):
+            part = df.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            pq_index_append(part, coarse, books, index_path, batch_id=bid)
+        rb = replay % len(slices)
+        lo, hi = slices[rb]
+        pq_index_append(
+            df.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            coarse, books, index_path, batch_id=rb,
+        )
+        merged = {
+            r["vec_id"]: (r["cell"], list(r["codes"]))
+            for r in read_pq_index(spark, index_path).collect()
+        }
+    full = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in pq_encode(df, coarse, books).collect()
+    }
+    assert merged == full
