@@ -35,8 +35,16 @@ from merchant_classification_spark.sources import load_table
 SF0001 = "/root/testdata/sf0.001"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, split: bool = False
+) -> DataFrame:
+    """Load a test table; ``split=True`` adds the scan-split exchange
+    (sources/tables.py ``split_scan``) — opted into ONLY by queries whose
+    per-row map work dominates the extra shuffle of the input bytes
+    (regex/tokenize/model-scoring/ANN tiers), never by the rand(seed)
+    samplers (partition-sensitive) or by sub-second aggregates (the
+    exchange would cost more than it saves). See OPTIMIZATION_r11.md."""
+    return load_table(spark, sf_dir, name, split=split)
 
 
 # ---------------------------------------------------------------------------
@@ -540,7 +548,7 @@ def q_ngram_jaccard_neardup(spark, sf_dir):
     from merchant_classification_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "documents", split=True),
         "doc_id",
         "text",
         threshold=0.6,
@@ -562,7 +570,7 @@ def q_etl_clean_format(spark, sf_dir):
 
     # no trailing sort (see q_clean_narrative): with an orderBy at the
     # end, the range sampler re-ran the whole regex chain — measured 2x
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", split=True)
     narrative = F.concat(
         F.col("o_orderpriority"),
         F.lit(" *pay "),
@@ -598,7 +606,7 @@ EMB_DIM = 64
 def q_ann_bruteforce(spark, sf_dir):
     from merchant_classification_spark.operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -616,7 +624,7 @@ def q_hard_negatives(spark, sf_dir):
         hard_negative_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -642,7 +650,7 @@ def q_embedding_neardup(spark, sf_dir):
     # recomputing them per pair, since it is the same arithmetic on the
     # same input — and exactly how the oracle's CTE does it); the n²/2
     # pair stage then folds each vector pair once (dot), not three times
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < NEARDUP_MAX_ID)
+    emb = _t(spark, sf_dir, "embeddings", split=True).where(F.col("vec_id") < NEARDUP_MAX_ID)
     emb = emb.select(
         F.col("vec_id"),
         to_double_array("embedding").alias("v"),
@@ -705,7 +713,7 @@ def q_minhash_neardup(spark, sf_dir):
     from merchant_classification_spark.operators.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.6, scheme="md5"
+        _t(spark, sf_dir, "documents", split=True), "doc_id", "text", threshold=0.6, scheme="md5"
     ).orderBy("id_a", "id_b")
 
 
@@ -720,7 +728,7 @@ def q_source_dup_matrix(spark, sf_dir):
         minhash_dedup_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", split=True)
     pairs = minhash_dedup_pairs(
         docs, "doc_id", "text", threshold=0.6, scheme="md5"
     )
@@ -733,7 +741,7 @@ def q_simhash_neardup(spark, sf_dir):
     from merchant_classification_spark.operators.dedup import simhash_dedup_pairs
 
     return simhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6, scheme="md5"
+        _t(spark, sf_dir, "documents", split=True), "doc_id", "text", max_hamming=6, scheme="md5"
     ).orderBy("id_a", "id_b")
 
 
@@ -746,7 +754,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), dim=EMB_DIM, threshold=NEARDUP_TAU, bits=6
+        _t(spark, sf_dir, "embeddings", split=True), dim=EMB_DIM, threshold=NEARDUP_TAU, bits=6
     ).orderBy("id_a", "id_b")
 
 
@@ -760,7 +768,7 @@ def q_ann_lsh(spark, sf_dir):
         with_recall_at_k,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -830,7 +838,7 @@ def q_ann_ivf(spark, sf_dir):
         with_recall_at_k,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -870,7 +878,7 @@ def q_semantic_dedup(spark, sf_dir):
         semantic_dedup_portable,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     return semantic_dedup_portable(
         emb,
         threshold=SEMDEDUP_TAU,
@@ -1234,7 +1242,7 @@ def q_repetition_scores(spark, sf_dir):
     )
 
     # no trailing sort: see q_clean_narrative
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", split=True)
     return repetition_scores(docs, "text", "doc_id")
 
 
@@ -1306,7 +1314,7 @@ def q_bigram_perplexity(spark, sf_dir):
         bigram_perplexity_scores,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", split=True)
     uni, bi, oov, la = bigram_backoff_model(
         docs, "text", BIPPLX_TOP_K, BIPPLX_TOP_K2, BIPPLX_ALPHA
     )
@@ -1539,7 +1547,7 @@ def q_pii_scrub(spark, sf_dir):
     from merchant_classification_spark.functions.pii import pii_counts, scrub_pii
 
     # no trailing sort: see q_clean_narrative
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", split=True)
     sid = F.col("doc_id").cast("string")
     injected = F.concat(
         F.col("text"),
@@ -1666,7 +1674,7 @@ def q_ann_quantized(spark, sf_dir):
         brute_force_topk_int8,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     qs = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -2842,7 +2850,7 @@ def q_dsir_weights(spark, sf_dir):
         dsir_scores,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", split=True)
     lr = dsir_logratios(
         docs, "text", F.col("lang") == DSIR_TARGET_LANG, DSIR_BUCKETS
     )
@@ -2905,7 +2913,7 @@ def q_lang_model(spark, sf_dir):
         lang_training_counts,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", split=True)
     samples = lang_training_counts(
         docs,
         "text",
@@ -2982,7 +2990,7 @@ def q_corpus_funnel(spark, sf_dir):
         prepare_corpus,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", split=True)
     samples = quality_training_counts(
         docs,
         "text",
@@ -3498,7 +3506,7 @@ def q_doc_winnow(spark, sf_dir):
     # deterministic 1-in-5 slice: the kernel check is per-doc, so a
     # pushed-down sample grades identically while keeping the md5-gram
     # pass (interpreted HOF, no codegen) a bounded share of the bench
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    docs = _t(spark, sf_dir, "documents", split=True).where(F.col("doc_id") % 5 == 0)
     return docs.withColumn("fps", winnow_fingerprints("text", 8, 4)).select(
         "doc_id",
         F.size("fps").cast("integer").alias("n_fps"),

@@ -32,8 +32,53 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+def split_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition of a freshly scanned table to engine
+    parallelism — the guide §2.5 "input skew" remedy ("one huge
+    unsplittable file ... repartition immediately after the read").
+
+    Why it exists: the test corpus is written as ONE parquet file with
+    ONE row group per table, and a row group is the atomic scan unit —
+    so every scan executes as a single non-empty task and any expensive
+    per-row work stacked on the scan (regex chains, tokenize+explode,
+    literal-model scoring, ANN distance folds) runs on one core while
+    the rest idle. Measured at sf0.1/local[32]: the narrative-cleaning
+    chain 6.9 s → 1.5 s, minhash banding 4.7 s → 2.0 s, the lang-model
+    fit+score 6.5 s → 3.2 s. On production multi-file tables the scan
+    splits naturally and this exchange is a no-op to ADD only where the
+    map work dominates the extra shuffle of the (small) input bytes.
+
+    Deliberately OPT-IN per call site (not a `load_table` default): the
+    exchange costs ~0.3-0.5 s on a 150k-row table, which would regress
+    every sub-second aggregate query, and rand(seed)-based samplers are
+    partition-SENSITIVE by construction (their sampled sets must not
+    change — `operators/sampling.py hash_percentile` documents the
+    hazard), so callers choose. Each candidate call site was A/B'd
+    off-vs-on back-to-back in one session (cross-session comparisons
+    drown in ambient drift): the 20 kept sites measured 0.36-0.90×,
+    the 24 losers (explode→broadcast-join→agg scorers, iterative
+    rep-assign/LR, prefix-sum packers) regressed 1.1-1.8× and stay
+    unsplit — numbers in OPTIMIZATION_r11.md. defaultParallelism
+    partitions (A/B-validated; 2× was no better); override with
+    $SPARK_GRAFT_SCAN_SPLIT (0 disables globally).
+    """
+    env = os.environ.get("SPARK_GRAFT_SCAN_SPLIT")
+    if env is not None:
+        n = int(env)
+        if n <= 0:
+            return df
+        return df.repartition(n)
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism)
+
+
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, format: str = "parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    format: str = "parquet",
+    split: bool = False,
 ) -> DataFrame:
     """Load one named table from an sf directory of parquet files.
 
@@ -67,6 +112,8 @@ def load_table(
             # functions (unix_micros, watermarks), so normalize. The cast
             # reinterprets the wall clock in the session tz — exact.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if split:
+        df = split_scan(df)
     return df
 
 

@@ -88,3 +88,45 @@ def test_orc_and_csv_roundtrip(spark, sf_dir, tmp_path):
         csv_path
     )
     assert sorted(map(tuple, back_csv.collect())) == rows
+
+
+def test_split_scan_preserves_rows_and_parallelizes(spark, sf_dir):
+    """split_scan (round 11) compensates for the corpus's single-row-
+    group parquet files (a row group is the atomic scan unit, so every
+    scan otherwise executes as ONE non-empty task): it must multiply
+    partitions to engine parallelism without touching content, and
+    $SPARK_GRAFT_SCAN_SPLIT=0 must disable it for perf triage."""
+    import os
+
+    from merchant_classification_spark.sources import load_table, split_scan
+
+    base = load_table(spark, sf_dir, "documents")
+    split = load_table(spark, sf_dir, "documents", split=True)
+    assert (
+        split.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # content identical (order-insensitive): same ids, same count
+    assert split.count() == base.count()
+    a = sorted(r[0] for r in base.select("doc_id").collect())
+    b = sorted(r[0] for r in split.select("doc_id").collect())
+    assert a == b
+    os.environ["SPARK_GRAFT_SCAN_SPLIT"] = "0"
+    try:
+        off = split_scan(load_table(spark, sf_dir, "documents"))
+        assert off.rdd.getNumPartitions() == base.rdd.getNumPartitions()
+    finally:
+        del os.environ["SPARK_GRAFT_SCAN_SPLIT"]
+
+
+def test_rand_seeded_samplers_stay_unsplit():
+    """The rand(seed) samplers are partition-SENSITIVE (rand is seeded
+    per partition index): their declared queries must never opt into
+    the scan split, or the sampled sets silently change. Source-level
+    pin for the two sampling_suite members."""
+    import inspect
+
+    import __spark_entry__ as entry
+
+    for fn in (entry.q_stratified_sample, entry.q_class_percentile_split):
+        assert "split=True" not in inspect.getsource(fn)
