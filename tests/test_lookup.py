@@ -83,3 +83,59 @@ def test_nested_literals_constant_fold(spark):
         .toString()
     )
     assert "array(array(" not in plan  # CreateArray(CreateArray(...)) gone
+
+
+def test_sql_literal_renderers_match_f_lit_bitwise(spark):
+    """Round 11 builds the nested table literals from SQL text (ONE
+    F.expr instead of one py4j call per element — ~300x cheaper to
+    construct). The renderers must reproduce F.lit exactly: strings
+    byte-for-byte through the non-legacy lexer's escaping, doubles
+    bit-for-bit through the repr round-trip."""
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    from merchant_classification_spark.functions.lookup import (
+        sql_double_lit,
+        sql_str_lit,
+    )
+
+    keys = [
+        "a'b",
+        "back\\slash",
+        "unié中",
+        "",
+        "tab\tnl\nquote''",
+        "plain_token",
+        "\\'\\'",
+    ]
+    vals = [
+        0.1,
+        -0.0,
+        5e-324,              # min subnormal
+        1.7976931348623157e308,  # max double
+        3.141592653589793,
+        -2.5e17,
+        float("inf"),
+        float("-inf"),
+        float("nan"),
+        -19.998877665544332,
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            F.array(*[F.lit(k) for k in keys]).alias("ok"),
+            F.expr(
+                "array(" + ",".join(sql_str_lit(k) for k in keys) + ")"
+            ).alias("nk"),
+            F.array(*[F.lit(v) for v in vals]).alias("ov"),
+            F.expr(
+                "array(" + ",".join(sql_double_lit(v) for v in vals) + ")"
+            ).alias("nv"),
+        )
+        .collect()[0]
+    )
+    assert row["ok"] == row["nk"]
+    pb = [st.pack(">d", x) for x in row["ov"]]
+    nb = [st.pack(">d", x) for x in row["nv"]]
+    assert pb == nb

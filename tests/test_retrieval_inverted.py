@@ -167,3 +167,90 @@ def test_auto_dispatch_shapes_identical_across_threshold(spark):
     inv_branch = rows(threshold=0)    # |q|=2 > 0  -> inverted
     assert lit_branch == inv_branch
     assert len(lit_branch) > 0
+
+
+def test_retrieval_multi_hof_identity(spark):
+    """Round 11 rebuilt bm25_scores_multi's scoring tree as HOFs over
+    literal arrays (plan-size/driver-cost optimization): its output
+    must stay BIT-identical to the original unrolled expression chain
+    — same tf cells, same ((idf·tf)·(k1+1))/(tf+norm) contributions,
+    same left-to-right 0.0-seeded fold. This pins the rolled form to
+    an inline unrolled reference on every (doc, query) pair."""
+    k1, b = 1.2, 0.75
+    docs = _corpus(spark)
+    qmodels, avgdl = _models(docs)
+    union_terms = []
+    for _, model in qmodels:
+        for term, _ in model:
+            if term not in union_terms:
+                union_terms.append(term)
+    t_ix = {term: i for i, term in enumerate(union_terms)}
+
+    from merchant_classification_spark.functions.text_analysis import tokens
+
+    def unrolled_reference(t):
+        # the pre-round-11 implementation, verbatim shape
+        dl = F.size(t)
+        norm = F.lit(float(k1)) * (
+            F.lit(1.0 - b)
+            + F.lit(float(b)) * (dl.cast("double") / F.lit(float(avgdl)))
+        )
+        tfs = F.array(
+            *[
+                F.size(F.filter(t, lambda x: x == F.lit(term))).cast(
+                    "double"
+                )
+                for term in union_terms
+            ]
+        )
+
+        def scores(bound):
+            tf_arr = bound["tfs"]
+            nrm = bound["norm"]
+            out = []
+            for qid, model in qmodels:
+                s = F.lit(0.0)
+                for term, idf in model:
+                    tf = F.element_at(tf_arr, t_ix[term] + 1)
+                    s = s + F.lit(float(idf)) * tf * F.lit(
+                        float(k1 + 1.0)
+                    ) / (tf + nrm)
+                out.append(
+                    F.struct(
+                        F.lit(int(qid)).cast("long").alias("query_id"),
+                        s.alias("bm25"),
+                    )
+                )
+            return F.array(*out)
+
+        return F.element_at(
+            F.transform(
+                F.array(F.struct(tfs.alias("tfs"), norm.alias("norm"))),
+                scores,
+            ),
+            1,
+        )
+
+    arr = F.element_at(
+        F.transform(F.array(tokens("text")), unrolled_reference), 1
+    )
+    ref = {
+        (r["doc_id"], r["query_id"]): r["bm25"].hex()
+        for r in docs.select(
+            F.col("doc_id"), F.explode(arr).alias("_e")
+        )
+        .select(
+            "doc_id",
+            F.col("_e")["query_id"].alias("query_id"),
+            F.col("_e")["bm25"].alias("bm25"),
+        )
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["query_id"]): r["bm25"].hex()
+        for r in bm25_scores_multi(
+            docs, qmodels, avgdl, "text", "doc_id", k1=k1, b=b
+        ).collect()
+    }
+    assert got == ref
+    assert len(got) == len(DOCS) * len(qmodels)
