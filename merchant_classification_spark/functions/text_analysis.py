@@ -44,6 +44,31 @@ def tokens(col: Column | str) -> Column:
     )
 
 
+def tokens_sql(col_sql: str) -> str:
+    """SQL-text twin of :func:`tokens` for plan-build-cost-critical
+    callers that render their whole expression as ONE ``F.expr`` string
+    (the ``bucketed_lookup`` discipline — a py4j round trip per
+    expression node costs ~1 ms on the driver; the SQL text parses in
+    ~ms and resolves to the same evaluation semantics).
+
+    ``col_sql`` is a SQL expression string (quote identifiers with
+    backticks). Token-for-token the same operations in the same order
+    as :func:`tokens`: coalesce→lower→regexp_replace→trim, empty guard,
+    split on single space. Bit-parity with :func:`tokens` is
+    fuzz-asserted in ``tests/test_retrieval_inverted.py``."""
+    from merchant_classification_spark.functions.lookup import sql_str_lit
+
+    pat = sql_str_lit(r"[^a-z0-9']+")
+    cleaned = (
+        f"trim(regexp_replace(lower(coalesce(CAST({col_sql} AS STRING), '')),"
+        f" {pat}, ' '))"
+    )
+    return (
+        f"CASE WHEN {cleaned} = '' THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split({cleaned}, ' ') END"
+    )
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (int)."""
     return F.size(tokens(col))

@@ -37,50 +37,58 @@ def bm25_fit(
 
     Scale shape: ONE aggregate pass — the token array is bound once per
     row (the ``transform(array(tokens), …)`` binding idiom, see
-    ``dedup.shingles``) into a struct carrying the doc length and one
-    ``array_contains`` flag per query term, then a single scalar
-    aggregate reduces to |terms| + 2 driver scalars (the
-    bounded-driver-scalar pattern). No explode, no shuffle beyond the
-    partial-aggregate merge.
+    ``dedup.shingles``) into a struct carrying the doc length and a
+    ROLLED per-term flags array (``transform`` over the term literal —
+    O(1) py4j round trips regardless of |terms|; the unrolled one-
+    ``array_contains``-column-per-term form cost ~0.6 s of pure driver
+    expression construction at 27 terms, round 11), then a single
+    scalar aggregate reduces to |terms| + 2 driver scalars (the
+    bounded-driver-scalar pattern — the per-term df sums ride as ONE
+    ``array(sum(...), …)`` aggregate rendered as SQL text). No explode,
+    no shuffle beyond the partial-aggregate merge. The returned model
+    floats depend only on these integer counts, so the restructuring
+    cannot move any downstream score by a bit.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
+    terms_lit = F.lit(list(query_terms))
     stats = F.element_at(
         F.transform(
             F.array(tokens(text_col)),
             lambda t: F.struct(
                 F.size(t).alias("dl"),
-                *[
-                    F.array_contains(t, term).alias(f"c{i}")
-                    for i, term in enumerate(query_terms)
-                ],
+                F.transform(
+                    terms_lit, lambda tm: F.array_contains(t, tm)
+                ).alias("flags"),
             ),
         ),
         1,
     )
     bound = df.select(stats.alias("_s"))
+    dfs_sql = (
+        "array("
+        + ",".join(
+            f"sum(if(_s.flags[{i}], 1, 0))" for i in range(len(query_terms))
+        )
+        + ")"
+    )
     row = bound.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.col("_s")["dl"]), F.lit(0)).alias("dl_sum"),
-        *[
-            F.sum(
-                F.when(F.col("_s")[f"c{i}"], 1).otherwise(0)
-            ).alias(f"df{i}")
-            for i in range(len(query_terms))
-        ],
+        F.expr(dfs_sql).alias("dfs"),
     ).collect()[0]
     n = int(row["n"])
     if n == 0:
         raise ValueError("cannot fit BM25 statistics on an empty corpus")
     avgdl = float(row["dl_sum"]) / float(n)
+    dfs = row["dfs"]
     model = [
         (
             term,
             math.log(
-                1.0
-                + (n - int(row[f"df{i}"]) + 0.5) / (int(row[f"df{i}"]) + 0.5)
+                1.0 + (n - int(dfs[i]) + 0.5) / (int(dfs[i]) + 0.5)
             ),
         )
         for i, term in enumerate(query_terms)
@@ -284,24 +292,34 @@ def bm25_scores_multi(
     shuffle bounded).
 
     Plan-size discipline (round 11): the tf array and the per-query
-    chains are built as higher-order functions over LITERAL arrays
+    chains are higher-order functions over LITERAL arrays
     (``transform`` over the union-term literal; ``zip_with`` of each
     query's (idf, tf-index) literal arrays folded with ``aggregate``),
-    not as O(|queries|·|union terms|) unrolled expression nodes. The
-    driver previously spent ~1.3 s per call building + analyzing the
-    unrolled tree at 8 queries (pure py4j/Catalyst cost, measured);
-    the HOF form builds in ~0.6 s and executes slightly faster. The
+    not O(|queries|·|union terms|) unrolled expression nodes — and the
+    WHOLE scoring expression is rendered as ONE SQL string
+    (``bucketed_lookup``'s discipline: the py4j/Column form of the same
+    HOF tree cost ~1.0 s per call at 8 queries and ~2.2 s at 24 in pure
+    driver round trips, measured; the SQL text parses in ~ms). The
     VALUES are unchanged bit-for-bit: element count/order, the
     ((idf·tf)·(k1+1))/(tf+norm) contribution shape, and the
     left-to-right 0.0-seeded fold are all identical IEEE operations in
     the identical order (pinned by test_retrieval_multi_hof_identity
-    against the unrolled reference).
+    against the unrolled pre-round-11 reference, plus the oracle's
+    bit-exact replay of hybrid_retrieval/bm25_auto).
     """
     if not query_models:
         raise ValueError("query_models must be non-empty")
     if avgdl <= 0:
         raise ValueError("avgdl must be positive")
     _check_qids(query_models)
+    from merchant_classification_spark.functions.lookup import (
+        sql_double_lit,
+        sql_str_lit,
+    )
+    from merchant_classification_spark.functions.text_analysis import (
+        tokens_sql,
+    )
+
     union_terms: list[str] = []
     for _, model in query_models:
         for term, _ in model:
@@ -309,63 +327,60 @@ def bm25_scores_multi(
                 union_terms.append(term)
     t_ix = {term: i for i, term in enumerate(union_terms)}
 
-    def entries(t: Column) -> Column:
-        dl = F.size(t)
-        norm = F.lit(float(k1)) * (
-            F.lit(1.0 - b)
-            + F.lit(float(b)) * (dl.cast("double") / F.lit(float(avgdl)))
+    terms_sql = (
+        "array(" + ",".join(sql_str_lit(t) for t in union_terms) + ")"
+    )
+    # norm = k1 * ((1 - b) + b * (dl / avgdl)) — doubles rendered with
+    # the repr round-trip (bit-exact, see sql_double_lit)
+    norm_sql = (
+        f"{sql_double_lit(float(k1))} * ({sql_double_lit(1.0 - b)} + "
+        f"{sql_double_lit(float(b))} * (CAST(size(_t) AS DOUBLE) / "
+        f"{sql_double_lit(float(avgdl))}))"
+    )
+    # one tf cell per union term, in union order
+    tfs_sql = (
+        f"transform({terms_sql}, _tm -> "
+        f"CAST(size(filter(_t, _x -> _x = _tm)) AS DOUBLE))"
+    )
+    k1p1 = sql_double_lit(float(k1 + 1.0))
+    per_query = []
+    for qid, model in query_models:
+        # per-term contributions in the query's term order:
+        # ((idf · tf) · (k1+1)) / (tf + norm), then the left-to-right
+        # fold seeded at 0.0 — identical IEEE adds in identical order
+        idfs = (
+            "array("
+            + ",".join(sql_double_lit(float(idf)) for _, idf in model)
+            + ")"
         )
-        # one tf cell per union term, in union order — transform over
-        # the term LITERAL array is the rolled form of the unrolled
-        # per-term F.filter array (same counts, same order)
-        tfs = F.transform(
-            F.lit(union_terms),
-            lambda tm: F.size(F.filter(t, lambda x: x == tm)).cast(
-                "double"
-            ),
+        idxs = (
+            "array("
+            + ",".join(str(t_ix[term] + 1) for term, _ in model)
+            + ")"
         )
-
-        def scores(bound: Column) -> Column:
-            tf_arr = bound["tfs"]
-            nrm = bound["norm"]
-            out = []
-            for qid, model in query_models:
-                # per-term contributions in the query's term order:
-                # ((idf · tf) · (k1+1)) / (tf + norm), then the same
-                # left-to-right fold seeded at 0.0 the unrolled chain
-                # used — identical IEEE adds in identical order
-                idfs = F.lit([float(idf) for _, idf in model])
-                idxs = F.lit([t_ix[term] + 1 for term, _ in model])
-                contribs = F.zip_with(
-                    idfs,
-                    idxs,
-                    lambda idf, ix: idf
-                    * F.element_at(tf_arr, ix.cast("int"))
-                    * F.lit(float(k1 + 1.0))
-                    / (F.element_at(tf_arr, ix.cast("int")) + nrm),
-                )
-                s = F.aggregate(
-                    contribs, F.lit(0.0), lambda acc, x: acc + x
-                )
-                out.append(
-                    F.struct(
-                        F.lit(int(qid)).cast("long").alias("query_id"),
-                        s.alias("bm25"),
-                    )
-                )
-            return F.array(*out)
-
-        # bind (tfs, norm) once — every query's chain reads the same
-        # evaluated cells instead of re-inlining the token filters
-        return F.element_at(
-            F.transform(
-                F.array(F.struct(tfs.alias("tfs"), norm.alias("norm"))),
-                scores,
-            ),
-            1,
+        contribs = (
+            f"zip_with({idfs}, {idxs}, (_idf, _ix) -> "
+            f"_idf * element_at(_b.tfs, CAST(_ix AS INT)) * {k1p1} / "
+            f"(element_at(_b.tfs, CAST(_ix AS INT)) + _b.norm))"
         )
-
-    arr = F.element_at(F.transform(F.array(tokens(text_col)), entries), 1)
+        s = f"aggregate({contribs}, 0.0D, (_acc, _x) -> _acc + _x)"
+        per_query.append(
+            f"named_struct('query_id', CAST({int(qid)} AS BIGINT), "
+            f"'bm25', {s})"
+        )
+    # bind (tfs, norm) once — every query's chain reads the same
+    # evaluated cells instead of re-inlining the token filters; the
+    # outer one-element-array binds the token array once per row
+    entries_sql = (
+        f"element_at(transform(array(named_struct("
+        f"'tfs', {tfs_sql}, 'norm', {norm_sql})), "
+        f"_b -> array({','.join(per_query)})), 1)"
+    )
+    arr_sql = (
+        f"element_at(transform(array({tokens_sql(f'`{text_col}`')}), "
+        f"_t -> {entries_sql}), 1)"
+    )
+    arr = F.expr(arr_sql)
     return df.select(F.col(id_col), F.explode(arr).alias("_e")).select(
         F.col(id_col),
         F.col("_e")["query_id"].alias("query_id"),

@@ -254,3 +254,41 @@ def test_retrieval_multi_hof_identity(spark):
     }
     assert got == ref
     assert len(got) == len(DOCS) * len(qmodels)
+
+
+def test_tokens_sql_bit_parity_with_tokens(spark):
+    """Round 11 renders the multi-query scorer as ONE SQL string, which
+    embeds a SQL-text twin of the tokens() kernel (tokens_sql). The two
+    must tokenize identically on every adversarial shape a corpus can
+    contain — quotes, backslashes, unicode, digits, NULL, empty, blank,
+    punctuation-only — or every downstream tf (and so every score)
+    drifts."""
+    from merchant_classification_spark.functions.text_analysis import (
+        tokens,
+        tokens_sql,
+    )
+
+    cases = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "...!!!###"),
+        (4, "Hello, World!"),
+        (5, "don't stop-me now"),
+        (6, "back\\slash 'single' \"double\""),
+        (7, "unicode: naïve café über 北京 🙂 mixed7digits42"),
+        (8, "a  b\t c\nd"),
+        (9, "UPPER lower 0123456789 '' ' x"),
+        (10, "tab\tsep\ttokens"),
+        (11, "trailing space "),
+        (12, " leading"),
+        (13, "x" * 500 + " y"),
+    ]
+    df = spark.createDataFrame(cases, "id long, text string")
+    got = df.select(
+        "id",
+        tokens("text").alias("py"),
+        F.expr(tokens_sql("`text`")).alias("sql"),
+    ).collect()
+    for r in got:
+        assert r["py"] == r["sql"], (r["id"], r["py"], r["sql"])
