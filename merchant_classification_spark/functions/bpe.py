@@ -325,8 +325,11 @@ def bpe_segment(
     """
     if not word_freq:
         raise ValueError("word_freq must be non-empty (fit first)")
+    from merchant_classification_spark.functions.lookup import literal_table
+
     seg_rows = [(w, encode_word(w, merges)) for w in sorted(word_freq)]
-    vt = spark.createDataFrame(seg_rows, "word string, segs array<string>")
+    # bounded fitted dimension -> folded plan literal (no parallelize job)
+    vt = literal_table(spark, seg_rows, "word string, segs array<string>")
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode_outer(tokens(text_col)).alias("pos", "word"),
@@ -381,9 +384,11 @@ def bpe_token_counts(
     """
     if not word_n_tokens:
         raise ValueError("word_n_tokens must be non-empty (fit first)")
-    vt = spark.createDataFrame(
-        sorted(word_n_tokens.items()),
-        "word string, word_tokens int",
+    from merchant_classification_spark.functions.lookup import literal_table
+
+    # bounded fitted vocabulary -> folded plan literal (no parallelize job)
+    vt = literal_table(
+        spark, sorted(word_n_tokens.items()), "word string, word_tokens int"
     )
     # explode_outer keeps zero-token documents as one null-word row, so
     # a single aggregate covers every document — no restore join needed

@@ -50,6 +50,7 @@ __all__ = [
     "crc32_bucket_py",
     "crc32_bucket_col",
     "bucketed_lookup",
+    "literal_table",
     "sql_str_lit",
     "sql_double_lit",
 ]
@@ -73,6 +74,89 @@ def sql_double_lit(x: float) -> str:
     if "inf" in r or "nan" in r:
         return f"CAST('{r}' AS DOUBLE)"
     return r + "D"
+
+
+#: literal_table falls back to createDataFrame above this many rows
+#: ($SPARK_GRAFT_LITERAL_TABLE_MAX overrides): a bounded dimension
+#: table belongs in the plan as a folded literal, an unbounded one does
+#: not (the SQL text would grow without limit and the RDD path's
+#: distribution machinery is the right shape there anyway).
+_LITERAL_TABLE_MAX_ROWS = 20_000
+
+
+def _sql_cell(v, typ: str) -> str:
+    if typ == "string":
+        return sql_str_lit(v)
+    if typ in ("int", "integer"):
+        return f"CAST({int(v)} AS INT)"
+    if typ in ("long", "bigint"):
+        return f"CAST({int(v)} AS BIGINT)"
+    if typ == "double":
+        return sql_double_lit(v)
+    if typ.replace(" ", "") == "array<string>":
+        if not v:
+            return "CAST(array() AS ARRAY<STRING>)"
+        return "array(" + ",".join(sql_str_lit(x) for x in v) + ")"
+    raise ValueError(f"unsupported literal_table column type: {typ!r}")
+
+
+def literal_table(spark, rows, schema: str):
+    """A bounded rows-list as a DataFrame WITHOUT the ``createDataFrame``
+    driver round trip: the rows render as ONE
+    ``inline(array(named_struct(...)))`` SQL expression that
+    constant-folds into the plan, so building the frame costs a SQL
+    parse (~ms) instead of an RDD ``parallelize`` + its own scan job —
+    measured ~0.25-0.3 s of fixed overhead per ``createDataFrame``
+    dimension table at bench scale (round 11). Values are byte/bit-exact
+    to the ``createDataFrame`` twin: strings via :func:`sql_str_lit`,
+    doubles via :func:`sql_double_lit` (both fuzz-asserted), integers
+    exactly.
+
+    ``schema`` is the same DDL string the ``createDataFrame`` call sites
+    used (``"name type, ..."``); supported column types: string,
+    int/integer, long/bigint, double, array<string> (none of which
+    carries a top-level comma, so the split below is safe). Rows must be
+    non-null in every cell — these are fitted model/dimension tables,
+    never observational data.
+
+    Tables larger than ``$SPARK_GRAFT_LITERAL_TABLE_MAX`` (default
+    20 000) rows — or empty ones — take the ``createDataFrame`` path
+    unchanged: the literal form exists for BOUNDED fitted tables; at
+    unbounded cardinality the RDD path's distribution machinery is the
+    right shape.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = list(rows)
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.strip().split(None, 1)
+        cols.append((name, typ.strip().lower()))
+    max_rows = int(
+        os.environ.get(
+            "SPARK_GRAFT_LITERAL_TABLE_MAX", str(_LITERAL_TABLE_MAX_ROWS)
+        )
+    )
+    if not rows or len(rows) > max_rows:
+        return spark.createDataFrame(rows, schema)
+    structs = ",".join(
+        "named_struct("
+        + ",".join(
+            f"{sql_str_lit(name)},{_sql_cell(v, typ)}"
+            for (name, typ), v in zip(cols, row)
+        )
+        + ")"
+        for row in rows
+    )
+    # SELECT over OneRowRelation (not spark.range(1)): one partition, so
+    # a downstream broadcast build scans 1 task, not defaultParallelism
+    # near-empty ones. The array of structs constant-folds to a single
+    # Literal; inline() of a literal is a constant-size codegen loop —
+    # the plan's operator/codegen shape is O(1) in the row count (only
+    # its printed text carries the data).
+    return spark.sql(f"SELECT inline(array({structs}))")
 
 
 def crc32_bucket_py(key: str, n_buckets: int) -> int:

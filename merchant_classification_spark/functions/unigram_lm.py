@@ -192,7 +192,10 @@ def unigram_segment(
         (w, viterbi_encode(w, piece_logprob, max_piece_len))
         for w in sorted(word_freq)
     ]
-    vt = spark.createDataFrame(seg_rows, "word string, segs array<string>")
+    from merchant_classification_spark.functions.lookup import literal_table
+
+    # bounded fitted dimension -> folded plan literal (no parallelize job)
+    vt = literal_table(spark, seg_rows, "word string, segs array<string>")
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode_outer(tokens(text_col)).alias("pos", "word"),
@@ -234,8 +237,11 @@ def unigram_token_counts(
     """
     if not word_n_pieces:
         raise ValueError("word_n_pieces must be non-empty (fit first)")
-    vt = spark.createDataFrame(
-        sorted(word_n_pieces.items()), "word string, word_pieces int"
+    from merchant_classification_spark.functions.lookup import literal_table
+
+    # bounded fitted vocabulary -> folded plan literal (no parallelize job)
+    vt = literal_table(
+        spark, sorted(word_n_pieces.items()), "word string, word_pieces int"
     )
     ex = df.select(
         F.col(id_col).alias("doc_id"),

@@ -467,13 +467,19 @@ def bm25_scores_inverted(
     top-k per query is unaffected whenever every query has ≥ k matched
     documents.
 
-    Scale shape: the term table is |Σ model terms| rows — broadcast.
-    The corpus side explodes to one row per token occurrence, but the
-    broadcast hash join discards non-query tokens before any shuffle;
-    only matched (doc, query, term-position) triples reach the
+    Scale shape: the term table is |Σ model terms| rows — broadcast,
+    riding as ONE folded array-of-structs literal below
+    ``literal_table``'s row cap (no ``createDataFrame`` parallelize
+    round trip — ~0.3 s of fixed driver cost per call, round 11) and
+    as a plain ``createDataFrame`` local relation above it. The corpus
+    side explodes to one row per token occurrence, but the broadcast
+    hash join discards non-query tokens before any shuffle; only
+    matched (doc, query, term-position) triples reach the
     count-aggregate, and the per-pair ordered fold runs over ≤ |query
-    terms| elements. One corpus pass, one bounded shuffle, plan size
-    constant in |queries|. (A filter-the-token-array-before-explode
+    terms| elements. One corpus pass, one bounded shuffle, and the
+    plan's OPERATOR/CODEGEN shape is constant in |queries| — only the
+    one folded data literal grows, bounded by the cap (asserted in
+    tests/test_retrieval_inverted.py). (A filter-the-token-array-before-explode
     variant was A/B'd and is NOT faster — 3.4 vs 3.3 s at 64 queries
     on sf0.1, outputs identical: the explode is pipelined codegen and
     the broadcast hash probe prunes as cheaply as a literal
@@ -485,6 +491,8 @@ def bm25_scores_inverted(
     if avgdl <= 0:
         raise ValueError("avgdl must be positive")
     _check_qids(query_models)
+    from merchant_classification_spark.functions.lookup import literal_table
+
     term_rows = []
     for qid, model in query_models:
         if not model:
@@ -492,8 +500,12 @@ def bm25_scores_inverted(
         for pos, (term, idf) in enumerate(model):
             term_rows.append((term, int(qid), pos, float(idf)))
     spark = df.sparkSession
-    terms = spark.createDataFrame(
-        term_rows, "term string, query_id long, term_pos int, idf double"
+    # literal_table: the bounded (term, query, idf) dimension rides as a
+    # folded plan literal instead of an RDD parallelize — same rows,
+    # same types, ~0.3 s less fixed cost per call (round 11); batches
+    # past the literal cap fall back to createDataFrame automatically
+    terms = literal_table(
+        spark, term_rows, "term string, query_id long, term_pos int, idf double"
     )
 
     exploded = df.select(

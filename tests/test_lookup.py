@@ -139,3 +139,52 @@ def test_sql_literal_renderers_match_f_lit_bitwise(spark):
     pb = [st.pack(">d", x) for x in row["ov"]]
     nb = [st.pack(">d", x) for x in row["nv"]]
     assert pb == nb
+
+
+def test_literal_table_matches_create_dataframe(spark):
+    """literal_table must be an exact drop-in for createDataFrame on
+    every supported column type: same column names, same dtypes, same
+    values (doubles compared bitwise), across adversarial strings."""
+    import struct as st
+
+    from merchant_classification_spark.functions.lookup import literal_table
+
+    rows = [
+        ("plain", 1, 7, 0.1, ["a", "b"]),
+        ("quote's", -2, 2**40, -0.0, []),
+        ("back\\slash", 0, -(2**40), 5e-324, ["x'y", "z\\w"]),
+        ("unié中", 2147483647, 9223372036854775807, float("inf"), ["é"]),
+        ("nl\nand'tab\t", -2147483648, -9223372036854775808, float("nan"), [""]),
+        ("", 42, 0, -19.998877665544332, ["only"]),
+    ]
+    schema = "k string, i int, l long, d double, a array<string>"
+    got = literal_table(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in ref.schema.fields
+    ]
+    assert [f.dataType for f in got.schema.fields] == [
+        f.dataType for f in ref.schema.fields
+    ]
+    g = sorted(got.collect(), key=lambda r: r["k"])
+    r = sorted(ref.collect(), key=lambda r: r["k"])
+    assert len(g) == len(rows)
+    for gr, rr in zip(g, r):
+        assert gr["k"] == rr["k"]
+        assert gr["i"] == rr["i"]
+        assert gr["l"] == rr["l"]
+        assert st.pack(">d", gr["d"]) == st.pack(">d", rr["d"])
+        assert gr["a"] == rr["a"]
+
+
+def test_literal_table_large_fallback(spark, monkeypatch):
+    """Above the row cap the helper must take the createDataFrame path
+    (the literal form is for BOUNDED fitted tables only)."""
+    from merchant_classification_spark.functions.lookup import literal_table
+
+    monkeypatch.setenv("SPARK_GRAFT_LITERAL_TABLE_MAX", "3")
+    rows = [(f"k{i}", float(i)) for i in range(5)]
+    df = literal_table(spark, rows, "k string, v double")
+    # the fallback is an RDD-backed local relation, not a folded literal
+    assert "inline" not in df._jdf.queryExecution().logical().toString()
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == rows

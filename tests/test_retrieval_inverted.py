@@ -74,14 +74,28 @@ def test_inverted_bit_identical_to_literal_on_matched_pairs(spark):
 
 
 def test_inverted_plan_constant_in_query_count(spark):
-    """The whole point of the tier: the optimized plan must not grow
-    with |queries| (the literal form compiles per-query branches)."""
+    """The whole point of the tier: the plan's EXPRESSION/CODEGEN shape
+    must not grow with |queries| (the literal form compiles per-query
+    scoring branches). Since round 11 the bounded (term, query, idf)
+    dimension rides as ONE folded array-of-structs Literal
+    (functions/lookup.py literal_table) — DATA inside that single
+    literal is allowed to grow (it is a constant object, not generated
+    code, and literal_table caps it with a createDataFrame fallback);
+    per-query EXPRESSION growth is not. Canonicalizing literal payloads
+    out of the plan text keeps exactly that distinction: a
+    reintroduced per-query branch grows the canonical text, the folded
+    data literal does not."""
+    import re
+
     docs = _corpus(spark)
     qmodels, avgdl = _models(docs)
 
     def plan_len(models):
         d = bm25_scores_inverted(docs, models, avgdl, "text", "doc_id")
-        return len(d._jdf.queryExecution().optimizedPlan().toString())
+        s = d._jdf.queryExecution().optimizedPlan().toString()
+        # fold literal payloads: the terms dimension prints as
+        # inline([[term,qid,pos,idf], ...]) — one constant object
+        return len(re.sub(r"inline\(\[\[.*?\]\]\)", "inline([...])", s))
 
     few = plan_len(qmodels)
     idf = dict(qmodels[0][1])
@@ -89,6 +103,20 @@ def test_inverted_plan_constant_in_query_count(spark):
         [(i, list(qmodels[0][1])) for i in range(64)]
     )
     assert many < few * 2, (few, many)
+    # and the node count itself is identical — growth could only ever
+    # be data inside the one folded literal
+    def n_nodes(models):
+        d = bm25_scores_inverted(docs, models, avgdl, "text", "doc_id")
+        return len(
+            d._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+            .splitlines()
+        )
+
+    assert n_nodes([(i, list(qmodels[0][1])) for i in range(64)]) == n_nodes(
+        qmodels
+    )
 
 
 def test_qid_validation_rejects_non_ints(spark):
