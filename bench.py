@@ -6,7 +6,17 @@ tail-capture always gets it) the headline:
   {"metric": "streaming_throughput_rps", "value": N, "unit": "rows/sec"}
   {"queries": {name: sec, ...}, "members": {suite: {member: sec}}, "sf": ...}
   {"metric": "headline_queries_total", "value": <total sec>, "unit": "sec",
-   "sf": <sf>, "n_queries": N}
+   "sf": <sf>, "cpus": C, "n_queries": N, "queries": {name: sec, ...}}
+
+Round 12 (additions only — no timing methodology changed): the final
+headline line now ALSO carries the flat per-query seconds map and the
+session core count (the driver's PERF comparator parses only the last
+line, so rounds 10/11 had empty per_query); the artifact records
+"cpus" and the regression gate is REPORT-ONLY when the session's core
+count differs from the artifact's (a SPARK_GRAFT_CPUS=8 contract run
+must not fail against a 32-core baseline); and both streaming probes
+record every timed draw in the artifact ("probe_observations") so the
+best-of-two floor estimators can't hide drift.
 
 Full results (per-query, per-member, streaming rps) are also written to
 $SPARK_GRAFT_BENCH_OUT (default bench_results.json) as a committed
@@ -69,6 +79,14 @@ from merchant_classification_spark.session import build_session
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+#: every timed observation of the two streaming probes, in measurement
+#: order (round-12, VERDICT r11 watch item: the probes keep best-of-N
+#: tripwire-floor estimators, which can only raise the reported number —
+#: recording the non-best draws keeps ambient drift visible without
+#: changing the floor semantics). Values are rows/s resp. q/s per pass.
+PROBE_OBS: dict[str, list[float]] = {"ingest_rps": [], "serve_qps": []}
 
 
 def _streaming_throughput(
@@ -134,8 +152,11 @@ def _streaming_throughput(
         one_batch(warmup_rows)
     # best of two timed batches — same tripwire-not-drift-detector
     # estimator as the serving probe (round 11): one clean-session run
-    # measured 25.8k on its first draw and 53.0k on the retry
-    return round(rows / min(one_batch(rows), one_batch(rows)), 1)
+    # measured 25.8k on its first draw and 53.0k on the retry. Both
+    # draws are recorded (round 12) so the non-best stays visible.
+    obs = [round(rows / one_batch(rows), 1) for _ in (1, 2)]
+    PROBE_OBS["ingest_rps"].extend(obs)
+    return max(obs)
 
 
 def _streaming_ann_serve_rate(
@@ -226,7 +247,9 @@ def _streaming_ann_serve_rate(
             queries.withColumn(
                 "query_id", F.col("query_id") + 1_000_000 * r
             ).coalesce(1).write.mode("append").parquet(qsrc)
-            best = max(best, n_queries / one_pass())
+            rate = round(n_queries / one_pass(), 1)
+            PROBE_OBS["serve_qps"].append(rate)
+            best = max(best, rate)
         return round(best, 1)
     finally:
         if serving is not None:
@@ -255,6 +278,17 @@ def _time_member(spark, sf_dir: str, name: str, reps: int, warmup: bool):
     return obs
 
 
+def _gate_cpus_mismatch(prev: dict, cpus: int) -> bool:
+    """True when the committed artifact was measured at a DIFFERENT core
+    count than this session — the regression gate then runs report-only
+    (no offender re-measures, no nonzero exit): member absolutes
+    legitimately shift with core count, so a low-core contract run must
+    not fail against the 32-core artifact (BENCH_r11_c8 exited rc=3 on
+    unchanged code). Artifacts that predate the "cpus" field gate as
+    before."""
+    return prev.get("cpus") is not None and prev.get("cpus") != cpus
+
+
 def _jvm_gc(spark) -> None:
     # clearCache() does NOT free localCheckpoint blocks — those need the
     # driver refs GC'd. Only the classic py4j gateway exposes _jvm; under
@@ -270,6 +304,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = build_session(app_name="mcs-bench")
+    # the session's core count, recorded in the artifact so the
+    # regression gate can tell a LOW-CORE CONTRACT RUN (the driver
+    # re-benches at SPARK_GRAFT_CPUS=8 to measure scaling) from a
+    # same-shape regression: comparing an 8-core run's members against
+    # a 32-core artifact flagged a well-scaling member at 4.3 s and
+    # exited rc=3 on unchanged code (BENCH_r11_c8) — the gate is now
+    # report-only when the core counts differ (round-12, VERDICT item 2)
+    cpus = spark.sparkContext.defaultParallelism
     timings: dict[str, float] = {}
 
     # streaming tier probe FIRST, in isolation: records/sec through the
@@ -478,6 +520,7 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_COMPARE=0 disables the nonzero exit (the report
     # still prints).
     compare_report = None
+    cpus_mismatch = False
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     if members and out_path and os.path.exists(out_path):
         try:
@@ -495,6 +538,15 @@ def main() -> None:
             _spec.loader.exec_module(_bc)
             with open(out_path) as f:
                 prev = json.load(f)
+            # core-count awareness (round 12): a member's absolute time
+            # legitimately shifts when the session runs at a different
+            # core count than the committed artifact's (the suite is
+            # driver/fixed-cost bound at sf0.1, but individual
+            # well-parallelized members scale) — cross-core comparisons
+            # stay REPORT-ONLY: no main-pass/offender re-measures, no
+            # nonzero exit. Old artifacts without "cpus" keep the old
+            # (always-gating) behavior.
+            cpus_mismatch = _gate_cpus_mismatch(prev, cpus)
             # main-pass outlier re-measure (round 10): the suite-union
             # numbers feed the HEADLINE, and a burst during the main
             # pass used to land there verbatim — the member pass got a
@@ -516,7 +568,7 @@ def main() -> None:
             )
             qdrift = max(qdrift, 1.0)
             query_retried = {}
-            for name in list(timings):
+            for name in list(timings) if not cpus_mismatch else []:
                 pa = prev_q.get(name)
                 if not pa or max(pa, timings[name]) < 1.0:
                     continue
@@ -559,7 +611,7 @@ def main() -> None:
             # stabilizes — every member gets at most one retry, so this
             # terminates in ≤ a handful of passes.
             retried = {}
-            for _ in range(5):
+            for _ in range(5) if not cpus_mismatch else []:
                 fresh = [
                     o
                     for o in compare_report.get("offenders", [])
@@ -660,8 +712,10 @@ def main() -> None:
                 json.dump(
                     {
                         "sf": sf,
+                        "cpus": cpus,
                         "total_sec": round(total, 3),
                         "n_queries": len(timings),
+                        "probe_observations": PROBE_OBS,
                         "queries": timings,
                         "query_spread": query_spread,
                         "members": members,
@@ -685,7 +739,16 @@ def main() -> None:
         line = dict(compare_report)
         if isinstance(line.get("offenders"), list):
             line["offenders"] = len(line["offenders"])
+        if cpus_mismatch:
+            line["cpus_mismatch"] = True
         print(json.dumps({"metric": "bench_regression_gate", **line}))
+    # the FINAL line carries the flat per-query seconds map (round 12,
+    # VERDICT item 2): the driver's PERF comparator parses only this
+    # last line, and rounds 10/11 shipped the map on an earlier line
+    # (with the per-member nest, far past the tail capture) — so
+    # per_query was empty both rounds. ~1.5 KB with 50 queries, inside
+    # the ~2 KB tail window. Additions-only: every pre-existing field
+    # and every other printed line is unchanged.
     print(
         json.dumps(
             {
@@ -693,8 +756,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "sf": sf,
+                "cpus": cpus,
                 "n_queries": len(timings),
-            }
+                "queries": timings,
+            },
+            separators=(",", ":"),
         )
     )
     if stream_floor_violated or ann_floor_violated:
@@ -702,6 +768,7 @@ def main() -> None:
     if (
         compare_report is not None
         and compare_report.get("offenders")
+        and not cpus_mismatch
         and os.environ.get("SPARK_GRAFT_BENCH_COMPARE", "1") != "0"
     ):
         sys.exit(3)

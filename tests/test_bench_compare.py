@@ -88,3 +88,58 @@ def test_real_regression_survives_drift_normalization():
     med_b["m5"], spr_b["m5"] = 8.0, [7.8, 8.2]
     rep = BC.compare(_many(med_a, spr_a), _many(med_b, spr_b))
     assert [o["member"] for o in rep["offenders"]] == ["s/m5"]
+
+
+# --- round 12: per-query driver contract + core-aware gate -----------------
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_gate_is_report_only_across_core_counts():
+    bench = _load_bench()
+    assert bench._gate_cpus_mismatch({"cpus": 32}, 8) is True
+    assert bench._gate_cpus_mismatch({"cpus": 32}, 32) is False
+    # artifacts predating the field keep the old always-gating behavior
+    assert bench._gate_cpus_mismatch({}, 8) is False
+
+
+def test_headline_line_with_per_query_map_fits_tail_capture():
+    """The driver parses ONLY the final printed line and its tail
+    capture truncates around ~2000 chars; the round-12 headline carries
+    the flat per-query map, so the rendered line must stay inside that
+    window for the full declared-query surface (worst-case 4-digit
+    seconds per query)."""
+    import json
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    assert len(names) >= 50
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 9999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "cpus": 32,
+            "n_queries": len(names),
+            "queries": {n: 9999.999 for n in names},
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, len(line)
