@@ -28,6 +28,50 @@ from merchant_classification_spark.functions.vectors import (
 from merchant_classification_spark.operators.relational import group_topk
 
 
+def _folded_double_lit(nested, depth: int) -> Column:
+    """ONE constant-folded plan node for a (nested) double-array
+    constant: the values ride as a single JSON string literal decoded
+    by ``from_json``, which Spark's optimizer constant-folds to the
+    identical array Literal before execution.
+
+    Why not the parsed ``array(array(0.1D, …))`` SQL text (the round-9
+    form): eager Catalyst ANALYSIS walks every literal node of a fresh
+    Dataset, so each ``df.select`` embedding a 4096-double parsed array
+    cost ~0.30 s of pure driver-side analysis PER CALL — the dominant
+    build cost of the ANN members (round-11 §13 measured it; round-12
+    probe: parse 2 ms, select-with-parsed-literal 295 ms,
+    select-with-from_json 91 ms, execution identical at 0.42 s, outputs
+    bit-equal; `tools/ann_literal_probe.py`).
+
+    Bit-exactness: ``json.dumps`` emits the shortest round-trip decimal
+    (same digits as ``repr``) and Jackson's parseDouble is correctly
+    rounded like the SQL parser's — pinned bitwise in
+    ``tests/test_similarity.py``. Non-finite doubles have no JSON
+    rendering, so those fall back to the old parsed-array form
+    unchanged."""
+    import json
+
+    def _flat(x):
+        if isinstance(x, (list, tuple)):
+            for y in x:
+                yield from _flat(y)
+        else:
+            yield x
+
+    if all(math.isfinite(v) for v in _flat(nested)):
+        schema = "double"
+        for _ in range(depth):
+            schema = f"array<{schema}>"
+        return F.from_json(F.lit(json.dumps(nested)), schema)
+
+    def render(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(render(y) for y in x) + ")"
+        return f"{x!r}D"
+
+    return F.expr(render(nested))
+
+
 def brute_force_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -94,18 +138,13 @@ def hyperplane_signature(
     """
     v = to_double_array(vec)
     planes = _random_hyperplanes(dim, bits, seed)
-    # one parsed SQL literal instead of bits*dim F.lit() Column objects:
-    # the per-element form costs ~0.25 s of py4j round-trips PER CALL at
+    # one folded literal instead of bits*dim F.lit() Column objects: the
+    # per-element form costs ~0.25 s of py4j round-trips PER CALL at
     # bits=8/dim=64 (multi-table callers build 16 signatures -> seconds
-    # of driver time before any work), the parsed string ~5 ms. repr()
-    # doubles round-trip bit-exact through the SQL parser.
-    planes_lit = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in planes
-        )
-        + ")"
-    )
+    # of driver time before any work). Round 12: the JSON-string form
+    # (see _folded_double_lit) also cuts the per-Dataset ANALYSIS cost
+    # the parsed-array SQL text paid; values bit-identical.
+    planes_lit = _folded_double_lit(planes, 2)
     # bind v once (one-element-array trick) so the tokenizing/cast work is
     # not re-inlined into every lambda use site
     def sig_from(vb: Column) -> Column:
@@ -136,25 +175,18 @@ def _multi_table_signatures(
 ) -> Column:
     """array<long> of SRP signatures, one per hash table — bit-identical
     to ``tables`` separate ``hyperplane_signature`` calls (same seeded
-    planes, same bit weights) but built as ONE parsed literal walked by
+    planes, same bit weights) but built as ONE folded literal walked by
     ONE nested-transform expression, so driver-side plan construction is
-    O(1) py4j calls instead of O(tables)."""
+    O(1) py4j calls instead of O(tables) — and (round 12) the literal
+    rides as a from_json constant (``_folded_double_lit``), so each
+    Dataset op embedding it analyzes ONE string node instead of 4096
+    literal nodes (~0.30 s of eager analysis per select at the ann_lsh
+    dial, measured in tools/ann_literal_probe.py)."""
     v = to_double_array(vec)
     all_planes = [
         _random_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)
     ]
-    planes_lit = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in tbl
-            )
-            + ")"
-            for tbl in all_planes
-        )
-        + ")"
-    )
+    planes_lit = _folded_double_lit(all_planes, 3)
     weights = F.expr(
         "array(" + ",".join(f"{1 << i}L" for i in range(bits)) + ")"
     )
@@ -380,16 +412,13 @@ def _deterministic_kmeans(
 
 
 def _cents_lit(centroids: list[list[float]]) -> Column:
-    """One parsed literal ``array<array<double>>`` for a centroid set —
+    """One folded literal ``array<array<double>>`` for a centroid set —
     shared by the distance fold and the residual subtraction so the
-    plan carries a single literal tree, not one per use site."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in centroids
-        )
-        + ")"
-    )
+    plan carries a single literal tree, not one per use site. Round 12:
+    rides as a from_json constant (``_folded_double_lit``) so Dataset
+    ops embedding it analyze one string node, not k·dim literal
+    nodes."""
+    return _folded_double_lit(centroids, 2)
 
 
 def residual_vec(
